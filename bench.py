@@ -1,0 +1,54 @@
+"""Benchmark entry point — prints ONE JSON line for the driver.
+
+Metric: Mrays/sec/chip on the standard benchmark scene (BASELINE.md: target
+>= 100 Mrays/s/chip). Runs on whatever platform JAX resolves (the tunneled
+TPU chip under the driver; CPU with BENCH_CPU=1 for local smoke).
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_MRAYS = 100.0
+
+
+def main():
+    if os.environ.get("BENCH_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from luminary_tpu.render.renderer import Renderer
+    from luminary_tpu.testing import cornell_scene
+
+    width = int(os.environ.get("BENCH_WIDTH", "512"))
+    height = int(os.environ.get("BENCH_HEIGHT", "512"))
+    depth = int(os.environ.get("BENCH_DEPTH", "4"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "2"))
+    samples = int(os.environ.get("BENCH_SAMPLES", "8"))
+
+    scene = cornell_scene(width, height, max_depth=depth)
+    r = Renderer(scene, chunk=int(os.environ.get("BENCH_CHUNK", "65536")))
+
+    r.render_samples(warmup)  # compile + warm caches
+    t0 = time.monotonic()
+    r.render_samples(samples)
+    dt = time.monotonic() - t0
+
+    rays_per_sample = r._last_rays_per_sample
+    mrays = rays_per_sample * samples / dt / 1e6
+    result = {
+        "metric": "Mrays/sec/chip (cornell %dx%d depth %d)" % (width, height, depth),
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,328 @@
+"""Public host API.
+
+Python mirror of the reference's ``luminary_host_*`` C API (reference:
+include/luminary/host.h:29-129): entity get/set with dirty propagation, scene
+file loading, output request/promise handles, pixel queries.
+
+Stage 1 executes work synchronously on the caller thread (the reference is
+fully asynchronous over worker queues, host/host.c:15-20; the async worker
+layer is built in luminary_tpu.host.queue_worker and wired here in a later
+stage — the API shape is already async-compatible: mutations only mark dirty,
+rendering happens on output acquisition).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.lum import read_lum_file, write_lum_file, LumFileContent
+from ..io.png import write_png
+from ..io.wavefront import WavefrontArguments, read_obj_file
+from ..render.renderer import Renderer
+from ..scene.entities import Instance, Material
+from ..scene.scene import DirtyFlags, Scene
+from ..utils.errors import InvalidAPIArgumentError, PreconditionError
+from ..utils.log import info_message
+
+OUTPUT_HANDLE_INVALID = 0xFFFFFFFF
+
+
+@dataclass
+class OutputRequest:
+    """reference: LuminaryOutputRequestProperties + promise handle."""
+
+    sample_count: int
+    width: int = 0  # 0 = render resolution
+    height: int = 0
+    promise: int = 0
+    ready: bool = False
+    image: np.ndarray | None = None
+    time: float = 0.0
+
+
+@dataclass
+class _Output:
+    image: np.ndarray
+    sample_count: int
+    time: float
+    ref_count: int = 1
+
+
+class Host:
+    """A Luminary rendering host (one per process is typical)."""
+
+    def __init__(self, device_mask: int = 0xFFFFFFFF, samples_per_step: int = 4):
+        self.scene = Scene()
+        self._renderer: Renderer | None = None
+        self._device_mask = device_mask
+        self._samples_per_step = samples_per_step
+        self._requests: dict[int, OutputRequest] = {}
+        self._next_promise = 0
+        self._outputs: dict[int, _Output] = {}
+        self._next_output = 0
+        self._render_time = 0.0
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @property
+    def renderer(self) -> Renderer:
+        if self._renderer is None:
+            self._renderer = Renderer(self.scene)
+        return self._renderer
+
+    def destroy(self):
+        self._renderer = None
+
+    # -- scene loading ------------------------------------------------------
+
+    def load_lum_file(self, path: str) -> LumFileContent:
+        """reference: luminary_host_load_lum_file (host.c:534)."""
+        content = read_lum_file(path)
+        base_instance_count = self.scene.num_instances
+        mesh_id_offset = self.scene.num_meshes
+        for obj_path in content.obj_file_paths:
+            self._load_obj(obj_path, content.wavefront_args)
+        for inst in content.instances:
+            inst.mesh_id += mesh_id_offset
+            inst.id = base_instance_count
+            base_instance_count += 1
+            self.scene.add_instance(inst)
+        self.scene.set_entity("settings", content.settings)
+        self.scene.set_entity("camera", content.camera)
+        self.scene.set_entity("ocean", content.ocean)
+        self.scene.set_entity("sky", content.sky)
+        self.scene.set_entity("cloud", content.cloud)
+        self.scene.set_entity("fog", content.fog)
+        self.scene.set_entity("particles", content.particles)
+        return content
+
+    def load_obj_file(self, path: str, args: WavefrontArguments | None = None) -> int:
+        """reference: luminary_host_load_obj_file. Returns mesh id; adds an
+        untransformed instance (legacy behaviour matching lum MESHFILE)."""
+        mesh_id = self._load_obj(path, args or WavefrontArguments())
+        inst = self.scene.new_instance()
+        inst.mesh_id = mesh_id
+        self.scene.set_instance(inst)
+        return mesh_id
+
+    def _load_obj(self, path: str, args: WavefrontArguments) -> int:
+        result = read_obj_file(
+            path, args, base_texture_id=len(self.scene.textures)
+        )
+        # Remap local material slots to global ids (reference: wavefront
+        # convert step applies the same offset).
+        mat_offset = self.scene.num_materials
+        for mat in result.materials:
+            self.scene.add_material(mat)
+        for tex in result.textures:
+            self.scene.add_texture(tex)
+        result.mesh.material_ids = result.mesh.material_ids + np.uint16(mat_offset)
+        mesh_id = self.scene.add_mesh(result.mesh)
+        info_message(
+            "loaded %s: %d tris, %d materials",
+            os.path.basename(path),
+            result.mesh.num_triangles,
+            len(result.materials),
+        )
+        return mesh_id
+
+    def save_lum_file(self, path: str):
+        c = LumFileContent(
+            settings=self.scene.get_entity("settings"),
+            camera=self.scene.get_entity("camera"),
+            ocean=self.scene.get_entity("ocean"),
+            sky=self.scene.get_entity("sky"),
+            cloud=self.scene.get_entity("cloud"),
+            fog=self.scene.get_entity("fog"),
+            particles=self.scene.get_entity("particles"),
+        )
+        write_lum_file(path, c)
+
+    # -- entity access (luminary_host_get/set_*) ----------------------------
+
+    def get_settings(self):
+        return self.scene.get_entity("settings")
+
+    def set_settings(self, v):
+        self.scene.set_entity("settings", v)
+
+    def get_camera(self):
+        return self.scene.get_entity("camera")
+
+    def set_camera(self, v):
+        self.scene.set_entity("camera", v)
+
+    def get_ocean(self):
+        return self.scene.get_entity("ocean")
+
+    def set_ocean(self, v):
+        self.scene.set_entity("ocean", v)
+
+    def get_sky(self):
+        return self.scene.get_entity("sky")
+
+    def set_sky(self, v):
+        self.scene.set_entity("sky", v)
+
+    def get_cloud(self):
+        return self.scene.get_entity("cloud")
+
+    def set_cloud(self, v):
+        self.scene.set_entity("cloud", v)
+
+    def get_fog(self):
+        return self.scene.get_entity("fog")
+
+    def set_fog(self, v):
+        self.scene.set_entity("fog", v)
+
+    def get_particles(self):
+        return self.scene.get_entity("particles")
+
+    def set_particles(self, v):
+        self.scene.set_entity("particles", v)
+
+    def get_material(self, mat_id: int) -> Material:
+        return self.scene.get_material(mat_id)
+
+    def set_material(self, mat: Material):
+        self.scene.set_material(mat)
+
+    def get_instance(self, inst_id: int) -> Instance:
+        return self.scene.get_instance(inst_id)
+
+    def set_instance(self, inst: Instance):
+        self.scene.set_instance(inst)
+
+    def new_instance(self) -> Instance:
+        return self.scene.new_instance()
+
+    @property
+    def num_meshes(self) -> int:
+        return self.scene.num_meshes
+
+    @property
+    def num_materials(self) -> int:
+        return self.scene.num_materials
+
+    @property
+    def num_instances(self) -> int:
+        return self.scene.num_instances
+
+    # -- rendering ----------------------------------------------------------
+
+    def start_new_render(self):
+        """reference: luminary_host_start_new_render — restart integration."""
+        self.scene.mark_dirty(DirtyFlags.INTEGRATION)
+
+    def request_output(self, sample_count: int, width: int = 0, height: int = 0) -> int:
+        """Request a frame at a target sample count; returns a promise handle
+        (reference: luminary_host_request_output)."""
+        promise = self._next_promise
+        self._next_promise += 1
+        self._requests[promise] = OutputRequest(
+            sample_count=sample_count, width=width, height=height, promise=promise
+        )
+        return promise
+
+    def try_await_output(self, promise: int) -> int:
+        """Poll a promise; renders a bounded slice of work per call so callers
+        stay responsive (the async stage moves this off-thread). Returns an
+        output handle or OUTPUT_HANDLE_INVALID."""
+        if promise not in self._requests:
+            raise InvalidAPIArgumentError(f"unknown output promise {promise}")
+        req = self._requests[promise]
+        r = self.renderer
+        r.update()
+        if r.sample_count < req.sample_count:
+            step = min(self._samples_per_step, req.sample_count - r.sample_count)
+            import time as _time
+
+            t0 = _time.monotonic()
+            r.render_samples(step)
+            self._render_time += _time.monotonic() - t0
+        if r.sample_count < req.sample_count:
+            return OUTPUT_HANDLE_INVALID
+        del self._requests[promise]
+        handle = self._next_output
+        self._next_output += 1
+        self._outputs[handle] = _Output(
+            image=r.get_image(),
+            sample_count=r.sample_count,
+            time=self._render_time,
+        )
+        return handle
+
+    def acquire_output(self) -> int:
+        """Acquire the current (recurring/interactive) output
+        (reference: luminary_host_acquire_output)."""
+        r = self.renderer
+        r.update()
+        if r.sample_count == 0:
+            r.render_samples(1)
+        handle = self._next_output
+        self._next_output += 1
+        self._outputs[handle] = _Output(
+            image=r.get_image(), sample_count=r.sample_count, time=self._render_time
+        )
+        return handle
+
+    def get_image(self, handle: int) -> np.ndarray:
+        if handle not in self._outputs:
+            raise InvalidAPIArgumentError(f"invalid output handle {handle}")
+        return self._outputs[handle].image
+
+    def get_image_meta(self, handle: int) -> dict:
+        o = self._outputs[handle]
+        return {"sample_count": o.sample_count, "time": o.time}
+
+    def release_output(self, handle: int):
+        if handle not in self._outputs:
+            raise InvalidAPIArgumentError(f"invalid output handle {handle}")
+        o = self._outputs[handle]
+        o.ref_count -= 1
+        if o.ref_count <= 0:
+            del self._outputs[handle]
+
+    def save_png(self, handle: int, path: str):
+        write_png(path, self.get_image(handle))
+
+    def get_pixel_info(self, x: int, y: int):
+        if self._renderer is None:
+            raise PreconditionError("no render has run yet")
+        return self._renderer.get_pixel_info(x, y)
+
+    @property
+    def current_sample_time(self) -> float:
+        return self.renderer.current_sample_time
+
+    # -- device info --------------------------------------------------------
+
+    def get_device_count(self) -> int:
+        import jax
+
+        return len(jax.devices())
+
+    def get_device_info(self, device_id: int) -> dict:
+        import jax
+
+        devs = jax.devices()
+        if not 0 <= device_id < len(devs):
+            raise InvalidAPIArgumentError(f"device id {device_id} out of range")
+        d = devs[device_id]
+        stats = {}
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:
+            pass
+        return {
+            "is_main_device": device_id == 0,
+            "is_unavailable": False,
+            "is_enabled": True,
+            "name": f"{d.platform}:{d.device_kind}",
+            "memory_size": stats.get("bytes_limit", 0),
+            "allocated_memory_size": stats.get("bytes_in_use", 0),
+        }

@@ -1,0 +1,126 @@
+"""Camera ray generation (thin lens; physical lens stack comes later).
+
+Matches the reference's thin-lens model so framing is identical
+(reference: src/luminary/device/cuda/camera_thin_lens.cuh,
+camera.cuh:11-39): sensor plane at +Z looking down -Z in camera space, fov
+encodes the half-width of the sensor at z=1, aperture/focal distances in
+millimetre lens units scaled by CAMERA_COMMON_SCALE into world units, and the
+per-sample (not per-pixel) subpixel jitter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from . import math3
+from .random import RandomTarget, quasi_2d, random_1d, random_2d
+
+CAMERA_COMMON_SCALE = 0.001
+CAMERA_COMMON_INV_SCALE = 1.0 / CAMERA_COMMON_SCALE
+
+
+class DeviceCamera(NamedTuple):
+    """Packed camera state for the jitted render step."""
+
+    pos: jnp.ndarray  # f32 [3]
+    rotation_q: jnp.ndarray  # f32 [4] quaternion [w,x,y,z]
+    fov: jnp.ndarray  # f32 scalar (thin-lens sensor half-width at z=1)
+    aperture_size: jnp.ndarray  # f32 scalar (lens units)
+    aperture_blade_count: jnp.ndarray  # i32 scalar
+    aperture_shape_bladed: jnp.ndarray  # bool scalar
+    object_distance: jnp.ndarray  # f32 scalar (world units)
+    camera_scale: jnp.ndarray  # f32 scalar
+
+
+def pack_camera(camera) -> DeviceCamera:
+    """Scene Camera entity → DeviceCamera (reference: device_structs.c:75)."""
+    return DeviceCamera(
+        pos=jnp.asarray(camera.pos, jnp.float32),
+        rotation_q=math3.quaternion_from_euler(jnp.asarray(camera.rotation, jnp.float32)),
+        fov=jnp.float32(camera.thin_lens.fov),
+        aperture_size=jnp.float32(camera.thin_lens.aperture_size),
+        aperture_blade_count=jnp.int32(max(camera.aperture_blade_count, 3)),
+        aperture_shape_bladed=jnp.asarray(int(camera.aperture_shape) == 1),
+        object_distance=jnp.float32(camera.object_distance),
+        camera_scale=jnp.float32(camera.camera_scale),
+    )
+
+
+def _sample_aperture(cam: DeviceCamera, pixel_id, sample_id):
+    """Aperture point in lens units (reference: camera_thin_lens.cuh
+    camera_thin_lens_sample_aperture). Weight forced to 1 like the reference."""
+    r = random_2d(RandomTarget.LENS, pixel_id, sample_id)
+    aperture = cam.aperture_size * CAMERA_COMMON_INV_SCALE
+
+    # Round aperture
+    alpha = r[..., 0] * (2.0 * jnp.pi)
+    beta = jnp.sqrt(r[..., 1]) * aperture
+    round_xy = jnp.stack([jnp.cos(alpha) * beta, jnp.sin(alpha) * beta], axis=-1)
+
+    # Bladed aperture: uniform point in the triangle fan sector
+    blades = cam.aperture_blade_count.astype(jnp.float32)
+    blade = jnp.floor(
+        random_1d(RandomTarget.LENS_BLADE, pixel_id, sample_id) * blades
+    )
+    a = jnp.sqrt(r[..., 0])
+    u = 1.0 - a
+    v = a * r[..., 1]
+    step = (2.0 * jnp.pi) / blades
+    a1 = step * blade
+    a2 = step * (blade + 1.0)
+    bladed_xy = (
+        jnp.stack(
+            [
+                jnp.sin(a1) * u + jnp.sin(a2) * v,
+                jnp.cos(a1) * u + jnp.cos(a2) * v,
+            ],
+            axis=-1,
+        )
+        * aperture
+    )
+
+    xy = jnp.where(cam.aperture_shape_bladed, bladed_xy, round_xy)
+    xy = jnp.where(cam.aperture_size > 0.0, xy, jnp.zeros_like(xy))
+    return jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+
+
+def generate_camera_rays(
+    cam: DeviceCamera,
+    width: int,
+    height: int,
+    pixel_x: jnp.ndarray,
+    pixel_y: jnp.ndarray,
+    pixel_id: jnp.ndarray,
+    sample_id,
+):
+    """Thin-lens primary rays for a pixel wavefront.
+
+    Returns (origin [N,3] world, direction [N,3] world unit).
+    """
+    # One jitter shared by all pixels of a sample (reference:
+    # camera_utils.cuh:23-27 keys the jitter on pixel (0,0)).
+    jitter = quasi_2d(
+        RandomTarget.CAMERA_JITTER, jnp.zeros_like(pixel_id), sample_id
+    )
+
+    step = 2.0 * cam.fov / width
+    vfov = step * height * 0.5
+    sx = cam.fov - step * (pixel_x.astype(jnp.float32) + jitter[..., 0])
+    sy = -vfov + step * (pixel_y.astype(jnp.float32) + jitter[..., 1])
+    sensor = jnp.stack([sx, sy, jnp.ones_like(sx)], axis=-1)
+
+    to_focal = math3.normalize(-sensor)
+    focal_len = jnp.maximum(cam.object_distance * CAMERA_COMMON_INV_SCALE, 0.01)
+    focal_point = to_focal * (-focal_len / to_focal[..., 2:3])
+
+    aperture_point = _sample_aperture(cam, pixel_id, sample_id)
+    direction = math3.normalize(focal_point - aperture_point)
+
+    # To world space (reference: camera.cuh:30-36).
+    q = cam.rotation_q
+    origin = math3.quaternion_apply(q, aperture_point)
+    origin = origin * (cam.camera_scale * CAMERA_COMMON_SCALE) + cam.pos
+    direction = math3.quaternion_apply(q, direction)
+    return origin, direction

@@ -1,0 +1,277 @@
+"""Scene → device pack.
+
+Counterpart of the reference's host→device struct conversion + upload layer
+(reference: src/luminary/device/device_structs.c, device_mesh.c,
+device_material_manager.c): scene entities become a pytree of jnp arrays the
+jitted render step closes over (the role of CUDA ``__constant__``
+DeviceConstantMemory, reference device/cuda/utils.cuh:133).
+
+v1 geometry model: instances are flattened — every instance's triangles are
+transformed to world space and a single BVH is built over the union
+(the reference's two-level IAS/GAS appears later with the traversal rework).
+All shading attributes are stored in *leaf-slot order* so a traversal hit's
+slot id directly indexes them with no indirection.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bvh.builder import BVH2, build_bvh
+from ..ops.traverse import DeviceBVH
+from ..scene.entities import Material, MaterialBaseSubstrate, TEXTURE_NONE
+from ..scene.scene import Scene
+from ..utils.log import info_message
+
+LEAF_SIZE = 4
+
+
+def _euler_to_matrix(rotation) -> np.ndarray:
+    """Rotation matrix matching the reference quaternion convention
+    (host_math.c:6-21 + math.cuh quaternion_apply)."""
+    rx, ry, rz = rotation
+    cr, sr = np.cos(rx * 0.5), np.sin(rx * 0.5)
+    cp, sp = np.cos(ry * 0.5), np.sin(ry * 0.5)
+    cy, sy = np.cos(rz * 0.5), np.sin(rz * 0.5)
+    w = cr * cp * cy + sr * sp * sy
+    x = sr * cp * cy - cr * sp * sy
+    y = cr * sp * cy + sr * cp * sy
+    z = cr * cp * sy - sr * sp * cy
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
+
+
+class DeviceMaterials(NamedTuple):
+    """Packed material table (reference: DeviceMaterialCompressed,
+    device_structs.h:214-236 — here kept as SoA float arrays; quantization is
+    a later memory optimization)."""
+
+    albedo: jnp.ndarray  # f32 [M, 4]
+    emission: jnp.ndarray  # f32 [M, 3] (pre-scaled by emission_scale)
+    roughness: jnp.ndarray  # f32 [M]
+    metallic: jnp.ndarray  # f32 [M] 0/1
+    ior: jnp.ndarray  # f32 [M]
+    flags: jnp.ndarray  # u32 [M] bit0: emission_active, bit1: translucent, bit2: thin_walled
+    albedo_tex: jnp.ndarray  # i32 [M] (-1 = none)
+    luminance_tex: jnp.ndarray  # i32 [M]
+    roughness_tex: jnp.ndarray  # i32 [M]
+    metallic_tex: jnp.ndarray  # i32 [M]
+    normal_tex: jnp.ndarray  # i32 [M]
+
+
+MAT_FLAG_EMISSIVE = 1
+MAT_FLAG_TRANSLUCENT = 2
+MAT_FLAG_THIN_WALLED = 4
+
+
+class DeviceSky(NamedTuple):
+    mode: jnp.ndarray  # i32 scalar
+    constant_color: jnp.ndarray  # f32 [3]
+    sun_dir: jnp.ndarray  # f32 [3] unit, toward sun
+    sun_strength: jnp.ndarray  # f32 scalar
+    base_density: jnp.ndarray  # f32 scalar
+    geometry_offset: jnp.ndarray  # f32 [3]
+
+
+class DeviceSceneGeo(NamedTuple):
+    """Leaf-slot-ordered world-space geometry + BVH."""
+
+    bvh: DeviceBVH
+    normals: jnp.ndarray  # f32 [P, 3, 3] per-corner shading normals (world)
+    uvs: jnp.ndarray  # f32 [P, 3, 2]
+    material_id: jnp.ndarray  # i32 [P]
+    instance_id: jnp.ndarray  # i32 [P]
+    prim_id: jnp.ndarray  # i32 [P] original triangle index within its mesh
+    face_normal: jnp.ndarray  # f32 [P, 3] geometric normal (world, unit)
+
+
+class DeviceScene(NamedTuple):
+    geo: DeviceSceneGeo
+    materials: DeviceMaterials
+    sky: DeviceSky
+
+
+def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
+    """reference: device_structs.c:136-139."""
+    return np.array(
+        [
+            np.cos(azimuth) * np.cos(altitude),
+            np.sin(altitude),
+            np.sin(azimuth) * np.cos(altitude),
+        ],
+        dtype=np.float32,
+    )
+
+
+def pack_materials(scene: Scene) -> DeviceMaterials:
+    mats = scene.materials or [Material()]
+    m = len(mats)
+
+    def tex(t):
+        return -1 if t == TEXTURE_NONE else int(t)
+
+    flags = np.zeros(m, np.uint32)
+    for i, mat in enumerate(mats):
+        f = 0
+        if mat.emission_active:
+            f |= MAT_FLAG_EMISSIVE
+        if mat.base_substrate == MaterialBaseSubstrate.TRANSLUCENT:
+            f |= MAT_FLAG_TRANSLUCENT
+        if mat.thin_walled:
+            f |= MAT_FLAG_THIN_WALLED
+        flags[i] = f
+
+    return DeviceMaterials(
+        albedo=jnp.asarray([mat.albedo for mat in mats], jnp.float32),
+        emission=jnp.asarray(
+            [np.asarray(mat.emission) * mat.emission_scale for mat in mats], jnp.float32
+        ),
+        roughness=jnp.asarray([mat.roughness for mat in mats], jnp.float32),
+        metallic=jnp.asarray([1.0 if mat.metallic else 0.0 for mat in mats], jnp.float32),
+        ior=jnp.asarray([mat.refraction_index for mat in mats], jnp.float32),
+        flags=jnp.asarray(flags),
+        albedo_tex=jnp.asarray([tex(mat.albedo_tex) for mat in mats], jnp.int32),
+        luminance_tex=jnp.asarray([tex(mat.luminance_tex) for mat in mats], jnp.int32),
+        roughness_tex=jnp.asarray([tex(mat.roughness_tex) for mat in mats], jnp.int32),
+        metallic_tex=jnp.asarray([tex(mat.metallic_tex) for mat in mats], jnp.int32),
+        normal_tex=jnp.asarray([tex(mat.normal_tex) for mat in mats], jnp.int32),
+    )
+
+
+def pack_sky(scene: Scene) -> DeviceSky:
+    sky = scene.sky
+    return DeviceSky(
+        mode=jnp.int32(int(sky.mode)),
+        constant_color=jnp.asarray(sky.constant_color, jnp.float32),
+        sun_dir=jnp.asarray(sun_direction(sky.azimuth, sky.altitude)),
+        sun_strength=jnp.float32(sky.sun_strength),
+        base_density=jnp.float32(sky.base_density),
+        geometry_offset=jnp.asarray(sky.geometry_offset, jnp.float32),
+    )
+
+
+def flatten_instances(scene: Scene):
+    """World-space triangle soup over all active instances (numpy).
+
+    Returns (corners [T,3,3], normals [T,3,3], uvs [T,3,2], mat [T],
+    inst [T], prim [T]).
+    """
+    corners_l, normals_l, uvs_l, mats_l, insts_l, prims_l = [], [], [], [], [], []
+    # Mesh-local material ids were offset at scene-append time (host does the
+    # remap); here they are already global.
+    for inst in scene.instances:
+        if not inst.active or inst.mesh_id >= len(scene.meshes):
+            continue
+        mesh = scene.meshes[inst.mesh_id]
+        if mesh.num_triangles == 0:
+            continue
+        rot = _euler_to_matrix(inst.rotation)
+        scale = np.asarray(inst.scale, np.float32)
+        pos = np.asarray(inst.position, np.float32)
+        c = mesh.corner_positions() * scale  # [T,3,3]
+        c = c @ rot.T + pos
+        # Normals: rotate; undo non-uniform scale via inverse scale then
+        # normalize (inverse-transpose of diag(scale) @ rot).
+        n = mesh.normals / np.maximum(scale, 1e-20)
+        n = n @ rot.T
+        n_len = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / np.maximum(n_len, 1e-20)
+        corners_l.append(c.astype(np.float32))
+        normals_l.append(n.astype(np.float32))
+        uvs_l.append(mesh.uvs)
+        mats_l.append(mesh.material_ids.astype(np.int32))
+        insts_l.append(np.full(mesh.num_triangles, inst.id, np.int32))
+        prims_l.append(np.arange(mesh.num_triangles, dtype=np.int32))
+
+    if not corners_l:
+        return (
+            np.zeros((0, 3, 3), np.float32),
+            np.zeros((0, 3, 3), np.float32),
+            np.zeros((0, 3, 2), np.float32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+        )
+    return (
+        np.concatenate(corners_l),
+        np.concatenate(normals_l),
+        np.concatenate(uvs_l),
+        np.concatenate(mats_l),
+        np.concatenate(insts_l),
+        np.concatenate(prims_l),
+    )
+
+
+def pack_geometry(scene: Scene) -> DeviceSceneGeo:
+    corners, normals, uvs, mats, insts, prims = flatten_instances(scene)
+    t = corners.shape[0]
+    bvh: BVH2 = build_bvh(corners, leaf_size=LEAF_SIZE)
+    info_message(
+        "BVH built: %d tris, %d nodes, %d leaf blocks", t, bvh.num_nodes, bvh.num_blocks
+    )
+
+    order = bvh.tri_order  # [P] original tri id, -1 padding
+    p = order.shape[0]
+    valid = order >= 0
+    safe = np.where(valid, order, 0)
+
+    def slotify(arr, pad_value=0.0):
+        out = arr[safe].copy()
+        out[~valid] = pad_value
+        return out
+
+    c = slotify(corners) if t else np.zeros((p, 3, 3), np.float32)
+    v0 = c[:, 0]
+    e1 = c[:, 1] - c[:, 0]
+    e2 = c[:, 2] - c[:, 0]
+    # Padding slots: degenerate (e1=e2=0) triangles can never be hit.
+    v0[~valid] = 0.0
+    e1[~valid] = 0.0
+    e2[~valid] = 0.0
+
+    fn = np.cross(e1, e2)
+    fn_len = np.linalg.norm(fn, axis=-1, keepdims=True)
+    fn = fn / np.maximum(fn_len, 1e-20)
+
+    return DeviceSceneGeo(
+        bvh=DeviceBVH(
+            child_min=jnp.asarray(bvh.child_min),
+            child_max=jnp.asarray(bvh.child_max),
+            child=jnp.asarray(bvh.child),
+            tri_v0=jnp.asarray(v0),
+            tri_e1=jnp.asarray(e1),
+            tri_e2=jnp.asarray(e2),
+        ),
+        normals=jnp.asarray(slotify(normals) if t else np.zeros((p, 3, 3), np.float32)),
+        uvs=jnp.asarray(slotify(uvs) if t else np.zeros((p, 3, 2), np.float32)),
+        material_id=jnp.asarray(
+            np.where(valid, mats[safe] if t else 0, 0).astype(np.int32)
+        ),
+        instance_id=jnp.asarray(
+            np.where(valid, insts[safe] if t else 0, -1).astype(np.int32)
+        ),
+        prim_id=jnp.asarray(
+            np.where(valid, prims[safe] if t else 0, -1).astype(np.int32)
+        ),
+        face_normal=jnp.asarray(fn.astype(np.float32)),
+    )
+
+
+def pack_scene(scene: Scene) -> DeviceScene:
+    """Full scene pack (the 'upload dirty entities' path; reference:
+    device_manager.c:281-513 does this incrementally — incrementality comes
+    with the dirty-flag-driven renderer update)."""
+    return DeviceScene(
+        geo=pack_geometry(scene),
+        materials=pack_materials(scene),
+        sky=pack_sky(scene),
+    )

@@ -1,0 +1,255 @@
+"""The renderer: owns device state, compiled steps, and the sample loop.
+
+Fills the role of the reference's Device + DeviceRenderer + DeviceManager
+single-device path (reference: src/luminary/device/device.c:1452-1555
+device_start_render / continue, device_renderer.c action queues): the action
+queue becomes a jitted ``render_sample`` XLA program; the continuation
+callback loop becomes the host sample loop (XLA pipelines dispatches);
+constant-memory dirty sync becomes re-packing the DeviceScene pytree when the
+scene's dirty flags say so.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import DeviceCamera, pack_camera
+from ..ops.tonemap import (
+    apply_crt_scanlines,
+    apply_filter,
+    apply_tonemap,
+    dither_and_quantize,
+    linear_to_srgb,
+)
+from ..scene.scene import DirtyFlags, Scene
+from ..utils.log import info_message
+from .device_scene import DeviceScene, pack_geometry, pack_materials, pack_sky
+from .wavefront import GBufferMeta, RenderConfig, render_sample
+
+
+class AccumState(NamedTuple):
+    """Per-pixel accumulators (reference: frame first/second moment buffers,
+    device_utils.h:474-492)."""
+
+    radiance: jnp.ndarray  # f32 [N,3] running sum
+    lum_sq: jnp.ndarray  # f32 [N] luminance second moment sum (adaptive/variance)
+    sample_count: jnp.ndarray  # i32 scalar
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("accum",))
+def _sample_step(
+    scene: DeviceScene,
+    cam: DeviceCamera,
+    config: RenderConfig,
+    pixel_x,
+    pixel_y,
+    sample_id,
+    accum: AccumState,
+):
+    radiance, gbuffer, rays = render_sample(scene, cam, config, pixel_x, pixel_y, sample_id)
+    # Firefly suppression: clamp per-sample radiance (reference exposes
+    # FIREFLYC; fixed generous clamp until the setting is wired through).
+    radiance = jnp.minimum(radiance, 1e6)
+    lum = 0.2126 * radiance[..., 0] + 0.7152 * radiance[..., 1] + 0.0722 * radiance[..., 2]
+    return (
+        AccumState(
+            radiance=accum.radiance + radiance,
+            lum_sq=accum.lum_sq + lum * lum,
+            sample_count=accum.sample_count + 1,
+        ),
+        gbuffer,
+        rays,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "tonemap", "filter_id", "dithering"),
+)
+def _generate_image(
+    accum: AccumState,
+    width: int,
+    height: int,
+    exposure,
+    tonemap: int,
+    filter_id: int,
+    dithering: bool,
+    agx_custom,
+):
+    """GENERATE_FINAL_IMAGE + CONVERT_RGBF_TO_ARGB8 equivalent (reference:
+    kernels.cuh:503-644)."""
+    n_pixels = width * height
+    mean = accum.radiance[:n_pixels] / jnp.maximum(
+        accum.sample_count.astype(jnp.float32), 1.0
+    )
+    rgb = mean * exposure
+    rgb = apply_tonemap(rgb, tonemap, agx_custom)
+    rgb = apply_filter(rgb, filter_id)
+    rgb = linear_to_srgb(rgb)
+    img = rgb.reshape(height, width, 3)
+    if filter_id == 5:
+        img = apply_crt_scanlines(img)
+    pixel_id = jnp.arange(n_pixels, dtype=jnp.uint32).reshape(height, width)
+    return dither_and_quantize(img, pixel_id, accum.sample_count, dithering)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class Renderer:
+    """Single-chip renderer. Multi-chip sample distribution lives in
+    luminary_tpu.parallel (shard_map over this same render_sample)."""
+
+    def __init__(self, scene: Scene, chunk: int = 65536):
+        self.scene = scene
+        self.chunk = chunk
+        self.device_scene: DeviceScene | None = None
+        self.device_camera: DeviceCamera | None = None
+        self.config: RenderConfig | None = None
+        self.accum: AccumState | None = None
+        self.gbuffer: GBufferMeta | None = None
+        self._px = None
+        self._py = None
+        self._last_sample_time = 0.0
+        self._last_rays_per_sample = 0.0
+        self.update()
+
+    # -- dirty-driven update (reference: device_manager.c:281-513) ----------
+
+    def update(self) -> DirtyFlags:
+        flags = self.scene.consume_dirty()
+        if flags == DirtyFlags.NONE:
+            return flags
+        s = self.scene.settings
+
+        rebuild_buffers = (
+            self.config is None
+            or flags & DirtyFlags.BUFFERS
+            or self.config.width != s.width
+            or self.config.height != s.height
+        )
+        if rebuild_buffers or flags & DirtyFlags.INTEGRATION:
+            n_pixels = s.width * s.height
+            chunk = min(self.chunk, _round_up(n_pixels, 256))
+            self.config = RenderConfig(
+                width=s.width,
+                height=s.height,
+                max_depth=max(int(s.max_ray_depth), 1),
+                chunk=chunk,
+                shading_mode=int(s.shading_mode),
+            )
+            n_pad = _round_up(n_pixels, chunk)
+            idx = np.arange(n_pad, dtype=np.uint32)
+            idx = np.minimum(idx, n_pixels - 1)  # padded lanes re-trace pixel N-1
+            self._px = jnp.asarray((idx % s.width).astype(np.int32))
+            self._py = jnp.asarray((idx // s.width).astype(np.int32))
+
+        if self.device_scene is None or flags & (
+            DirtyFlags.MESHES | DirtyFlags.INSTANCES
+        ):
+            geo = pack_geometry(self.scene)
+        else:
+            geo = self.device_scene.geo
+        if self.device_scene is None or flags & DirtyFlags.MATERIALS:
+            materials = pack_materials(self.scene)
+        else:
+            materials = self.device_scene.materials
+        if self.device_scene is None or flags & (DirtyFlags.SKY_LUT | DirtyFlags.INTEGRATION):
+            sky = pack_sky(self.scene)
+        else:
+            sky = self.device_scene.sky
+        self.device_scene = DeviceScene(geo=geo, materials=materials, sky=sky)
+        self.device_camera = pack_camera(self.scene.camera)
+
+        if flags & (DirtyFlags.INTEGRATION | DirtyFlags.BUFFERS) or self.accum is None:
+            self.start_new_render()
+        return flags
+
+    def start_new_render(self):
+        """Reset accumulation (reference: luminary_host_start_new_render)."""
+        n_pad = int(self._px.shape[0])
+        self.accum = AccumState(
+            radiance=jnp.zeros((n_pad, 3), jnp.float32),
+            lum_sq=jnp.zeros((n_pad,), jnp.float32),
+            sample_count=jnp.int32(0),
+        )
+
+    # -- sample loop --------------------------------------------------------
+
+    @property
+    def sample_count(self) -> int:
+        return int(self.accum.sample_count)
+
+    def render_samples(self, num_samples: int):
+        """Advance accumulation by num_samples (blocking)."""
+        self.update()
+        t0 = time.monotonic()
+        start = int(self.accum.sample_count)
+        for s in range(start, start + num_samples):
+            self.accum, self.gbuffer, rays = _sample_step(
+                self.device_scene,
+                self.device_camera,
+                self.config,
+                self._px,
+                self._py,
+                jnp.uint32(s),
+                self.accum,
+            )
+        jax.block_until_ready(self.accum.radiance)
+        self._last_rays_per_sample = float(rays)
+        self._last_sample_time = (time.monotonic() - t0) / max(num_samples, 1)
+
+    @property
+    def current_sample_time(self) -> float:
+        """Seconds per sample (reference: luminary_host_get_current_sample_time)."""
+        return self._last_sample_time
+
+    # -- output -------------------------------------------------------------
+
+    def get_image(self) -> np.ndarray:
+        """uint8 [H, W, 3] final image."""
+        cam = self.scene.camera
+        img = _generate_image(
+            self.accum,
+            self.config.width,
+            self.config.height,
+            jnp.float32(cam.exposure),
+            int(cam.tonemap),
+            int(cam.filter),
+            bool(cam.dithering),
+            jnp.asarray(
+                [cam.agx_custom_slope, cam.agx_custom_power, cam.agx_custom_saturation],
+                jnp.float32,
+            ),
+        )
+        return np.asarray(img)
+
+    def get_radiance(self) -> np.ndarray:
+        """float32 [H, W, 3] linear mean radiance (for comparison metrics)."""
+        n = self.config.width * self.config.height
+        mean = self.accum.radiance[:n] / jnp.maximum(
+            self.accum.sample_count.astype(jnp.float32), 1.0
+        )
+        return np.asarray(mean).reshape(self.config.height, self.config.width, 3)
+
+    def get_pixel_info(self, x: int, y: int):
+        """Interactive picking (reference: luminary_host_get_pixel_info,
+        host.c:997-1016). Returns dict or None before first sample."""
+        if self.gbuffer is None:
+            return None
+        idx = y * self.config.width + x
+        depth = float(self.gbuffer.depth[idx])
+        return {
+            "pixel_query_is_valid": bool(self.gbuffer.instance_id[idx] >= 0),
+            "instance_id": int(self.gbuffer.instance_id[idx]),
+            "material_id": int(self.gbuffer.material_id[idx]),
+            "depth": depth,
+            "rel_hit_pos": tuple(np.asarray(self.gbuffer.rel_hit_pos[idx])),
+        }

@@ -1,0 +1,139 @@
+"""BVH build + traversal correctness vs brute-force intersection."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from luminary_tpu.bvh.builder import BVH2, build_bvh
+from luminary_tpu.ops.intersect import MISS_DIST, ray_triangle
+from luminary_tpu.ops.traverse import DeviceBVH, trace_closest, trace_occluded
+
+
+def random_tris(rng, n, spread=10.0, size=0.5):
+    base = (rng.random((n, 1, 3)) - 0.5) * spread
+    offs = (rng.random((n, 3, 3)) - 0.5) * size
+    return (base + offs).astype(np.float32)
+
+
+def to_device_bvh(bvh: BVH2, corners: np.ndarray) -> DeviceBVH:
+    order = bvh.tri_order
+    valid = order >= 0
+    safe = np.where(valid, order, 0)
+    c = corners[safe]
+    v0, e1, e2 = c[:, 0].copy(), (c[:, 1] - c[:, 0]), (c[:, 2] - c[:, 0])
+    v0[~valid] = 0
+    e1[~valid] = 0
+    e2[~valid] = 0
+    return DeviceBVH(
+        child_min=jnp.asarray(bvh.child_min),
+        child_max=jnp.asarray(bvh.child_max),
+        child=jnp.asarray(bvh.child),
+        tri_v0=jnp.asarray(v0),
+        tri_e1=jnp.asarray(e1),
+        tri_e2=jnp.asarray(e2),
+    )
+
+
+def brute_force_t(corners, origins, dirs):
+    """Closest-hit t per ray by testing all triangles."""
+    v0 = jnp.asarray(corners[:, 0])
+    e1 = jnp.asarray(corners[:, 1] - corners[:, 0])
+    e2 = jnp.asarray(corners[:, 2] - corners[:, 0])
+    t, _, _, _ = ray_triangle(
+        jnp.asarray(origins)[:, None, :],
+        jnp.asarray(dirs)[:, None, :],
+        v0[None], e1[None], e2[None],
+    )
+    return np.asarray(jnp.min(t, axis=-1))
+
+
+@pytest.mark.parametrize("num_tris", [1, 5, 63, 300])
+def test_traversal_matches_brute_force(rng, num_tris):
+    corners = random_tris(rng, num_tris)
+    bvh = build_bvh(corners, leaf_size=4)
+    dbvh = to_device_bvh(bvh, corners)
+
+    n_rays = 256
+    origins = (rng.random((n_rays, 3)).astype(np.float32) - 0.5) * 20.0
+    dirs = rng.standard_normal((n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    hit = trace_closest(dbvh, jnp.asarray(origins), jnp.asarray(dirs))
+    t_ref = brute_force_t(corners, origins, dirs)
+    t_got = np.asarray(hit.t)
+
+    miss_ref = t_ref >= 1e30
+    miss_got = t_got >= 1e30
+    assert np.array_equal(miss_ref, miss_got), (
+        f"miss mismatch: {np.sum(miss_ref != miss_got)} rays"
+    )
+    both = ~miss_ref
+    assert np.allclose(t_got[both], t_ref[both], rtol=1e-4, atol=1e-5)
+
+
+def test_traversal_slot_maps_to_hit_triangle(rng):
+    corners = random_tris(rng, 100)
+    bvh = build_bvh(corners, leaf_size=4)
+    dbvh = to_device_bvh(bvh, corners)
+    origins = np.zeros((64, 3), np.float32)
+    dirs = rng.standard_normal((64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    hit = trace_closest(dbvh, jnp.asarray(origins), jnp.asarray(dirs))
+    slot = np.asarray(hit.slot)
+    ok = slot >= 0
+    # The hit point recomputed from the slot triangle's plane lies on the ray.
+    for i in np.nonzero(ok)[0][:10]:
+        s = slot[i]
+        v0 = np.asarray(dbvh.tri_v0)[s]
+        e1 = np.asarray(dbvh.tri_e1)[s]
+        e2 = np.asarray(dbvh.tri_e2)[s]
+        p_bary = v0 + float(hit.u[i]) * e1 + float(hit.v[i]) * e2
+        p_ray = origins[i] + float(hit.t[i]) * dirs[i]
+        assert np.allclose(p_bary, p_ray, atol=1e-3)
+
+
+def test_occlusion(rng):
+    # A single large triangle; rays toward/away from it.
+    corners = np.array(
+        [[[-10, -10, 5], [10, -10, 5], [0, 10, 5]]], dtype=np.float32
+    )
+    bvh = build_bvh(corners, leaf_size=4)
+    dbvh = to_device_bvh(bvh, corners)
+    origins = np.zeros((4, 3), np.float32)
+    dirs = np.array(
+        [[0, 0, 1], [0, 0, -1], [0, 0, 1], [1, 0, 0]], dtype=np.float32
+    )
+    tmax = np.array([10.0, 10.0, 2.0, 10.0], np.float32)
+    occ = np.asarray(trace_occluded(dbvh, jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(tmax)))
+    assert occ.tolist() == [True, False, False, False]
+
+
+def test_chunked_trace_matches(rng):
+    corners = random_tris(rng, 50)
+    bvh = build_bvh(corners, leaf_size=4)
+    dbvh = to_device_bvh(bvh, corners)
+    origins = (rng.random((128, 3)).astype(np.float32) - 0.5) * 20.0
+    dirs = rng.standard_normal((128, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    h1 = trace_closest(dbvh, jnp.asarray(origins), jnp.asarray(dirs))
+    h2 = trace_closest(dbvh, jnp.asarray(origins), jnp.asarray(dirs), chunk=32)
+    assert np.allclose(np.asarray(h1.t), np.asarray(h2.t))
+    assert np.array_equal(np.asarray(h1.slot), np.asarray(h2.slot))
+
+
+def test_empty_bvh():
+    bvh = build_bvh(np.zeros((0, 3, 3), np.float32), leaf_size=4)
+    dbvh = to_device_bvh(bvh, np.zeros((1, 3, 3), np.float32))
+    hit = trace_closest(dbvh, jnp.zeros((8, 3)), jnp.ones((8, 3)))
+    assert np.all(np.asarray(hit.slot) == -1)
+    assert np.all(np.asarray(hit.t) >= 1e30)
+
+
+def test_leaf_order_padding():
+    corners = random_tris(np.random.default_rng(7), 10)
+    bvh = build_bvh(corners, leaf_size=4)
+    order = bvh.tri_order
+    used = order[order >= 0]
+    assert sorted(used.tolist()) == list(range(10))
+    assert len(order) % 4 == 0

@@ -1,0 +1,82 @@
+"""Multi-chip sample distribution on the virtual 8-device CPU mesh
+(reference's multi-GPU result interface ⇒ psum over the sample axis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from luminary_tpu.ops.camera import pack_camera
+from luminary_tpu.parallel.mesh import (
+    distributed_sample_step,
+    make_grid_mesh,
+    make_sample_mesh,
+    shard_pixels,
+)
+from luminary_tpu.render.device_scene import pack_scene
+from luminary_tpu.render.wavefront import RenderConfig, render_sample
+from luminary_tpu.testing import cornell_scene
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+W = H = 16
+
+
+@pytest.fixture(scope="module")
+def packed():
+    scene = cornell_scene(W, H, max_depth=2)
+    dscene = pack_scene(scene)
+    cam = pack_camera(scene.camera)
+    config = RenderConfig(width=W, height=H, max_depth=2, chunk=None)
+    idx = np.arange(W * H, dtype=np.int32)
+    px = jnp.asarray(idx % W)
+    py = jnp.asarray(idx // W)
+    return dscene, cam, config, px, py
+
+
+def _single_device_sum(packed, n_samples):
+    dscene, cam, config, px, py = packed
+    total = jnp.zeros((W * H, 3))
+    for s in range(n_samples):
+        radiance, _, _ = render_sample(dscene, cam, config, px, py, jnp.uint32(s))
+        total = total + radiance
+    return np.asarray(total)
+
+
+def test_sample_mesh_matches_single_device(packed):
+    dscene, cam, config, px, py = packed
+    mesh = make_sample_mesh(jax.devices()[:8])
+    step, n_per = distributed_sample_step(mesh, config)
+    assert n_per == 8
+    rad = jnp.zeros((W * H, 3))
+    lum = jnp.zeros((W * H,))
+    rad, lum = step(dscene, cam, px, py, rad, lum, jnp.uint32(0))
+    expected = _single_device_sum(packed, 8)
+    np.testing.assert_allclose(np.asarray(rad), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_mesh_pixel_sharding(packed):
+    dscene, cam, config, px, py = packed
+    mesh = make_grid_mesh(4, 2, jax.devices()[:8])
+    step, n_per = distributed_sample_step(mesh, config)
+    assert n_per == 4
+    rad = jnp.zeros((W * H, 3))
+    lum = jnp.zeros((W * H,))
+    px_s, py_s, rad, lum = shard_pixels(mesh, px, py, rad, lum)
+    rad, lum = step(dscene, cam, px_s, py_s, rad, lum, jnp.uint32(0))
+    expected = _single_device_sum(packed, 4)
+    np.testing.assert_allclose(np.asarray(rad), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_accumulation_across_steps(packed):
+    dscene, cam, config, px, py = packed
+    mesh = make_sample_mesh(jax.devices()[:8])
+    step, n_per = distributed_sample_step(mesh, config)
+    rad = jnp.zeros((W * H, 3))
+    lum = jnp.zeros((W * H,))
+    rad, lum = step(dscene, cam, px, py, rad, lum, jnp.uint32(0))
+    rad, lum = step(dscene, cam, px, py, rad, lum, jnp.uint32(8))
+    expected = _single_device_sum(packed, 16)
+    np.testing.assert_allclose(np.asarray(rad), expected, rtol=1e-5, atol=2e-5)
