@@ -260,7 +260,9 @@ def build_bvh(
             child[0] = child[rc]
             child_min[0] = child_min[rc]
             child_max[0] = child_max[rc]
-            # rc node becomes dead; harmless (never referenced).
+            # Kill the now-duplicate node so link derivation (parent/sibling
+            # threading) sees exactly one parent per child.
+            child[rc] = BVH2.INVALID
 
     # Pack leaf blocks into the padded triangle order array.
     num_blocks = max(len(leaf_blocks), 1)

@@ -1,0 +1,165 @@
+"""Many-light sampling: emissive-triangle collection, alias-table selection,
+NEE with MIS.
+
+The reference builds an 8-wide quantized light tree (Estevez-Kulla) with
+stochastic traversal + RIS reservoirs (reference: src/luminary/device/
+device_light.c, cuda/light_tree.cuh, light.cuh:27-60). The TPU build starts
+from the other end: a power-weighted **alias table** gives O(1), fully
+vectorized light selection with zero pointer chasing — ideal for the VPU —
+and RIS over K alias-drawn candidates recovers spatial importance (distance/
+orientation) that the tree would provide. The tree remains the planned
+upgrade for scenes with 10k+ lights where power-only selection wastes
+candidates.
+
+Device arrays live in leaf-slot space: a hit's slot id maps directly to its
+NEE selection pdf for MIS.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import math3
+from .random import RandomTarget, random_1d, random_2d
+
+
+class DeviceLights(NamedTuple):
+    # Alias table over emissive triangles (L entries, padded to >=1)
+    prob: jnp.ndarray  # f32 [L] alias acceptance probability
+    alias: jnp.ndarray  # i32 [L] alias target
+    slot: jnp.ndarray  # i32 [L] leaf-slot id of each light triangle
+    select_pdf: jnp.ndarray  # f32 [L] probability of selecting each light
+    # Per-slot data for MIS on BSDF-sampled emissive hits
+    slot_select_pdf: jnp.ndarray  # f32 [P] selection pdf by slot (0 = not a light)
+    slot_area: jnp.ndarray  # f32 [P] triangle area by slot
+    num_lights: jnp.ndarray  # i32 scalar
+    total_power: jnp.ndarray  # f32 scalar
+
+
+def build_alias_table(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vose's O(L) alias method (host-side, numpy)."""
+    l = len(weights)
+    prob = np.zeros(l, np.float32)
+    alias = np.zeros(l, np.int32)
+    w = weights * l / max(weights.sum(), 1e-20)
+    small = [i for i in range(l) if w[i] < 1.0]
+    large = [i for i in range(l) if w[i] >= 1.0]
+    while small and large:
+        s, g = small.pop(), large.pop()
+        prob[s] = w[s]
+        alias[s] = g
+        w[g] = w[g] + w[s] - 1.0
+        (small if w[g] < 1.0 else large).append(g)
+    for g in large:
+        prob[g] = 1.0
+    for s in small:
+        prob[s] = 1.0
+    return prob, alias
+
+
+def pack_lights(
+    tri_v0: np.ndarray,
+    tri_e1: np.ndarray,
+    tri_e2: np.ndarray,
+    material_id: np.ndarray,
+    emission: np.ndarray,  # [M,3] per-material pre-scaled emission
+    emissive_flags: np.ndarray,  # [M] bool
+    valid_slot: np.ndarray,  # [P] bool (not padding)
+) -> DeviceLights:
+    """Collect emissive triangles (reference: device_light.c light-fragment
+    caching; texture-emission integration lands with texture support)."""
+    p = tri_v0.shape[0]
+    mat = material_id.astype(np.int64)
+    is_light = valid_slot & emissive_flags[mat]
+    slots = np.nonzero(is_light)[0].astype(np.int32)
+
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri_e1, tri_e2), axis=-1
+    ).astype(np.float32)
+    lum = (
+        0.2126 * emission[mat, 0] + 0.7152 * emission[mat, 1] + 0.0722 * emission[mat, 2]
+    ).astype(np.float32)
+    power = area * lum * np.pi  # one-sided diffuse emitter power
+
+    slot_select_pdf = np.zeros(p, np.float32)
+    if len(slots):
+        w = power[slots]
+        total = float(w.sum())
+        sel = (w / max(total, 1e-20)).astype(np.float32)
+        prob, alias = build_alias_table(w.astype(np.float64))
+        slot_select_pdf[slots] = sel
+        return DeviceLights(
+            prob=jnp.asarray(prob),
+            alias=jnp.asarray(alias),
+            slot=jnp.asarray(slots),
+            select_pdf=jnp.asarray(sel),
+            slot_select_pdf=jnp.asarray(slot_select_pdf),
+            slot_area=jnp.asarray(area),
+            num_lights=jnp.int32(len(slots)),
+            total_power=jnp.float32(total),
+        )
+    return DeviceLights(
+        prob=jnp.ones((1,), jnp.float32),
+        alias=jnp.zeros((1,), jnp.int32),
+        slot=jnp.zeros((1,), jnp.int32),
+        select_pdf=jnp.zeros((1,), jnp.float32),
+        slot_select_pdf=jnp.asarray(slot_select_pdf),
+        slot_area=jnp.asarray(area),
+        num_lights=jnp.int32(0),
+        total_power=jnp.float32(0.0),
+    )
+
+
+def sample_light_point(
+    lights: DeviceLights,
+    geo,
+    shading_pos: jnp.ndarray,  # [N,3]
+    pixel_id,
+    sample_id,
+    depth,
+):
+    """Draw one light triangle (alias table) + a uniform point on it.
+
+    Returns (light_slot [N], point [N,3], normal [N,3], pdf_area [N],
+    emission_valid [N]). pdf_area is over the light surface: select_pdf/area.
+    """
+    l = lights.prob.shape[0]
+    r = random_2d(RandomTarget.LIGHT_TREE, pixel_id, sample_id, depth)
+    idx = jnp.minimum((r[..., 0] * l).astype(jnp.int32), l - 1)
+    take_alias = r[..., 1] >= lights.prob[idx]
+    idx = jnp.where(take_alias, lights.alias[idx], idx)
+
+    slot = lights.slot[idx]
+    pdf_select = lights.select_pdf[idx]
+
+    # Uniform barycentric point (sqrt warp)
+    r2 = random_2d(RandomTarget.LIGHT_TRIANGLE, pixel_id, sample_id, depth)
+    su = jnp.sqrt(jnp.clip(r2[..., 0], 1e-8, 1.0))
+    b1 = 1.0 - su
+    b2 = r2[..., 1] * su
+    v0 = geo.bvh.tri_v0[slot]
+    e1 = geo.bvh.tri_e1[slot]
+    e2 = geo.bvh.tri_e2[slot]
+    point = v0 + e1 * b1[..., None] + e2 * b2[..., None]
+    n = geo.face_normal[slot]
+    area = lights.slot_area[slot]
+    pdf_area = pdf_select / jnp.maximum(area, 1e-12)
+    has_lights = lights.num_lights > 0
+    return slot, point, n, pdf_area, has_lights & (pdf_select > 0.0)
+
+
+def light_pdf_solid_angle(lights: DeviceLights, hit_slot, hit_t, cos_light):
+    """pdf (solid angle) that NEE would have produced this BSDF-sampled hit —
+    the MIS counterpart weight."""
+    sel = lights.slot_select_pdf[hit_slot]
+    area = lights.slot_area[hit_slot]
+    pdf_area = sel / jnp.maximum(area, 1e-12)
+    return pdf_area * hit_t * hit_t / jnp.maximum(jnp.abs(cos_light), 1e-8)
+
+
+def mis_balance(pdf_a, pdf_b):
+    """Balance heuristic weight for strategy a."""
+    return pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-20)

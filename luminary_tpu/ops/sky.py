@@ -46,9 +46,12 @@ SUN_RADIANCE = SUN_IRRADIANCE / _SUN_SOLID_ANGLE
 
 
 def _airmass(cos_zenith: jnp.ndarray) -> jnp.ndarray:
-    """Kasten-Young style relative airmass, clamped below the horizon."""
+    """Kasten-Young style relative airmass, clamped below the horizon (the
+    formula's 93.885° validity bound is enforced to keep pow() finite)."""
     cz = jnp.clip(cos_zenith, -0.2, 1.0)
-    return 1.0 / jnp.maximum(cz + 0.15 * jnp.power(93.885 - jnp.degrees(jnp.arccos(jnp.clip(cz, -1.0, 1.0))), -1.253), 0.02)
+    zen_deg = jnp.degrees(jnp.arccos(jnp.clip(cz, -1.0, 1.0)))
+    base = jnp.maximum(93.885 - zen_deg, 0.5)
+    return 1.0 / jnp.maximum(cz + 0.15 * jnp.power(base, -1.253), 0.02)
 
 
 def _rayleigh_phase(cos_theta: jnp.ndarray) -> jnp.ndarray:

@@ -1,19 +1,22 @@
-"""Wavefront BVH traversal.
+"""Wavefront BVH traversal — stackless bit-trail design.
 
 TPU-native replacement for the reference's OptiX RT-core traversal (reference:
-src/luminary/device/optix/optix_kernel_raytrace.cu raygen) and its dormant
-custom stackful kernel (src/luminary/device/cuda/bvh.cuh, compiled out).
+src/luminary/device/optix/optix_kernel_raytrace.cu) and its dormant custom
+stackful kernel (src/luminary/device/cuda/bvh.cuh, compiled out).
 
-Design: the classic per-ray short-stack loop, but *vectorized over the whole
-ray wavefront* — every iteration, each live ray pops one node, the node data
-for all rays is fetched with one batched gather, both children's slabs are
-tested on the VPU, and hits are pushed near-first. Leaf blocks have a fixed
-slot count, so leaf intersection is a uniform [N, LEAF] gather + batched
-Möller-Trumbore with a min-reduction. Divergence costs masked lanes, not
-scalarization; the loop runs until every ray's stack is empty (XLA while_loop).
+Why stackless: a per-ray stack needs ``stack[ray, ptr]`` dynamic row indexing,
+which lowers to ~1 ms/iteration scatters on TPU (measured) — while flat ``[N]``
+gathers from node tables cost ~1 µs. So the traversal keeps ALL per-ray state
+in flat vectors: current node id, a 64-bit trail (two u32 words), and the
+best-hit registers. Ordered near-first descent with parent-link backtracking
+(the classic bitstack walk-up scheme): descending pushes one trail bit per
+level ("far sibling pending?"), backtracking walks parent links one level per
+iteration until a pending bit is found, then crosses to the sibling.
 
-Memory: traversal state is O(N × STACK_SIZE); callers chunk big wavefronts
-with ``lax.map`` (see trace_closest's ``chunk`` argument).
+Every iteration is pure lane-parallel VPU work: one [*, 2, 3] AABB gather +
+slab test for descending lanes, one [*, LEAF] triangle block test for leaf
+lanes, one parent/sibling gather for backtracking lanes — all masked, no
+scatters, no cross-lane traffic.
 """
 
 from __future__ import annotations
@@ -27,20 +30,25 @@ import numpy as np
 from .intersect import MISS_DIST, ray_aabb, ray_triangle
 
 INVALID_CHILD = np.int32(0x7FFFFFFF)
-STACK_SIZE = 64
+MAX_TRAIL_DEPTH = 64  # two u32 trail words; builder enforces this bound
 
 
 class DeviceBVH(NamedTuple):
-    """BVH + leaf-slot-ordered triangle geometry, ready for traversal.
+    """Threaded BVH + leaf-slot-ordered triangle geometry.
 
-    Shading attributes live in the same slot order (see DeviceScene) so the
-    hit's slot_id indexes everything directly — no post-hit indirection.
+    Node ids: >= 0 interior, < 0 leaf block (~id), INVALID_CHILD absent.
+    Shading attributes live in the same slot order (see DeviceScene) so a
+    hit's slot id indexes everything with no indirection.
     """
 
     child_min: jnp.ndarray  # f32 [M, 2, 3]
     child_max: jnp.ndarray  # f32 [M, 2, 3]
     child: jnp.ndarray  # i32 [M, 2]
-    tri_v0: jnp.ndarray  # f32 [P, 3]  (P = num_blocks * leaf_size, padded)
+    node_parent: jnp.ndarray  # i32 [M] parent interior id (-1 for root)
+    node_sibling: jnp.ndarray  # i32 [M] sibling node code (leaf-coded ok)
+    leaf_parent: jnp.ndarray  # i32 [B] parent interior id per leaf block
+    leaf_sibling: jnp.ndarray  # i32 [B] sibling node code per leaf block
+    tri_v0: jnp.ndarray  # f32 [P, 3]  (P = B * leaf_size, padded)
     tri_e1: jnp.ndarray  # f32 [P, 3]
     tri_e2: jnp.ndarray  # f32 [P, 3]
 
@@ -56,91 +64,123 @@ class Hit(NamedTuple):
         return self.slot >= 0
 
 
-def _push(stack, ptr, value, mask):
-    """Vectorized conditional stack push (per-ray)."""
-    n = stack.shape[0]
-    idx = jnp.minimum(ptr, STACK_SIZE - 1)
-    rows = jnp.arange(n)
-    cur = stack[rows, idx]
-    stack = stack.at[rows, idx].set(jnp.where(mask, value, cur))
-    return stack, ptr + mask.astype(jnp.int32)
+def _parent_of(bvh: DeviceBVH, node):
+    """parent id for a node code (interior or leaf)."""
+    is_leaf = node < 0
+    idx_i = jnp.where(is_leaf, 0, node)
+    idx_l = jnp.where(is_leaf, ~node, 0)
+    return jnp.where(is_leaf, bvh.leaf_parent[idx_l], bvh.node_parent[idx_i])
 
 
-def _traverse(bvh: DeviceBVH, origin, direction, t_max, leaf_size: int, any_hit: bool,
-              t_min: float = 1e-4):
-    """Core loop shared by closest-hit and occlusion queries."""
+def _sibling_of(bvh: DeviceBVH, node):
+    is_leaf = node < 0
+    idx_i = jnp.where(is_leaf, 0, node)
+    idx_l = jnp.where(is_leaf, ~node, 0)
+    return jnp.where(is_leaf, bvh.leaf_sibling[idx_l], bvh.node_sibling[idx_i])
+
+
+def _traverse(bvh: DeviceBVH, origin, direction, t_max, leaf_size: int,
+              any_hit: bool, t_min: float = 1e-4):
     n = origin.shape[0]
-    inv_dir = jnp.reciprocal(direction)  # ±inf for zero components is fine
+    # Clamp direction components away from zero: keeps the slab test free of
+    # 0*inf NaNs for axis-aligned rays and masked-lane dummy rays.
+    d_safe = jnp.where(
+        jnp.abs(direction) < 1e-20, jnp.where(direction < 0, -1e-20, 1e-20), direction
+    )
+    inv_dir = jnp.reciprocal(d_safe)
 
-    stack = jnp.zeros((n, STACK_SIZE), jnp.int32)  # root (0) pre-seeded at slot 0
-    ptr = jnp.ones((n,), jnp.int32)
+    node = jnp.zeros((n,), jnp.int32)  # root
+    trail_lo = jnp.zeros((n,), jnp.uint32)
+    trail_hi = jnp.zeros((n,), jnp.uint32)
+    backtrack = jnp.zeros((n,), bool)
+    done = jnp.zeros((n,), bool)
     t_best = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     slot_best = jnp.full((n,), -1, jnp.int32)
     u_best = jnp.zeros((n,), jnp.float32)
     v_best = jnp.zeros((n,), jnp.float32)
-    rows = jnp.arange(n)
 
     def cond(state):
-        _, ptr, *_ = state
-        return jnp.any(ptr > 0)
+        done = state[5]
+        return ~jnp.all(done)
 
     def body(state):
-        stack, ptr, t_best, slot_best, u_best, v_best = state
-        active = ptr > 0
-        ptr_c = jnp.maximum(ptr - 1, 0)
-        node = jnp.where(active, stack[rows, ptr_c], 0)
-        ptr = ptr_c
+        node, trail_lo, trail_hi, backtrack, t_best, done, slot_best, u_best, v_best = state
+        live = ~done
 
-        is_leaf = active & (node < 0)
-        is_interior = active & (node >= 0)
+        # ---------- leaf lanes: intersect the 4-slot block ----------
+        # Unrolled per slot with a running elementwise min: per-row dynamic
+        # extraction (argmin + take_along_axis) costs ~1 ms/iter on TPU, while
+        # flat [N] gathers + selects cost ~1 µs (measured; same reason the
+        # whole traversal is stackless).
+        at_leaf = live & ~backtrack & (node < 0)
+        base = jnp.where(at_leaf, ~node, 0) * leaf_size
+        for k in range(leaf_size):
+            sl = base + k
+            t, u, v, tri_hit = ray_triangle(
+                origin, direction,
+                bvh.tri_v0[sl], bvh.tri_e1[sl], bvh.tri_e2[sl],
+                t_min=t_min,
+            )
+            better = tri_hit & at_leaf & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            slot_best = jnp.where(better, sl, slot_best)
+            u_best = jnp.where(better, u, u_best)
+            v_best = jnp.where(better, v, v_best)
+        if any_hit:
+            done = done | (at_leaf & (slot_best >= 0))
+            live = ~done
 
-        # ---- interior: test both children, push near-last ----
-        nidx = jnp.where(is_interior, node, 0)
-        cmin = bvh.child_min[nidx]  # [N, 2, 3]
-        cmax = bvh.child_max[nidx]
-        ch = bvh.child[nidx]  # [N, 2]
+        # ---------- interior lanes: slab-test both children ----------
+        descend = live & ~backtrack & (node >= 0)
+        nidx = jnp.where(descend, node, 0)
+        ch = bvh.child[nidx]
         entry, box_hit = ray_aabb(
-            origin[:, None, :], inv_dir[:, None, :], cmin, cmax,
+            origin[:, None, :], inv_dir[:, None, :],
+            bvh.child_min[nidx], bvh.child_max[nidx],
             t_best[:, None], t_min=0.0,
         )
-        box_hit &= (ch != INVALID_CHILD) & is_interior[:, None]
+        box_hit &= (ch != INVALID_CHILD) & descend[:, None]
+        n_hits = box_hit[:, 0].astype(jnp.int32) + box_hit[:, 1].astype(jnp.int32)
+        swap = (entry[:, 1] < entry[:, 0]) & box_hit[:, 1]
+        near = jnp.where(swap, ch[:, 1], jnp.where(box_hit[:, 0], ch[:, 0], ch[:, 1]))
 
-        swap = entry[:, 1] < entry[:, 0]
-        near_child = jnp.where(swap, ch[:, 1], ch[:, 0])
-        far_child = jnp.where(swap, ch[:, 0], ch[:, 1])
-        near_hit = jnp.where(swap, box_hit[:, 1], box_hit[:, 0])
-        far_hit = jnp.where(swap, box_hit[:, 0], box_hit[:, 1])
+        # descend outcomes
+        go_down = descend & (n_hits > 0)
+        push_bit = (n_hits == 2).astype(jnp.uint32)
+        new_lo = (trail_lo << 1) | push_bit
+        new_hi = (trail_hi << 1) | (trail_lo >> 31)
+        trail_lo = jnp.where(go_down, new_lo, trail_lo)
+        trail_hi = jnp.where(go_down, new_hi, trail_hi)
+        node = jnp.where(go_down, near, node)
 
-        stack, ptr = _push(stack, ptr, far_child, far_hit)
-        stack, ptr = _push(stack, ptr, near_child, near_hit)
+        # lanes that finished a leaf or hit nothing enter backtracking
+        start_back = (descend & (n_hits == 0)) | at_leaf
+        backtrack = backtrack | start_back
 
-        # ---- leaf: fixed-size block of triangles ----
-        block = jnp.where(is_leaf, ~node, 0)
-        slots = block[:, None] * leaf_size + jnp.arange(leaf_size)[None, :]  # [N, L]
-        v0 = bvh.tri_v0[slots]  # [N, L, 3]
-        e1 = bvh.tri_e1[slots]
-        e2 = bvh.tri_e2[slots]
-        t, u, v, tri_hit = ray_triangle(
-            origin[:, None, :], direction[:, None, :], v0, e1, e2, t_min=t_min
-        )
-        tri_hit &= is_leaf[:, None] & (t < t_best[:, None])
-        t = jnp.where(tri_hit, t, MISS_DIST)
-        k = jnp.argmin(t, axis=-1)
-        t_k = t[rows, k]
-        improved = t_k < t_best
-        t_best = jnp.where(improved, t_k, t_best)
-        slot_best = jnp.where(improved, slots[rows, k], slot_best)
-        u_best = jnp.where(improved, u[rows, k], u_best)
-        v_best = jnp.where(improved, v[rows, k], v_best)
+        # ---------- backtracking lanes: one walk-up / cross step ----------
+        bt = live & backtrack & ~go_down
+        trail_zero = (trail_lo | trail_hi) == 0
+        done = done | (bt & trail_zero)
+        bt &= ~trail_zero
+        pending = (trail_lo & 1) == 1
+        # cross to sibling (consume the pending bit)
+        cross = bt & pending
+        sib = _sibling_of(bvh, node)
+        node = jnp.where(cross, sib, node)
+        trail_lo = jnp.where(cross, trail_lo ^ 1, trail_lo)
+        backtrack = jnp.where(cross, False, backtrack)
+        # walk up one level (shift the trail right)
+        up = bt & ~pending
+        par = _parent_of(bvh, node)
+        node = jnp.where(up, par, node)
+        trail_lo = jnp.where(up, (trail_lo >> 1) | (trail_hi << 31), trail_lo)
+        trail_hi = jnp.where(up, trail_hi >> 1, trail_hi)
 
-        if any_hit:
-            # Occlusion query: first hit terminates the ray.
-            ptr = jnp.where(slot_best >= 0, 0, ptr)
+        return node, trail_lo, trail_hi, backtrack, t_best, done, slot_best, u_best, v_best
 
-        return stack, ptr, t_best, slot_best, u_best, v_best
-
-    state = (stack, ptr, t_best, slot_best, u_best, v_best)
-    _, _, t_best, slot_best, u_best, v_best = jax.lax.while_loop(cond, body, state)
+    state = (node, trail_lo, trail_hi, backtrack, t_best, done, slot_best, u_best, v_best)
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, _, t_best, _, slot_best, u_best, v_best = state
     t_out = jnp.where(slot_best >= 0, t_best, MISS_DIST)
     return Hit(t=t_out, slot=slot_best, u=u_best, v=v_best)
 
@@ -170,14 +210,7 @@ def trace_closest(
     leaf_size: int = 4,
     chunk: int | None = None,
 ) -> Hit:
-    """Closest-hit query for a ray wavefront.
-
-    Args:
-      origin/direction: f32 [N, 3].
-      t_max: scalar or [N] max distance.
-      chunk: process rays in chunks of this size to bound the O(N*STACK)
-        traversal state (None = single chunk).
-    """
+    """Closest-hit query for a ray wavefront (origin/direction f32 [N, 3])."""
     n = origin.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
@@ -206,3 +239,27 @@ def trace_occluded(
         return hit.slot >= 0
 
     return _chunked(run, n, chunk, (origin, direction, t_max))
+
+
+def compute_links(child: np.ndarray, num_blocks: int):
+    """Derive parent/sibling link tables from the child array (host side).
+
+    Returns (node_parent [M], node_sibling [M], leaf_parent [B],
+    leaf_sibling [B]) — the threading the stackless walk needs.
+    """
+    m = child.shape[0]
+    node_parent = np.full(m, -1, np.int32)
+    node_sibling = np.full(m, INVALID_CHILD, np.int32)
+    leaf_parent = np.full(max(num_blocks, 1), -1, np.int32)
+    leaf_sibling = np.full(max(num_blocks, 1), INVALID_CHILD, np.int32)
+    ids = np.arange(m, dtype=np.int32)
+    for side in (0, 1):
+        me = child[:, side]
+        sib = child[:, 1 - side]
+        interior = (me != INVALID_CHILD) & (me >= 0)
+        node_parent[me[interior]] = ids[interior]
+        node_sibling[me[interior]] = sib[interior]
+        leaf = me < 0
+        leaf_parent[~me[leaf]] = ids[leaf]
+        leaf_sibling[~me[leaf]] = sib[leaf]
+    return node_parent, node_sibling, leaf_parent, leaf_sibling

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bvh.builder import BVH2, build_bvh
-from ..ops.traverse import DeviceBVH
+from ..ops.traverse import DeviceBVH, INVALID_CHILD, MAX_TRAIL_DEPTH, compute_links
 from ..scene.entities import Material, MaterialBaseSubstrate, TEXTURE_NONE
 from ..scene.scene import Scene
 from ..utils.log import info_message
@@ -98,6 +98,7 @@ class DeviceScene(NamedTuple):
     geo: DeviceSceneGeo
     materials: DeviceMaterials
     sky: DeviceSky
+    lights: "DeviceLights"
 
 
 def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
@@ -113,6 +114,11 @@ def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
 
 
 def pack_materials(scene: Scene) -> DeviceMaterials:
+    # Materialize the GGX energy LUT outside any trace (it is cached and then
+    # closed over as a constant by the jitted render step).
+    from ..ops.ggx import ggx_energy_lut
+
+    ggx_energy_lut()
     mats = scene.materials or [Material()]
     m = len(mats)
 
@@ -211,12 +217,31 @@ def flatten_instances(scene: Scene):
     )
 
 
+def bvh_max_depth(child: np.ndarray) -> int:
+    """Tree depth via level-order sweep over the child table."""
+    depth = 0
+    frontier = np.asarray([0], np.int32)
+    for _ in range(MAX_TRAIL_DEPTH + 1):
+        kids = child[frontier].reshape(-1)
+        kids = kids[(kids != INVALID_CHILD) & (kids >= 0)]
+        if kids.size == 0:
+            return depth
+        frontier = kids
+        depth += 1
+    return depth
+
+
 def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     corners, normals, uvs, mats, insts, prims = flatten_instances(scene)
     t = corners.shape[0]
     bvh: BVH2 = build_bvh(corners, leaf_size=LEAF_SIZE)
+    depth = bvh_max_depth(bvh.child)
+    assert depth <= MAX_TRAIL_DEPTH, (
+        f"BVH depth {depth} exceeds the {MAX_TRAIL_DEPTH}-bit traversal trail"
+    )
     info_message(
-        "BVH built: %d tris, %d nodes, %d leaf blocks", t, bvh.num_nodes, bvh.num_blocks
+        "BVH built: %d tris, %d nodes, %d leaf blocks, depth %d",
+        t, bvh.num_nodes, bvh.num_blocks, depth,
     )
 
     order = bvh.tri_order  # [P] original tri id, -1 padding
@@ -242,11 +267,18 @@ def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     fn_len = np.linalg.norm(fn, axis=-1, keepdims=True)
     fn = fn / np.maximum(fn_len, 1e-20)
 
+    node_parent, node_sibling, leaf_parent, leaf_sibling = compute_links(
+        bvh.child, bvh.num_blocks
+    )
     return DeviceSceneGeo(
         bvh=DeviceBVH(
             child_min=jnp.asarray(bvh.child_min),
             child_max=jnp.asarray(bvh.child_max),
             child=jnp.asarray(bvh.child),
+            node_parent=jnp.asarray(node_parent),
+            node_sibling=jnp.asarray(node_sibling),
+            leaf_parent=jnp.asarray(leaf_parent),
+            leaf_sibling=jnp.asarray(leaf_sibling),
             tri_v0=jnp.asarray(v0),
             tri_e1=jnp.asarray(e1),
             tri_e2=jnp.asarray(e2),
@@ -266,12 +298,31 @@ def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     )
 
 
+def pack_lights_for(geo: DeviceSceneGeo, materials: DeviceMaterials):
+    """Emissive-triangle light set over the packed geometry (reference:
+    device_light.c build, here alias-table based — see ops/lights.py)."""
+    from ..ops.lights import pack_lights
+
+    return pack_lights(
+        tri_v0=np.asarray(geo.bvh.tri_v0),
+        tri_e1=np.asarray(geo.bvh.tri_e1),
+        tri_e2=np.asarray(geo.bvh.tri_e2),
+        material_id=np.asarray(geo.material_id),
+        emission=np.asarray(materials.emission),
+        emissive_flags=(np.asarray(materials.flags) & MAT_FLAG_EMISSIVE) != 0,
+        valid_slot=np.asarray(geo.prim_id) >= 0,
+    )
+
+
 def pack_scene(scene: Scene) -> DeviceScene:
     """Full scene pack (the 'upload dirty entities' path; reference:
     device_manager.c:281-513 does this incrementally — incrementality comes
     with the dirty-flag-driven renderer update)."""
+    geo = pack_geometry(scene)
+    materials = pack_materials(scene)
     return DeviceScene(
-        geo=pack_geometry(scene),
-        materials=pack_materials(scene),
+        geo=geo,
+        materials=materials,
         sky=pack_sky(scene),
+        lights=pack_lights_for(geo, materials),
     )

@@ -29,7 +29,13 @@ from ..ops.tonemap import (
 )
 from ..scene.scene import DirtyFlags, Scene
 from ..utils.log import info_message
-from .device_scene import DeviceScene, pack_geometry, pack_materials, pack_sky
+from .device_scene import (
+    DeviceScene,
+    pack_geometry,
+    pack_lights_for,
+    pack_materials,
+    pack_sky,
+)
 from .wavefront import GBufferMeta, RenderConfig, render_sample
 
 
@@ -165,7 +171,15 @@ class Renderer:
             sky = pack_sky(self.scene)
         else:
             sky = self.device_scene.sky
-        self.device_scene = DeviceScene(geo=geo, materials=materials, sky=sky)
+        if self.device_scene is None or flags & (
+            DirtyFlags.LIGHT_TREE | DirtyFlags.MESHES | DirtyFlags.INSTANCES | DirtyFlags.MATERIALS
+        ):
+            lights = pack_lights_for(geo, materials)
+        else:
+            lights = self.device_scene.lights
+        self.device_scene = DeviceScene(
+            geo=geo, materials=materials, sky=sky, lights=lights
+        )
         self.device_camera = pack_camera(self.scene.camera)
 
         if flags & (DirtyFlags.INTEGRATION | DirtyFlags.BUFFERS) or self.accum is None:

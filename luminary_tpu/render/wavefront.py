@@ -5,9 +5,15 @@ src/luminary/device/device_renderer.c:59-131 — the per-depth kernel queue
 RAYTRACE → SORT → GEOMETRY/... shade → SHADOW → accumulate). On TPU the
 persistent-thread task queues become a dense SoA wavefront of one lane per
 pixel: each depth iteration traces the whole wavefront, shades all lanes
-masked by liveness, and NEE shadow rays are traced as a second wavefront.
-Dead lanes ride along masked — compaction is a measured optimization, not a
-correctness requirement (reference's tasks_sort ⇒ future sorted-batch pass).
+masked by liveness, and the NEE shadow rays (sun + area light, reference
+direct_lighting.cuh) are traced as additional wavefronts. Dead lanes ride
+along masked — compaction is a measured optimization, not a correctness
+requirement (reference's tasks_sort ⇒ future sorted-batch pass).
+
+Light transport: GGX/Lambert/dielectric materials (ops/material.py), NEE to
+the sun cone and to alias-table-sampled emissive triangles, with balance-
+heuristic MIS between NEE and BSDF sampling on both strategies (reference:
+cuda/mis.cuh, direct_lighting.cuh:21-119).
 
 Everything here is shape-static and jit-compiled once per
 (resolution, max_depth) configuration.
@@ -15,22 +21,28 @@ Everything here is shape-static and jit-compiled once per
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from ..ops import math3
-from ..ops.bsdf import lambert_eval, lambert_sample
 from ..ops.camera import DeviceCamera, generate_camera_rays
 from ..ops.intersect import MISS_DIST
-from ..ops.random import RandomTarget, random_2d
-from ..ops.sky import SUN_ANGULAR_RADIUS, sky_radiance, sun_solid_angle_radiance
+from ..ops.lights import light_pdf_solid_angle, mis_balance, sample_light_point
+from ..ops.material import LaneMaterial, material_eval, material_sample
+from ..ops.random import RandomTarget, random_1d
+from ..ops.sky import (
+    SUN_ANGULAR_RADIUS,
+    SUN_COS_RADIUS,
+    sky_radiance,
+    sun_solid_angle_radiance,
+)
 from ..ops.traverse import trace_closest, trace_occluded
+from ..ops.wavefront_utils import sample_sun_direction
 from .device_scene import (
     LEAF_SIZE,
     MAT_FLAG_EMISSIVE,
+    MAT_FLAG_TRANSLUCENT,
     DeviceScene,
 )
 
@@ -56,35 +68,33 @@ class GBufferMeta(NamedTuple):
 
 
 _RAY_EPS = 1e-3
+SUN_SOLID_ANGLE = 2.0 * jnp.pi * (1.0 - jnp.cos(SUN_ANGULAR_RADIUS))
 
 
 def _shading_normal(geo, slot, direction, u, v):
-    """Interpolated, forward-facing shading normal + geometric normal."""
+    """Interpolated shading normal (forward-facing) + geometric normal (both
+    flipped toward the incoming ray) + the unflipped face normal."""
     n = geo.normals[slot]  # [N,3,3]
     w = (1.0 - u - v)[..., None]
     ns = math3.normalize(
         n[:, 0] * w + n[:, 1] * u[..., None] + n[:, 2] * v[..., None]
     )
-    ng = geo.face_normal[slot]
-    # Face-forward both against the incoming ray.
-    flip = jnp.sign(-math3.dot(ng, direction))[..., None]
-    ng = ng * jnp.where(flip == 0.0, 1.0, flip)
+    ng_raw = geo.face_normal[slot]
+    flip = jnp.sign(-math3.dot(ng_raw, direction))[..., None]
+    ng = ng_raw * jnp.where(flip == 0.0, 1.0, flip)
     ns = ns * jnp.sign(math3.dot(ns, ng))[..., None]
-    return ns, ng
+    return ns, ng, ng_raw
 
 
-def _sample_sun_direction(sun_dir, pixel_id, sample_id, depth):
-    """Uniform direction in the solar cone."""
-    r2 = random_2d(RandomTarget.LIGHT_SUN, pixel_id, sample_id, depth)
-    cos_max = jnp.cos(SUN_ANGULAR_RADIUS)
-    cos_t = 1.0 - r2[..., 0] * (1.0 - cos_max)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    phi = 2.0 * jnp.pi * r2[..., 1]
-    t, b = math3.orthonormal_basis(sun_dir)
-    return math3.normalize(
-        t * (jnp.cos(phi) * sin_t)[..., None]
-        + b * (jnp.sin(phi) * sin_t)[..., None]
-        + sun_dir * cos_t[..., None]
+def _gather_material(mats, mat_id) -> LaneMaterial:
+    albedo4 = mats.albedo[mat_id]
+    return LaneMaterial(
+        albedo=albedo4[..., :3],
+        roughness=mats.roughness[mat_id],
+        metallic=mats.metallic[mat_id],
+        ior=mats.ior[mat_id],
+        translucent=(mats.flags[mat_id] & MAT_FLAG_TRANSLUCENT) != 0,
+        opacity=albedo4[..., 3],
     )
 
 
@@ -98,12 +108,11 @@ def render_sample(
 ):
     """Trace one full sample for the pixel wavefront.
 
-    Returns (radiance [N,3], gbuffer GBufferMeta, rays_traced scalar) — the
-    caller accumulates. rays_traced counts closest-hit rays for live lanes
-    plus NEE shadow rays (the benchmark's Mrays metric).
+    Returns (radiance [N,3], gbuffer GBufferMeta, rays_traced scalar).
     """
     geo = scene.geo
     mats = scene.materials
+    lights = scene.lights
     n = pixel_x.shape[0]
     pixel_id = pixel_y.astype(jnp.uint32) * jnp.uint32(config.width) + pixel_x.astype(
         jnp.uint32
@@ -117,6 +126,8 @@ def render_sample(
     throughput = jnp.ones((n, 3), jnp.float32)
     active = jnp.ones((n,), bool)
     rays_traced = jnp.float32(0.0)
+    prev_pdf = jnp.zeros((n,), jnp.float32)  # BSDF pdf of previous bounce
+    prev_delta = jnp.ones((n,), bool)  # camera/delta: emission gets full weight
 
     gbuffer = GBufferMeta(
         depth=jnp.full((n,), MISS_DIST, jnp.float32),
@@ -127,9 +138,8 @@ def render_sample(
 
     sun_radiance = sun_solid_angle_radiance(scene.sky)
 
-    # Static python depth loop (unrolled into the jitted graph, like the
-    # reference's per-depth kernel queue which is also depth-unrolled on the
-    # action list level, device_renderer.c:59-131).
+    # Static python depth loop (the reference's action list is likewise
+    # depth-unrolled, device_renderer.c:59-131).
     for depth in range(config.max_depth):
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
         hit = trace_closest(
@@ -138,18 +148,25 @@ def render_sample(
         missed = active & ~hit.valid
         hit_lane = active & hit.valid
 
-        # Sky on miss. The solar disc only contributes on camera rays —
-        # secondary sun light arrives via NEE (MIS integration pending).
-        sky_rgb = sky_radiance(scene.sky, direction, include_sun=(depth == 0))
-        radiance = radiance + jnp.where(
-            missed[..., None], throughput * sky_rgb, 0.0
+        # ---- sky on miss, with MIS for the solar disc vs sun NEE ----
+        sky_rgb = sky_radiance(scene.sky, direction, include_sun=False)
+        in_sun_disc = math3.dot(direction, scene.sky.sun_dir) >= SUN_COS_RADIUS
+        w_sun = jnp.where(
+            prev_delta, 1.0, mis_balance(prev_pdf, 1.0 / SUN_SOLID_ANGLE)
         )
+        sun_disc_rgb = sun_radiance * w_sun[..., None]
+        sky_total = sky_rgb + jnp.where(in_sun_disc[..., None], sun_disc_rgb, 0.0)
+        radiance = radiance + jnp.where(missed[..., None], throughput * sky_total, 0.0)
         active = hit_lane
 
+        # ---- hit context ----
         slot = jnp.where(hit_lane, hit.slot, 0)
         mat_id = geo.material_id[slot]
-        hit_pos = origin + direction * hit.t[..., None]
-        ns, ng = _shading_normal(geo, slot, direction, hit.u, hit.v)
+        t_safe = jnp.where(hit_lane, hit.t, 1.0)  # keep dead lanes finite
+        hit_pos = origin + direction * t_safe[..., None]
+        ns, ng, ng_raw = _shading_normal(geo, slot, direction, hit.u, hit.v)
+        lane_mat = _gather_material(mats, mat_id)
+        wo = -direction
 
         if depth == 0:
             gbuffer = GBufferMeta(
@@ -160,77 +177,112 @@ def render_sample(
             )
             if config.shading_mode != 0:
                 return (
-                    _debug_shade(
-                        config, scene, hit, hit_lane, slot, mat_id, ns, direction
-                    ),
+                    _debug_shade(config, scene, hit, hit_lane, slot, mat_id, ns),
                     gbuffer,
                     rays_traced,
                 )
 
-        albedo = mats.albedo[mat_id][..., :3]
+        # ---- emission on hit (one-sided), MIS vs light NEE ----
         emission = mats.emission[mat_id]
         emissive = (mats.flags[mat_id] & MAT_FLAG_EMISSIVE) != 0
-
-        # Emission splat on hit (BSDF-sampled path; light-tree NEE + MIS
-        # replace this for many-light scenes in a later stage).
+        front_face = math3.dot(ng_raw, direction) < 0.0
+        cos_light = jnp.abs(math3.dot(ng_raw, direction))
+        pdf_nee = light_pdf_solid_angle(lights, slot, hit.t, cos_light)
+        w_emit = jnp.where(prev_delta, 1.0, mis_balance(prev_pdf, pdf_nee))
         radiance = radiance + jnp.where(
-            (hit_lane & emissive)[..., None], throughput * emission, 0.0
-        )
-
-        # --- NEE: one sun shadow ray per lane ---
-        shadow_origin = hit_pos + ng * _RAY_EPS
-        sun_sample_dir = _sample_sun_direction(
-            scene.sky.sun_dir, pixel_id, sample_id, depth
-        )
-        facing = math3.dot(sun_sample_dir, ns) > 0.0
-        above = scene.sky.sun_dir[1] > -0.1
-        occluded = trace_occluded(
-            geo.bvh,
-            shadow_origin,
-            sun_sample_dir,
-            MISS_DIST,
-            leaf_size=LEAF_SIZE,
-            chunk=config.chunk,
-        )
-        visible = active & facing & ~occluded & above
-        rays_traced = rays_traced + jnp.sum((active & facing).astype(jnp.float32))
-        bsdf_weight = lambert_eval(ns, sun_sample_dir, albedo)
-        # Solid angle of the sun cone: 2π(1-cos θ_sun)
-        sun_omega = 2.0 * jnp.pi * (1.0 - jnp.cos(SUN_ANGULAR_RADIUS))
-        radiance = radiance + jnp.where(
-            visible[..., None],
-            throughput * bsdf_weight * sun_radiance * sun_omega,
+            (hit_lane & emissive & front_face)[..., None],
+            throughput * emission * w_emit[..., None],
             0.0,
         )
 
-        # --- bounce ---
+        shadow_origin = hit_pos + ng * _RAY_EPS
+        nee_lane = active & ~lane_mat.translucent
+
+        # ---- NEE strategy 1: the sun (reference direct_lighting sun RIS) ----
+        sun_dir_s = sample_sun_direction(scene.sky.sun_dir, pixel_id, sample_id, depth)
+        f_sun, pdf_b_sun = material_eval(lane_mat, ns, wo, sun_dir_s)
+        pdf_sun = 1.0 / SUN_SOLID_ANGLE
+        sun_candidate = (
+            nee_lane
+            & (math3.dot(sun_dir_s, ns) > 0.0)
+            & (scene.sky.sun_dir[1] > -0.1)
+            & (scene.sky.mode != 2)
+        )
+        rays_traced = rays_traced + jnp.sum(sun_candidate.astype(jnp.float32))
+        sun_occluded = trace_occluded(
+            geo.bvh, shadow_origin, sun_dir_s, MISS_DIST,
+            leaf_size=LEAF_SIZE, chunk=config.chunk,
+        )
+        w_mis_sun = mis_balance(pdf_sun, pdf_b_sun)
+        radiance = radiance + jnp.where(
+            (sun_candidate & ~sun_occluded)[..., None],
+            throughput * f_sun * sun_radiance * (SUN_SOLID_ANGLE * w_mis_sun[..., None]),
+            0.0,
+        )
+
+        # ---- NEE strategy 2: emissive triangles (alias table) ----
+        l_slot, l_point, l_n, pdf_area, l_valid = sample_light_point(
+            lights, geo, shadow_origin, pixel_id, sample_id, depth
+        )
+        to_light = l_point - shadow_origin
+        dist = math3.length(to_light)
+        l_dir = jnp.where(
+            (dist > 1e-6)[..., None],
+            to_light * jnp.reciprocal(jnp.maximum(dist, 1e-8))[..., None],
+            jnp.asarray([0.0, 0.0, 1.0]),
+        )
+        cos_l = math3.dot(l_n, -l_dir)  # one-sided emitter
+        l_emission = mats.emission[geo.material_id[l_slot]]
+        pdf_l_sa = pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8)
+        f_l, pdf_b_l = material_eval(lane_mat, ns, wo, l_dir)
+        light_candidate = (
+            nee_lane
+            & l_valid
+            & (cos_l > 1e-6)
+            & (math3.dot(l_dir, ns) > 0.0)
+            & (dist > 1e-5)
+        )
+        rays_traced = rays_traced + jnp.sum(light_candidate.astype(jnp.float32))
+        l_occluded = trace_occluded(
+            geo.bvh, shadow_origin, l_dir, dist - 2.0 * _RAY_EPS,
+            leaf_size=LEAF_SIZE, chunk=config.chunk,
+        )
+        w_mis_l = mis_balance(pdf_l_sa, pdf_b_l)
+        radiance = radiance + jnp.where(
+            (light_candidate & ~l_occluded)[..., None],
+            throughput
+            * f_l
+            * l_emission
+            * (w_mis_l / jnp.maximum(pdf_l_sa, 1e-12))[..., None],
+            0.0,
+        )
+
+        # ---- bounce ----
         if depth + 1 < config.max_depth:
-            new_dir, bounce_mult = lambert_sample(
-                ns, albedo, pixel_id, sample_id, depth
+            wi, weight, pdf, is_delta, transmitted = material_sample(
+                lane_mat, ns, ng, wo, pixel_id, sample_id, depth
             )
-            throughput = throughput * jnp.where(active[..., None], bounce_mult, 1.0)
-            origin = shadow_origin
-            direction = jnp.where(active[..., None], new_dir, direction)
+            throughput = throughput * jnp.where(active[..., None], weight, 1.0)
+            offset_n = jnp.where(transmitted[..., None], -ng, ng)
+            origin = hit_pos + offset_n * _RAY_EPS
+            direction = jnp.where(active[..., None], wi, direction)
+            prev_pdf = jnp.where(active, pdf, 0.0)
+            prev_delta = jnp.where(active, is_delta, prev_delta)
 
-            # Russian roulette past depth 2 (reference: geometry.cuh RR on
-            # camera.russian_roulette_threshold).
+            # kill lanes with dead throughput
+            active = active & (jnp.max(jnp.abs(weight), axis=-1) > 0.0)
+
+            # Russian roulette past depth 2 (reference: geometry.cuh RR).
             if depth >= 2:
-                from ..ops.random import random_1d
-
-                p_continue = jnp.clip(
-                    jnp.max(throughput, axis=-1), 0.05, 1.0
-                )
-                r = random_1d(
-                    RandomTarget.RUSSIAN_ROULETTE, pixel_id, sample_id, depth
-                )
-                keep = r < p_continue
-                active = active & keep
+                p_continue = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+                r = random_1d(RandomTarget.RUSSIAN_ROULETTE, pixel_id, sample_id, depth)
+                active = active & (r < p_continue)
                 throughput = throughput / p_continue[..., None]
 
     return radiance, gbuffer, rays_traced
 
 
-def _debug_shade(config, scene, hit, hit_lane, slot, mat_id, ns, direction):
+def _debug_shade(config, scene, hit, hit_lane, slot, mat_id, ns):
     """Debug shading modes (reference: geometry.cuh:182-246, ShadingMode)."""
     geo = scene.geo
     mats = scene.materials

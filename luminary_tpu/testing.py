@@ -39,8 +39,9 @@ def cornell_box_mesh() -> tuple[Mesh, list[Material]]:
     add_quad((-1, 0, -1), (-1, 2, -1), (1, 2, -1), (1, 0, -1), WHITE)  # back
     add_quad((-1, 0, 1), (-1, 2, 1), (-1, 2, -1), (-1, 0, -1), RED)  # left
     add_quad((1, 0, -1), (1, 2, -1), (1, 2, 1), (1, 0, 1), GREEN)  # right
-    # Ceiling light
-    add_quad((-0.3, 1.98, 0.3), (0.3, 1.98, 0.3), (0.3, 1.98, -0.3), (-0.3, 1.98, -0.3), LIGHT)
+    # Ceiling light (wound so the face normal points down into the room —
+    # emitters are one-sided like the reference's default)
+    add_quad((-0.3, 1.98, -0.3), (0.3, 1.98, -0.3), (0.3, 1.98, 0.3), (-0.3, 1.98, 0.3), LIGHT)
 
     # Tall box
     def add_box(cx, cz, w, h, angle, mat):

@@ -7,7 +7,12 @@ import jax.numpy as jnp
 
 from luminary_tpu.bvh.builder import BVH2, build_bvh
 from luminary_tpu.ops.intersect import MISS_DIST, ray_triangle
-from luminary_tpu.ops.traverse import DeviceBVH, trace_closest, trace_occluded
+from luminary_tpu.ops.traverse import (
+    DeviceBVH,
+    compute_links,
+    trace_closest,
+    trace_occluded,
+)
 
 
 def random_tris(rng, n, spread=10.0, size=0.5):
@@ -25,10 +30,15 @@ def to_device_bvh(bvh: BVH2, corners: np.ndarray) -> DeviceBVH:
     v0[~valid] = 0
     e1[~valid] = 0
     e2[~valid] = 0
+    np_, ns_, lp_, ls_ = compute_links(bvh.child, bvh.num_blocks)
     return DeviceBVH(
         child_min=jnp.asarray(bvh.child_min),
         child_max=jnp.asarray(bvh.child_max),
         child=jnp.asarray(bvh.child),
+        node_parent=jnp.asarray(np_),
+        node_sibling=jnp.asarray(ns_),
+        leaf_parent=jnp.asarray(lp_),
+        leaf_sibling=jnp.asarray(ls_),
         tri_v0=jnp.asarray(v0),
         tri_e1=jnp.asarray(e1),
         tri_e2=jnp.asarray(e2),
