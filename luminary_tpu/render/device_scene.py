@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,11 +75,15 @@ MAT_FLAG_THIN_WALLED = 4
 
 
 class DeviceSky(NamedTuple):
+    """Packed sky: baked environment + analytic sun (reference: device_sky.c
+    LUT/HDRI machinery — see ops/atmosphere.py for the TPU design)."""
+
     mode: jnp.ndarray  # i32 scalar
     constant_color: jnp.ndarray  # f32 [3]
     sun_dir: jnp.ndarray  # f32 [3] unit, toward sun
     sun_strength: jnp.ndarray  # f32 scalar
-    base_density: jnp.ndarray  # f32 scalar
+    env: jnp.ndarray  # f32 [He, We, 3] lat-long radiance (no sun disc)
+    sun_disc_radiance: jnp.ndarray  # f32 [3] transmittance-tinted disc radiance
     geometry_offset: jnp.ndarray  # f32 [3]
 
 
@@ -153,14 +158,50 @@ def pack_materials(scene: Scene) -> DeviceMaterials:
     )
 
 
-def pack_sky(scene: Scene) -> DeviceSky:
+def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
+    """Build atmosphere LUTs and bake the sky environment (reference: the
+    sky LUT + HDRI build stages of device_manager.c:334-366)."""
+    from ..ops.atmosphere import (
+        atmo_params_from_sky,
+        bake_sky_envmap,
+        build_multiscatter_lut,
+        build_transmittance_lut,
+        sample_transmittance_lut,
+    )
+    from ..ops.sky import SUN_IRRADIANCE, SUN_RADIANCE
+
     sky = scene.sky
+    sun_dir = jnp.asarray(sun_direction(sky.azimuth, sky.altitude))
+    is_constant = int(sky.mode) == 2
+
+    if env_res is None:
+        w = max(128, min(1024, 2 * scene.settings.width))
+        env_res = (w // 2, w)
+
+    if is_constant:
+        env = jnp.zeros((4, 8, 3), jnp.float32)
+        sun_disc = jnp.zeros((3,), jnp.float32)
+    else:
+        p = atmo_params_from_sky(sky)
+        t_lut = jax.jit(build_transmittance_lut)(p)
+        ms_lut = jax.jit(build_multiscatter_lut)(p, t_lut)
+        h_obs = jnp.float32(max(float(sky.geometry_offset[1]), 0.001))
+        sun_irr = jnp.float32(SUN_IRRADIANCE * sky.sun_strength)
+        env = bake_sky_envmap(
+            p, t_lut, ms_lut, h_obs, sun_dir, sun_irr,
+            width=env_res[1], height=env_res[0],
+            steps=int(min(max(sky.steps, 8), 64)),
+        )
+        sun_t = sample_transmittance_lut(t_lut, h_obs, sun_dir[1])
+        sun_disc = sun_t * jnp.float32(SUN_RADIANCE * sky.sun_strength)
+
     return DeviceSky(
         mode=jnp.int32(int(sky.mode)),
         constant_color=jnp.asarray(sky.constant_color, jnp.float32),
-        sun_dir=jnp.asarray(sun_direction(sky.azimuth, sky.altitude)),
+        sun_dir=sun_dir,
         sun_strength=jnp.float32(sky.sun_strength),
-        base_density=jnp.float32(sky.base_density),
+        env=env,
+        sun_disc_radiance=sun_disc,
         geometry_offset=jnp.asarray(sky.geometry_offset, jnp.float32),
     )
 

@@ -167,7 +167,7 @@ class Renderer:
             materials = pack_materials(self.scene)
         else:
             materials = self.device_scene.materials
-        if self.device_scene is None or flags & (DirtyFlags.SKY_LUT | DirtyFlags.INTEGRATION):
+        if self.device_scene is None or flags & (DirtyFlags.SKY_LUT | DirtyFlags.HDRI):
             sky = pack_sky(self.scene)
         else:
             sky = self.device_scene.sky

@@ -1,0 +1,98 @@
+"""Physical atmosphere tests (reference functionality: cuda/sky.cuh LUTs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from luminary_tpu.ops.atmosphere import (
+    AtmoParams,
+    ATMO_HEIGHT,
+    atmo_params_from_sky,
+    bake_sky_envmap,
+    build_multiscatter_lut,
+    build_transmittance_lut,
+    sample_envmap,
+    sample_transmittance_lut,
+)
+from luminary_tpu.render.device_scene import pack_sky
+from luminary_tpu.scene.scene import Scene
+
+
+@pytest.fixture(scope="module")
+def atmo():
+    scene = Scene()
+    p = atmo_params_from_sky(scene.sky)
+    t_lut = jax.jit(build_transmittance_lut)(p)
+    return p, t_lut
+
+
+def test_transmittance_lut_properties(atmo):
+    p, t_lut = atmo
+    lut = np.asarray(t_lut)
+    assert np.all(np.isfinite(lut)) and np.all(lut >= 0) and np.all(lut <= 1)
+    # zenith at sea level: blue attenuated more than red (Rayleigh)
+    t_zenith = np.asarray(sample_transmittance_lut(t_lut, jnp.asarray(0.0), jnp.asarray(1.0)))
+    assert t_zenith[0] > t_zenith[2]
+    # grazing path much darker than zenith
+    t_graze = np.asarray(sample_transmittance_lut(t_lut, jnp.asarray(0.0), jnp.asarray(0.05)))
+    assert t_graze[0] < t_zenith[0] * 0.7
+    # top of atmosphere: ~no attenuation
+    t_top = np.asarray(
+        sample_transmittance_lut(t_lut, jnp.asarray(ATMO_HEIGHT * 0.99), jnp.asarray(1.0))
+    )
+    assert np.all(t_top > 0.99)
+
+
+def test_envmap_bake_physics(atmo):
+    p, t_lut = atmo
+    ms = jax.jit(build_multiscatter_lut)(p, t_lut)
+    sun = jnp.asarray([0.6, 0.5, 0.0])
+    sun = sun / jnp.linalg.norm(sun)
+    env = bake_sky_envmap(p, t_lut, ms, jnp.float32(0.01), sun, 1.25, width=64, height=32, steps=24)
+    e = np.asarray(env)
+    assert np.all(np.isfinite(e)) and np.all(e >= 0)
+    zenith = e[1].mean(axis=0)
+    assert zenith[2] > zenith[0], "zenith not blue"
+    # horizon brighter than zenith
+    horizon = e[14].mean(axis=0)
+    assert horizon.mean() > zenith.mean()
+
+
+def test_envmap_sampling_interpolates(atmo):
+    p, t_lut = atmo
+    env = jnp.arange(32 * 64 * 3, dtype=jnp.float32).reshape(32, 64, 3) / 6144.0
+    up = jnp.asarray([[0.0, 1.0, 0.0]])
+    down = jnp.asarray([[0.0, -1.0, 0.0]])
+    s_up = np.asarray(sample_envmap(env, up))[0]
+    s_down = np.asarray(sample_envmap(env, down))[0]
+    assert s_up.mean() < s_down.mean()  # top rows are smaller values
+    # seam continuity at phi wrap
+    d1 = jnp.asarray([[np.cos(0.001), 0.1, np.sin(0.001)]])
+    d2 = jnp.asarray([[np.cos(-0.001), 0.1, np.sin(-0.001)]])
+    v1 = np.asarray(sample_envmap(env, d1 / jnp.linalg.norm(d1)))
+    v2 = np.asarray(sample_envmap(env, d2 / jnp.linalg.norm(d2)))
+    assert np.allclose(v1, v2, atol=0.02)
+
+
+def test_pack_sky_constant_mode_cheap():
+    from luminary_tpu.scene.entities import SkyMode
+
+    scene = Scene()
+    sky = scene.get_entity("sky")
+    sky.mode = SkyMode.CONSTANT_COLOR
+    sky.constant_color = (0.3, 0.4, 0.5)
+    scene.set_entity("sky", sky)
+    packed = pack_sky(scene)
+    assert packed.env.shape == (4, 8, 3)
+    assert np.allclose(np.asarray(packed.sun_disc_radiance), 0.0)
+
+
+def test_sun_disc_radiance_tinted():
+    scene = Scene()
+    sky = scene.get_entity("sky")
+    sky.altitude = 0.1  # low sun → strong reddening
+    scene.set_entity("sky", sky)
+    packed = pack_sky(scene, env_res=(16, 32))
+    disc = np.asarray(packed.sun_disc_radiance)
+    assert disc[0] > disc[2] * 1.5, f"low sun should be red-shifted: {disc}"
