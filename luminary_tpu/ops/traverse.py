@@ -185,6 +185,61 @@ def _traverse(bvh: DeviceBVH, origin, direction, t_max, leaf_size: int,
     return Hit(t=t_out, slot=slot_best, u=u_best, v=v_best)
 
 
+# Scenes with at most this many triangle slots use the dense path: TPU
+# gathers scale O(N·table) anyway (they lower to full-table scans; measured
+# ~520 µs per 65k-gather from a 2048-row table), while dense brute-force
+# Möller-Trumbore streams at ~667 Gtest/s on the VPU. Crossover favors dense
+# far beyond intuition.
+DENSE_MAX_SLOTS = 8192
+_DENSE_TILE = 512
+
+
+def _trace_dense(bvh: DeviceBVH, origin, direction, t_max, any_hit: bool,
+                 t_min: float = 1e-4):
+    """Brute-force all-slots intersection, tiled over triangles.
+
+    Triangle tiles are static slices (no gathers at all); the per-tile
+    [N, TILE] intermediates keep memory bounded.
+    """
+    n = origin.shape[0]
+    p = bvh.tri_v0.shape[0]
+    t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    slot_best = jnp.full((n,), -1, jnp.int32)
+    u_best = jnp.zeros((n,), jnp.float32)
+    v_best = jnp.zeros((n,), jnp.float32)
+
+    o = origin[:, None, :]
+    d = direction[:, None, :]
+    for start in range(0, p, _DENSE_TILE):
+        end = min(start + _DENSE_TILE, p)
+        tile = end - start
+        t, u, v, hit = ray_triangle(
+            o, d,
+            bvh.tri_v0[None, start:end], bvh.tri_e1[None, start:end],
+            bvh.tri_e2[None, start:end], t_min=t_min,
+        )
+        t = jnp.where(hit, t, MISS_DIST)
+        t_tile = jnp.min(t, axis=1)
+        # Winner extraction without per-row gathers (those cost ~1 ms on TPU):
+        # two equality-masked reductions pick a consistent (slot, u, v).
+        slots_iota = jax.lax.broadcasted_iota(jnp.int32, (n, tile), 1)
+        at_min = t == t_tile[:, None]
+        slot_tile = jnp.min(
+            jnp.where(at_min, slots_iota, jnp.int32(0x7FFFFFFF)), axis=1
+        )
+        winner = slots_iota == slot_tile[:, None]
+        u_tile = jnp.max(jnp.where(winner, u, -MISS_DIST), axis=1)
+        v_tile = jnp.max(jnp.where(winner, v, -MISS_DIST), axis=1)
+        improved = t_tile < t_best
+        t_best = jnp.where(improved, t_tile, t_best)
+        slot_best = jnp.where(improved, start + slot_tile, slot_best)
+        u_best = jnp.where(improved, u_tile, u_best)
+        v_best = jnp.where(improved, v_tile, v_best)
+
+    t_out = jnp.where(slot_best >= 0, t_best, MISS_DIST)
+    return Hit(t=t_out, slot=slot_best, u=u_best, v=v_best)
+
+
 def _chunked(fn, n_rays: int, chunk: int | None, args):
     """Run fn over rays in fixed-size chunks via lax.map, flattening back."""
     if chunk is None or n_rays <= chunk:
@@ -213,9 +268,12 @@ def trace_closest(
     """Closest-hit query for a ray wavefront (origin/direction f32 [N, 3])."""
     n = origin.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    dense = bvh.tri_v0.shape[0] <= DENSE_MAX_SLOTS
 
     def run(args):
         o, d, tm = args
+        if dense:
+            return _trace_dense(bvh, o, d, tm, any_hit=False)
         return _traverse(bvh, o, d, tm, leaf_size, any_hit=False)
 
     return _chunked(run, n, chunk, (origin, direction, t_max))
@@ -232,10 +290,14 @@ def trace_occluded(
     """Occlusion query: True where any geometry lies within t_max."""
     n = origin.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    dense = bvh.tri_v0.shape[0] <= DENSE_MAX_SLOTS
 
     def run(args):
         o, d, tm = args
-        hit = _traverse(bvh, o, d, tm, leaf_size, any_hit=True)
+        if dense:
+            hit = _trace_dense(bvh, o, d, tm, any_hit=True)
+        else:
+            hit = _traverse(bvh, o, d, tm, leaf_size, any_hit=True)
         return hit.slot >= 0
 
     return _chunked(run, n, chunk, (origin, direction, t_max))

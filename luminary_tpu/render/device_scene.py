@@ -104,6 +104,7 @@ class DeviceScene(NamedTuple):
     materials: DeviceMaterials
     sky: DeviceSky
     lights: "DeviceLights"
+    fog: "DeviceFog"
 
 
 def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
@@ -359,6 +360,8 @@ def pack_scene(scene: Scene) -> DeviceScene:
     """Full scene pack (the 'upload dirty entities' path; reference:
     device_manager.c:281-513 does this incrementally — incrementality comes
     with the dirty-flag-driven renderer update)."""
+    from ..ops.volume import pack_fog
+
     geo = pack_geometry(scene)
     materials = pack_materials(scene)
     return DeviceScene(
@@ -366,4 +369,5 @@ def pack_scene(scene: Scene) -> DeviceScene:
         materials=materials,
         sky=pack_sky(scene),
         lights=pack_lights_for(geo, materials),
+        fog=pack_fog(scene.fog),
     )

@@ -76,7 +76,10 @@ def _sample_step(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "tonemap", "filter_id", "dithering"),
+    static_argnames=(
+        "width", "height", "tonemap", "filter_id", "dithering",
+        "bloom", "purkinje", "color_correction", "film_grain",
+    ),
 )
 def _generate_image(
     accum: AccumState,
@@ -87,18 +90,42 @@ def _generate_image(
     filter_id: int,
     dithering: bool,
     agx_custom,
+    bloom: bool,
+    bloom_blend,
+    purkinje: bool,
+    purkinje_kappa,
+    color_correction: bool,
+    correction_rgb,
+    film_grain: bool,
+    film_grain_strength,
 ):
     """GENERATE_FINAL_IMAGE + CONVERT_RGBF_TO_ARGB8 equivalent (reference:
-    kernels.cuh:503-644)."""
+    kernels.cuh:503-644, device_post.c): HDR post (bloom, purkinje) →
+    tonemap → LDR post (color correction, filter, grain, dither)."""
+    from ..ops.post import (
+        apply_bloom,
+        apply_color_correction,
+        apply_film_grain,
+        apply_purkinje,
+    )
+
     n_pixels = width * height
     mean = accum.radiance[:n_pixels] / jnp.maximum(
         accum.sample_count.astype(jnp.float32), 1.0
     )
-    rgb = mean * exposure
-    rgb = apply_tonemap(rgb, tonemap, agx_custom)
+    img = (mean * exposure).reshape(height, width, 3)
+    if bloom:
+        img = apply_bloom(img, bloom_blend)
+    if purkinje:
+        img = apply_purkinje(img, purkinje_kappa[0], purkinje_kappa[1])
+    rgb = apply_tonemap(img.reshape(-1, 3), tonemap, agx_custom)
+    if color_correction:
+        rgb = jnp.clip(apply_color_correction(rgb, correction_rgb), 0.0, 1.0)
     rgb = apply_filter(rgb, filter_id)
     rgb = linear_to_srgb(rgb)
     img = rgb.reshape(height, width, 3)
+    if film_grain:
+        img = jnp.clip(apply_film_grain(img, film_grain_strength, 0), 0.0, 1.0)
     if filter_id == 5:
         img = apply_crt_scanlines(img)
     pixel_id = jnp.arange(n_pixels, dtype=jnp.uint32).reshape(height, width)
@@ -177,8 +204,11 @@ class Renderer:
             lights = pack_lights_for(geo, materials)
         else:
             lights = self.device_scene.lights
+        from ..ops.volume import pack_fog
+
         self.device_scene = DeviceScene(
-            geo=geo, materials=materials, sky=sky, lights=lights
+            geo=geo, materials=materials, sky=sky, lights=lights,
+            fog=pack_fog(self.scene.fog),
         )
         self.device_camera = pack_camera(self.scene.camera)
 
@@ -242,6 +272,14 @@ class Renderer:
                 [cam.agx_custom_slope, cam.agx_custom_power, cam.agx_custom_saturation],
                 jnp.float32,
             ),
+            bool(cam.bloom_blend > 0.0),
+            jnp.float32(cam.bloom_blend),
+            bool(cam.purkinje),
+            jnp.asarray([cam.purkinje_kappa1, cam.purkinje_kappa2], jnp.float32),
+            bool(cam.use_color_correction),
+            jnp.asarray(cam.color_correction, jnp.float32),
+            bool(cam.film_grain > 0.0),
+            jnp.float32(cam.film_grain),
         )
         return np.asarray(img)
 

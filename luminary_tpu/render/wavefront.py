@@ -38,6 +38,12 @@ from ..ops.sky import (
     sun_solid_angle_radiance,
 )
 from ..ops.traverse import trace_closest, trace_occluded
+from ..ops.volume import (
+    fog_transmittance,
+    hg_phase,
+    sample_fog_collision,
+    sample_hg_direction,
+)
 from ..ops.wavefront_utils import sample_sun_direction
 from .device_scene import (
     LEAF_SIZE,
@@ -113,6 +119,7 @@ def render_sample(
     geo = scene.geo
     mats = scene.materials
     lights = scene.lights
+    fog = scene.fog
     n = pixel_x.shape[0]
     pixel_id = pixel_y.astype(jnp.uint32) * jnp.uint32(config.width) + pixel_x.astype(
         jnp.uint32
@@ -145,8 +152,16 @@ def render_sample(
         hit = trace_closest(
             geo.bvh, origin, direction, leaf_size=LEAF_SIZE, chunk=config.chunk
         )
-        missed = active & ~hit.valid
-        hit_lane = active & hit.valid
+
+        # ---- volume collision sampling (analog tracking; reference
+        # VOLUME_EVENTS kernel, cuda/volume.cuh) ----
+        t_media = jnp.where(hit.valid, hit.t, 1e7)
+        collided, t_col = sample_fog_collision(
+            fog, origin, direction, t_media, pixel_id, sample_id, depth
+        )
+        vol_lane = active & collided
+        missed = active & ~hit.valid & ~collided
+        hit_lane = active & hit.valid & ~collided
 
         # ---- sky on miss, with MIS for the solar disc vs sun NEE ----
         sky_rgb = sky_radiance(scene.sky, direction, include_sun=False)
@@ -157,16 +172,22 @@ def render_sample(
         sun_disc_rgb = sun_radiance * w_sun[..., None]
         sky_total = sky_rgb + jnp.where(in_sun_disc[..., None], sun_disc_rgb, 0.0)
         radiance = radiance + jnp.where(missed[..., None], throughput * sky_total, 0.0)
-        active = hit_lane
+        active = hit_lane | vol_lane
 
         # ---- hit context ----
         slot = jnp.where(hit_lane, hit.slot, 0)
         mat_id = geo.material_id[slot]
         t_safe = jnp.where(hit_lane, hit.t, 1.0)  # keep dead lanes finite
         hit_pos = origin + direction * t_safe[..., None]
+        vol_pos = origin + direction * t_col[..., None]
         ns, ng, ng_raw = _shading_normal(geo, slot, direction, hit.u, hit.v)
         lane_mat = _gather_material(mats, mat_id)
         wo = -direction
+
+        # scatter-albedo loss at a volume collision
+        throughput = throughput * jnp.where(
+            vol_lane[..., None], fog.scatter_albedo, 1.0
+        )
 
         if depth == 0:
             gbuffer = GBufferMeta(
@@ -195,16 +216,21 @@ def render_sample(
             0.0,
         )
 
-        shadow_origin = hit_pos + ng * _RAY_EPS
-        nee_lane = active & ~lane_mat.translucent
+        shadow_origin = jnp.where(
+            vol_lane[..., None], vol_pos, hit_pos + ng * _RAY_EPS
+        )
+        nee_lane = (hit_lane & ~lane_mat.translucent) | vol_lane
 
         # ---- NEE strategy 1: the sun (reference direct_lighting sun RIS) ----
         sun_dir_s = sample_sun_direction(scene.sky.sun_dir, pixel_id, sample_id, depth)
         f_sun, pdf_b_sun = material_eval(lane_mat, ns, wo, sun_dir_s)
+        phase_sun = hg_phase(math3.dot(direction, sun_dir_s), fog.g)
+        f_sun = jnp.where(vol_lane[..., None], phase_sun[..., None], f_sun)
+        pdf_b_sun = jnp.where(vol_lane, phase_sun, pdf_b_sun)
         pdf_sun = 1.0 / SUN_SOLID_ANGLE
         sun_candidate = (
             nee_lane
-            & (math3.dot(sun_dir_s, ns) > 0.0)
+            & (vol_lane | (math3.dot(sun_dir_s, ns) > 0.0))
             & (scene.sky.sun_dir[1] > -0.1)
             & (scene.sky.mode != 2)
         )
@@ -213,10 +239,12 @@ def render_sample(
             geo.bvh, shadow_origin, sun_dir_s, MISS_DIST,
             leaf_size=LEAF_SIZE, chunk=config.chunk,
         )
+        t_fog_sun = fog_transmittance(fog, shadow_origin, sun_dir_s, 1e7)
         w_mis_sun = mis_balance(pdf_sun, pdf_b_sun)
         radiance = radiance + jnp.where(
             (sun_candidate & ~sun_occluded)[..., None],
-            throughput * f_sun * sun_radiance * (SUN_SOLID_ANGLE * w_mis_sun[..., None]),
+            throughput * f_sun * sun_radiance
+            * (SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun)[..., None],
             0.0,
         )
 
@@ -235,11 +263,14 @@ def render_sample(
         l_emission = mats.emission[geo.material_id[l_slot]]
         pdf_l_sa = pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8)
         f_l, pdf_b_l = material_eval(lane_mat, ns, wo, l_dir)
+        phase_l = hg_phase(math3.dot(direction, l_dir), fog.g)
+        f_l = jnp.where(vol_lane[..., None], phase_l[..., None], f_l)
+        pdf_b_l = jnp.where(vol_lane, phase_l, pdf_b_l)
         light_candidate = (
             nee_lane
             & l_valid
             & (cos_l > 1e-6)
-            & (math3.dot(l_dir, ns) > 0.0)
+            & (vol_lane | (math3.dot(l_dir, ns) > 0.0))
             & (dist > 1e-5)
         )
         rays_traced = rays_traced + jnp.sum(light_candidate.astype(jnp.float32))
@@ -247,13 +278,14 @@ def render_sample(
             geo.bvh, shadow_origin, l_dir, dist - 2.0 * _RAY_EPS,
             leaf_size=LEAF_SIZE, chunk=config.chunk,
         )
+        t_fog_l = fog_transmittance(fog, shadow_origin, l_dir, dist)
         w_mis_l = mis_balance(pdf_l_sa, pdf_b_l)
         radiance = radiance + jnp.where(
             (light_candidate & ~l_occluded)[..., None],
             throughput
             * f_l
             * l_emission
-            * (w_mis_l / jnp.maximum(pdf_l_sa, 1e-12))[..., None],
+            * (w_mis_l * t_fog_l / jnp.maximum(pdf_l_sa, 1e-12))[..., None],
             0.0,
         )
 
@@ -262,9 +294,19 @@ def render_sample(
             wi, weight, pdf, is_delta, transmitted = material_sample(
                 lane_mat, ns, ng, wo, pixel_id, sample_id, depth
             )
+            # volume lanes bounce by HG phase sampling (pdf == phase → the
+            # phase/pdf ratio is 1, so weight is unity)
+            wi_vol = sample_hg_direction(direction, fog.g, pixel_id, sample_id, depth)
+            pdf_vol = hg_phase(math3.dot(direction, wi_vol), fog.g)
+            wi = jnp.where(vol_lane[..., None], wi_vol, wi)
+            weight = jnp.where(vol_lane[..., None], 1.0, weight)
+            pdf = jnp.where(vol_lane, pdf_vol, pdf)
+            is_delta = jnp.where(vol_lane, False, is_delta)
             throughput = throughput * jnp.where(active[..., None], weight, 1.0)
             offset_n = jnp.where(transmitted[..., None], -ng, ng)
-            origin = hit_pos + offset_n * _RAY_EPS
+            origin = jnp.where(
+                vol_lane[..., None], vol_pos, hit_pos + offset_n * _RAY_EPS
+            )
             direction = jnp.where(active[..., None], wi, direction)
             prev_pdf = jnp.where(active, pdf, 0.0)
             prev_delta = jnp.where(active, is_delta, prev_delta)
