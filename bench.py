@@ -31,13 +31,21 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "2"))
     samples = int(os.environ.get("BENCH_SAMPLES", "8"))
 
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    t0 = time.monotonic()
     scene = cornell_scene(width, height, max_depth=depth)
     r = Renderer(scene, chunk=int(os.environ.get("BENCH_CHUNK", "65536")))
+    log(f"bench: pack done in {time.monotonic()-t0:.1f}s")
 
+    t0 = time.monotonic()
     r.render_samples(warmup)  # compile + warm caches
+    log(f"bench: warmup ({warmup} samples incl. compile) {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     r.render_samples(samples)
     dt = time.monotonic() - t0
+    log(f"bench: {samples} samples in {dt:.2f}s")
 
     rays_per_sample = r._last_rays_per_sample
     mrays = rays_per_sample * samples / dt / 1e6

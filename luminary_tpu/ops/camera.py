@@ -35,16 +35,38 @@ class DeviceCamera(NamedTuple):
 
 
 def pack_camera(camera) -> DeviceCamera:
-    """Scene Camera entity → DeviceCamera (reference: device_structs.c:75)."""
-    return DeviceCamera(
-        pos=jnp.asarray(camera.pos, jnp.float32),
-        rotation_q=math3.quaternion_from_euler(jnp.asarray(camera.rotation, jnp.float32)),
-        fov=jnp.float32(camera.thin_lens.fov),
-        aperture_size=jnp.float32(camera.thin_lens.aperture_size),
-        aperture_blade_count=jnp.int32(max(camera.aperture_blade_count, 3)),
-        aperture_shape_bladed=jnp.asarray(int(camera.aperture_shape) == 1),
-        object_distance=jnp.float32(camera.object_distance),
-        camera_scale=jnp.float32(camera.camera_scale),
+    """Scene Camera entity → DeviceCamera (reference: device_structs.c:75).
+
+    Built in numpy and shipped with one device_put (eager per-array TPU
+    transfers are expensive on the tunneled backend)."""
+    import numpy as np
+
+    rx, ry, rz = (float(v) * 0.5 for v in camera.rotation)
+    cr, sr, cp, sp, cy, sy = (
+        np.cos(rx), np.sin(rx), np.cos(ry), np.sin(ry), np.cos(rz), np.sin(rz)
+    )
+    q = np.asarray(
+        [
+            cr * cp * cy + sr * sp * sy,
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+        ],
+        np.float32,
+    )
+    import jax
+
+    return jax.device_put(
+        DeviceCamera(
+            pos=np.asarray(camera.pos, np.float32),
+            rotation_q=q,
+            fov=np.float32(camera.thin_lens.fov),
+            aperture_size=np.float32(camera.thin_lens.aperture_size),
+            aperture_blade_count=np.int32(max(camera.aperture_blade_count, 3)),
+            aperture_shape_bladed=np.bool_(int(camera.aperture_shape) == 1),
+            object_distance=np.float32(camera.object_distance),
+            camera_scale=np.float32(camera.camera_scale),
+        )
     )
 
 

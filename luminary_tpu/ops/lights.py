@@ -92,24 +92,24 @@ def pack_lights(
         prob, alias = build_alias_table(w.astype(np.float64))
         slot_select_pdf[slots] = sel
         return DeviceLights(
-            prob=jnp.asarray(prob),
-            alias=jnp.asarray(alias),
-            slot=jnp.asarray(slots),
-            select_pdf=jnp.asarray(sel),
-            slot_select_pdf=jnp.asarray(slot_select_pdf),
-            slot_area=jnp.asarray(area),
-            num_lights=jnp.int32(len(slots)),
-            total_power=jnp.float32(total),
+            prob=prob,
+            alias=alias,
+            slot=slots,
+            select_pdf=sel,
+            slot_select_pdf=slot_select_pdf,
+            slot_area=area,
+            num_lights=np.int32(len(slots)),
+            total_power=np.float32(total),
         )
     return DeviceLights(
-        prob=jnp.ones((1,), jnp.float32),
-        alias=jnp.zeros((1,), jnp.int32),
-        slot=jnp.zeros((1,), jnp.int32),
-        select_pdf=jnp.zeros((1,), jnp.float32),
-        slot_select_pdf=jnp.asarray(slot_select_pdf),
-        slot_area=jnp.asarray(area),
-        num_lights=jnp.int32(0),
-        total_power=jnp.float32(0.0),
+        prob=np.ones((1,), np.float32),
+        alias=np.zeros((1,), np.int32),
+        slot=np.zeros((1,), np.int32),
+        select_pdf=np.zeros((1,), np.float32),
+        slot_select_pdf=slot_select_pdf,
+        slot_area=area,
+        num_lights=np.int32(0),
+        total_power=np.float32(0.0),
     )
 
 

@@ -38,13 +38,15 @@ _FOG_DENSITY_SCALE = 0.002
 def pack_fog(fog) -> DeviceFog:
     # Droplet diameter (µm) → anisotropy: bigger droplets scatter forward.
     g = float(jnp.clip(0.3 + 0.25 * jnp.log10(max(fog.droplet_diameter, 0.1)), 0.0, 0.9))
+    import numpy as _np
+
     return DeviceFog(
-        active=jnp.asarray(bool(fog.active)),
-        sigma_t=jnp.float32(fog.density * _FOG_DENSITY_SCALE),
-        scatter_albedo=jnp.float32(0.98),
-        height=jnp.float32(fog.height),
-        max_dist=jnp.float32(fog.dist),
-        g=jnp.float32(g),
+        active=_np.bool_(bool(fog.active)),
+        sigma_t=_np.float32(fog.density * _FOG_DENSITY_SCALE),
+        scatter_albedo=_np.float32(0.98),
+        height=_np.float32(fog.height),
+        max_dist=_np.float32(fog.dist),
+        g=_np.float32(g),
     )
 
 

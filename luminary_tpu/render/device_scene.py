@@ -143,19 +143,19 @@ def pack_materials(scene: Scene) -> DeviceMaterials:
         flags[i] = f
 
     return DeviceMaterials(
-        albedo=jnp.asarray([mat.albedo for mat in mats], jnp.float32),
-        emission=jnp.asarray(
-            [np.asarray(mat.emission) * mat.emission_scale for mat in mats], jnp.float32
+        albedo=np.asarray([mat.albedo for mat in mats], np.float32),
+        emission=np.asarray(
+            [np.asarray(mat.emission) * mat.emission_scale for mat in mats], np.float32
         ),
-        roughness=jnp.asarray([mat.roughness for mat in mats], jnp.float32),
-        metallic=jnp.asarray([1.0 if mat.metallic else 0.0 for mat in mats], jnp.float32),
-        ior=jnp.asarray([mat.refraction_index for mat in mats], jnp.float32),
-        flags=jnp.asarray(flags),
-        albedo_tex=jnp.asarray([tex(mat.albedo_tex) for mat in mats], jnp.int32),
-        luminance_tex=jnp.asarray([tex(mat.luminance_tex) for mat in mats], jnp.int32),
-        roughness_tex=jnp.asarray([tex(mat.roughness_tex) for mat in mats], jnp.int32),
-        metallic_tex=jnp.asarray([tex(mat.metallic_tex) for mat in mats], jnp.int32),
-        normal_tex=jnp.asarray([tex(mat.normal_tex) for mat in mats], jnp.int32),
+        roughness=np.asarray([mat.roughness for mat in mats], np.float32),
+        metallic=np.asarray([1.0 if mat.metallic else 0.0 for mat in mats], np.float32),
+        ior=np.asarray([mat.refraction_index for mat in mats], np.float32),
+        flags=flags,
+        albedo_tex=np.asarray([tex(mat.albedo_tex) for mat in mats], np.int32),
+        luminance_tex=np.asarray([tex(mat.luminance_tex) for mat in mats], np.int32),
+        roughness_tex=np.asarray([tex(mat.roughness_tex) for mat in mats], np.int32),
+        metallic_tex=np.asarray([tex(mat.metallic_tex) for mat in mats], np.int32),
+        normal_tex=np.asarray([tex(mat.normal_tex) for mat in mats], np.int32),
     )
 
 
@@ -172,7 +172,7 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
     from ..ops.sky import SUN_IRRADIANCE, SUN_RADIANCE
 
     sky = scene.sky
-    sun_dir = jnp.asarray(sun_direction(sky.azimuth, sky.altitude))
+    sun_dir = sun_direction(sky.azimuth, sky.altitude)
     is_constant = int(sky.mode) == 2
 
     if env_res is None:
@@ -180,30 +180,31 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         env_res = (w // 2, w)
 
     if is_constant:
-        env = jnp.zeros((4, 8, 3), jnp.float32)
-        sun_disc = jnp.zeros((3,), jnp.float32)
+        env = np.zeros((4, 8, 3), np.float32)
+        sun_disc = np.zeros((3,), np.float32)
     else:
         p = atmo_params_from_sky(sky)
+        sun_dir_j = jnp.asarray(sun_dir)
         t_lut = jax.jit(build_transmittance_lut)(p)
         ms_lut = jax.jit(build_multiscatter_lut)(p, t_lut)
         h_obs = jnp.float32(max(float(sky.geometry_offset[1]), 0.001))
         sun_irr = jnp.float32(SUN_IRRADIANCE * sky.sun_strength)
         env = bake_sky_envmap(
-            p, t_lut, ms_lut, h_obs, sun_dir, sun_irr,
+            p, t_lut, ms_lut, h_obs, sun_dir_j, sun_irr,
             width=env_res[1], height=env_res[0],
             steps=int(min(max(sky.steps, 8), 64)),
         )
-        sun_t = sample_transmittance_lut(t_lut, h_obs, sun_dir[1])
+        sun_t = sample_transmittance_lut(t_lut, h_obs, sun_dir_j[1])
         sun_disc = sun_t * jnp.float32(SUN_RADIANCE * sky.sun_strength)
 
     return DeviceSky(
-        mode=jnp.int32(int(sky.mode)),
-        constant_color=jnp.asarray(sky.constant_color, jnp.float32),
+        mode=np.int32(int(sky.mode)),
+        constant_color=np.asarray(sky.constant_color, np.float32),
         sun_dir=sun_dir,
-        sun_strength=jnp.float32(sky.sun_strength),
+        sun_strength=np.float32(sky.sun_strength),
         env=env,
         sun_disc_radiance=sun_disc,
-        geometry_offset=jnp.asarray(sky.geometry_offset, jnp.float32),
+        geometry_offset=np.asarray(sky.geometry_offset, np.float32),
     )
 
 
@@ -312,31 +313,28 @@ def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     node_parent, node_sibling, leaf_parent, leaf_sibling = compute_links(
         bvh.child, bvh.num_blocks
     )
+    # numpy leaves: the caller ships the whole pytree to the device with a
+    # single jax.device_put (eager per-array transfers cost seconds each on
+    # the tunneled TPU).
     return DeviceSceneGeo(
         bvh=DeviceBVH(
-            child_min=jnp.asarray(bvh.child_min),
-            child_max=jnp.asarray(bvh.child_max),
-            child=jnp.asarray(bvh.child),
-            node_parent=jnp.asarray(node_parent),
-            node_sibling=jnp.asarray(node_sibling),
-            leaf_parent=jnp.asarray(leaf_parent),
-            leaf_sibling=jnp.asarray(leaf_sibling),
-            tri_v0=jnp.asarray(v0),
-            tri_e1=jnp.asarray(e1),
-            tri_e2=jnp.asarray(e2),
+            child_min=bvh.child_min,
+            child_max=bvh.child_max,
+            child=bvh.child,
+            node_parent=node_parent,
+            node_sibling=node_sibling,
+            leaf_parent=leaf_parent,
+            leaf_sibling=leaf_sibling,
+            tri_v0=v0,
+            tri_e1=e1,
+            tri_e2=e2,
         ),
-        normals=jnp.asarray(slotify(normals) if t else np.zeros((p, 3, 3), np.float32)),
-        uvs=jnp.asarray(slotify(uvs) if t else np.zeros((p, 3, 2), np.float32)),
-        material_id=jnp.asarray(
-            np.where(valid, mats[safe] if t else 0, 0).astype(np.int32)
-        ),
-        instance_id=jnp.asarray(
-            np.where(valid, insts[safe] if t else 0, -1).astype(np.int32)
-        ),
-        prim_id=jnp.asarray(
-            np.where(valid, prims[safe] if t else 0, -1).astype(np.int32)
-        ),
-        face_normal=jnp.asarray(fn.astype(np.float32)),
+        normals=slotify(normals) if t else np.zeros((p, 3, 3), np.float32),
+        uvs=slotify(uvs) if t else np.zeros((p, 3, 2), np.float32),
+        material_id=np.where(valid, mats[safe] if t else 0, 0).astype(np.int32),
+        instance_id=np.where(valid, insts[safe] if t else 0, -1).astype(np.int32),
+        prim_id=np.where(valid, prims[safe] if t else 0, -1).astype(np.int32),
+        face_normal=fn.astype(np.float32),
     )
 
 
@@ -364,10 +362,11 @@ def pack_scene(scene: Scene) -> DeviceScene:
 
     geo = pack_geometry(scene)
     materials = pack_materials(scene)
-    return DeviceScene(
+    ds = DeviceScene(
         geo=geo,
         materials=materials,
         sky=pack_sky(scene),
         lights=pack_lights_for(geo, materials),
         fog=pack_fog(scene.fog),
     )
+    return jax.device_put(ds)

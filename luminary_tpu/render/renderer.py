@@ -181,8 +181,9 @@ class Renderer:
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)
             idx = np.minimum(idx, n_pixels - 1)  # padded lanes re-trace pixel N-1
-            self._px = jnp.asarray((idx % s.width).astype(np.int32))
-            self._py = jnp.asarray((idx // s.width).astype(np.int32))
+            self._px, self._py = jax.device_put(
+                ((idx % s.width).astype(np.int32), (idx // s.width).astype(np.int32))
+            )
 
         if self.device_scene is None or flags & (
             DirtyFlags.MESHES | DirtyFlags.INSTANCES
@@ -206,9 +207,11 @@ class Renderer:
             lights = self.device_scene.lights
         from ..ops.volume import pack_fog
 
-        self.device_scene = DeviceScene(
-            geo=geo, materials=materials, sky=sky, lights=lights,
-            fog=pack_fog(self.scene.fog),
+        self.device_scene = jax.device_put(
+            DeviceScene(
+                geo=geo, materials=materials, sky=sky, lights=lights,
+                fog=pack_fog(self.scene.fog),
+            )
         )
         self.device_camera = pack_camera(self.scene.camera)
 
