@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import math3
-from .atmosphere import sample_envmap
+from .sh import eval_sh
 
 # Sun angular radius as seen from earth (~0.2667 deg).
 SUN_COS_RADIUS = 0.99998869
@@ -38,7 +38,9 @@ def sky_radiance(sky, direction: jnp.ndarray, include_sun=True) -> jnp.ndarray:
         disc MIS itself and passes False, adding the disc explicitly).
     """
     d = direction
-    env = sample_envmap(sky.env, d)
+    # SH-6 evaluation: gather-free sky (an env-map fetch is an O(N·texels)
+    # table scan on TPU; the smooth, disc-free sky fits SH well).
+    env = eval_sh(sky.sh_coeffs, d, jnp)
 
     cos_sun = math3.dot(d, sky.sun_dir)
     in_disc = cos_sun >= SUN_COS_RADIUS

@@ -83,6 +83,7 @@ class DeviceSky(NamedTuple):
     sun_dir: jnp.ndarray  # f32 [3] unit, toward sun
     sun_strength: jnp.ndarray  # f32 scalar
     env: jnp.ndarray  # f32 [He, We, 3] lat-long radiance (no sun disc)
+    sh_coeffs: jnp.ndarray  # f32 [49, 3] SH-6 projection of env (shading path)
     sun_disc_radiance: jnp.ndarray  # f32 [3] transmittance-tinted disc radiance
     geometry_offset: jnp.ndarray  # f32 [3]
 
@@ -179,9 +180,12 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         w = max(128, min(1024, 2 * scene.settings.width))
         env_res = (w // 2, w)
 
+    from ..ops.sh import project_envmap_sh
+
     if is_constant:
         env = np.zeros((4, 8, 3), np.float32)
         sun_disc = np.zeros((3,), np.float32)
+        sh = np.zeros((49, 3), np.float32)
     else:
         p = atmo_params_from_sky(sky)
         sun_dir_j = jnp.asarray(sun_dir)
@@ -196,6 +200,8 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         )
         sun_t = sample_transmittance_lut(t_lut, h_obs, sun_dir_j[1])
         sun_disc = sun_t * jnp.float32(SUN_RADIANCE * sky.sun_strength)
+        env = np.asarray(env)
+        sh = project_envmap_sh(env)
 
     return DeviceSky(
         mode=np.int32(int(sky.mode)),
@@ -203,6 +209,7 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         sun_dir=sun_dir,
         sun_strength=np.float32(sky.sun_strength),
         env=env,
+        sh_coeffs=sh,
         sun_disc_radiance=sun_disc,
         geometry_offset=np.asarray(sky.geometry_offset, np.float32),
     )

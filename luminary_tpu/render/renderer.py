@@ -45,7 +45,7 @@ class AccumState(NamedTuple):
 
     radiance: jnp.ndarray  # f32 [N,3] running sum
     lum_sq: jnp.ndarray  # f32 [N] luminance second moment sum (adaptive/variance)
-    sample_count: jnp.ndarray  # i32 scalar
+    sample_count: jnp.ndarray  # i32 [N] per-pixel (adaptive sampling varies it)
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("accum",))
@@ -72,6 +72,36 @@ def _sample_step(
         gbuffer,
         rays,
     )
+
+
+@partial(jax.jit, static_argnames=("config", "rounds"))
+def _subset_step(
+    scene: DeviceScene,
+    cam: DeviceCamera,
+    config: RenderConfig,
+    pixel_x,
+    pixel_y,
+    sample_ids,
+    rounds: int,
+):
+    """Adaptive-stage pass: `rounds` extra samples for a pixel subset, with
+    per-lane QMC sample indices (each pixel continues its own sequence)."""
+    s = pixel_x.shape[0]
+    rad = jnp.zeros((s, 3), jnp.float32)
+    lsq = jnp.zeros((s,), jnp.float32)
+    for r in range(rounds):
+        radiance, _, _ = render_sample(
+            scene, cam, config, pixel_x, pixel_y, sample_ids + jnp.uint32(r)
+        )
+        radiance = jnp.minimum(radiance, 1e6)
+        lum = (
+            0.2126 * radiance[..., 0]
+            + 0.7152 * radiance[..., 1]
+            + 0.0722 * radiance[..., 2]
+        )
+        rad = rad + radiance
+        lsq = lsq + lum * lum
+    return rad, lsq
 
 
 @partial(
@@ -111,8 +141,8 @@ def _generate_image(
 
     n_pixels = width * height
     mean = accum.radiance[:n_pixels] / jnp.maximum(
-        accum.sample_count.astype(jnp.float32), 1.0
-    )
+        accum.sample_count[:n_pixels].astype(jnp.float32), 1.0
+    )[:, None]
     img = (mean * exposure).reshape(height, width, 3)
     if bloom:
         img = apply_bloom(img, bloom_blend)
@@ -129,7 +159,8 @@ def _generate_image(
     if filter_id == 5:
         img = apply_crt_scanlines(img)
     pixel_id = jnp.arange(n_pixels, dtype=jnp.uint32).reshape(height, width)
-    return dither_and_quantize(img, pixel_id, accum.sample_count, dithering)
+    seed = jnp.max(accum.sample_count)
+    return dither_and_quantize(img, pixel_id, seed, dithering)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -225,33 +256,108 @@ class Renderer:
         self.accum = AccumState(
             radiance=jnp.zeros((n_pad, 3), jnp.float32),
             lum_sq=jnp.zeros((n_pad,), jnp.float32),
-            sample_count=jnp.int32(0),
+            sample_count=jnp.zeros((n_pad,), jnp.int32),
         )
 
     # -- sample loop --------------------------------------------------------
 
     @property
     def sample_count(self) -> int:
-        return int(self.accum.sample_count)
+        """Effective (minimum completed) samples per pixel."""
+        n = self.config.width * self.config.height
+        return int(jnp.min(self.accum.sample_count[:n]))
 
     def render_samples(self, num_samples: int):
-        """Advance accumulation by num_samples (blocking)."""
+        """Advance accumulation by a budget of num_samples full-frame
+        samples (blocking). With adaptive sampling enabled, part of the
+        budget is redirected to high-variance 4x4 blocks (reference:
+        device_adaptive_sampler.c stage allocation)."""
         self.update()
         t0 = time.monotonic()
-        start = int(self.accum.sample_count)
-        for s in range(start, start + num_samples):
-            self.accum, self.gbuffer, rays = _sample_step(
-                self.device_scene,
-                self.device_camera,
-                self.config,
-                self._px,
-                self._py,
-                jnp.uint32(s),
-                self.accum,
-            )
+        s = self.scene.settings
+        if s.enable_adaptive_sampling:
+            self._render_adaptive(num_samples)
+        else:
+            start = self.sample_count
+            for i in range(start, start + num_samples):
+                self.accum, self.gbuffer, rays = _sample_step(
+                    self.device_scene,
+                    self.device_camera,
+                    self.config,
+                    self._px,
+                    self._py,
+                    jnp.uint32(i),
+                    self.accum,
+                )
+            self._last_rays_per_sample = float(rays)
         jax.block_until_ready(self.accum.radiance)
-        self._last_rays_per_sample = float(rays)
         self._last_sample_time = (time.monotonic() - t0) / max(num_samples, 1)
+
+    def _render_adaptive(self, num_samples: int):
+        from .adaptive import (
+            block_error_map,
+            pick_stage_pixels,
+            scatter_add_stage,
+        )
+
+        s = self.scene.settings
+        n_pixels = self.config.width * self.config.height
+        lane_budget = num_samples * n_pixels
+        interval = max(int(s.adaptive_sampling_update_interval) // 8, 2)
+
+        # Stage 0: uniform coverage until every pixel has a baseline.
+        base = max(int(s.adaptive_sampling_avg_sampling_rate), 2)
+        while self.sample_count < base and lane_budget > 0:
+            i = self.sample_count
+            self.accum, self.gbuffer, rays = _sample_step(
+                self.device_scene, self.device_camera, self.config,
+                self._px, self._py, jnp.uint32(i), self.accum,
+            )
+            self._last_rays_per_sample = float(rays)
+            lane_budget -= n_pixels
+
+        n_pad = int(self._px.shape[0])
+        chunk = self.config.chunk or 65536
+        # subset strictly smaller than the frame so allocation is selective
+        subset = min(n_pad, chunk) if n_pad > chunk else max(n_pad // 4, 16)
+        while lane_budget > 0:
+            err = np.asarray(
+                block_error_map(
+                    self.accum.radiance, self.accum.lum_sq,
+                    self.accum.sample_count,
+                    self.config.width, self.config.height,
+                    bool(s.adaptive_sampling_exposure_aware),
+                    jnp.float32(self.scene.camera.exposure),
+                )
+            )
+            pix = pick_stage_pixels(err, self.config.width, self.config.height, subset)
+            if pix is None:
+                break
+            # fixed-size subset: tile the picked pixels to fill the wavefront
+            reps = int(np.ceil(subset / pix.size))
+            pix_full = np.tile(pix, reps)[:subset]
+            # duplicated pixels continue DIFFERENT sample indices
+            dup_rank = np.zeros(subset, np.int64)
+            if reps > 1:
+                dup_rank = (np.arange(subset) // pix.size).astype(np.int64)
+            counts = np.asarray(self.accum.sample_count)[pix_full]
+            rounds = min(interval, max(lane_budget // subset, 1))
+            sample_ids = jnp.asarray(
+                counts.astype(np.uint32) + dup_rank.astype(np.uint32) * rounds
+            )
+            idx = jnp.asarray(pix_full.astype(np.int32))
+            px = jnp.asarray((pix_full % self.config.width).astype(np.int32))
+            py = jnp.asarray((pix_full // self.config.width).astype(np.int32))
+            rad, lsq = _subset_step(
+                self.device_scene, self.device_camera, self.config,
+                px, py, sample_ids, rounds,
+            )
+            r0, l0, c0 = scatter_add_stage(
+                self.accum.radiance, self.accum.lum_sq, self.accum.sample_count,
+                idx, rad, lsq, jnp.full((subset,), rounds, jnp.int32),
+            )
+            self.accum = AccumState(radiance=r0, lum_sq=l0, sample_count=c0)
+            lane_budget -= subset * rounds
 
     @property
     def current_sample_time(self) -> float:
@@ -290,8 +396,8 @@ class Renderer:
         """float32 [H, W, 3] linear mean radiance (for comparison metrics)."""
         n = self.config.width * self.config.height
         mean = self.accum.radiance[:n] / jnp.maximum(
-            self.accum.sample_count.astype(jnp.float32), 1.0
-        )
+            self.accum.sample_count[:n].astype(jnp.float32), 1.0
+        )[:, None]
         return np.asarray(mean).reshape(self.config.height, self.config.width, 3)
 
     def get_pixel_info(self, x: int, y: int):
