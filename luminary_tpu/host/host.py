@@ -4,11 +4,14 @@ Python mirror of the reference's ``luminary_host_*`` C API (reference:
 include/luminary/host.h:29-129): entity get/set with dirty propagation, scene
 file loading, output request/promise handles, pixel queries.
 
-Stage 1 executes work synchronously on the caller thread (the reference is
-fully asynchronous over worker queues, host/host.c:15-20; the async worker
-layer is built in luminary_tpu.host.queue_worker and wired here in a later
-stage — the API shape is already async-compatible: mutations only mark dirty,
-rendering happens on output acquisition).
+Two execution modes:
+  * synchronous (default): work happens on the caller thread — deterministic,
+    test-friendly;
+  * asynchronous (``Host(asynchronous=True)``): scene loads run on a host
+    worker and rendering runs continuously on a render worker, matching the
+    reference's architecture (host/host.c:15-20 — 1 main + N secondary host
+    workers + 1 device worker). Worker names/tasks/times are introspectable
+    (reference: luminary_host_get_queue_worker_*, host.h:46-70).
 """
 
 from __future__ import annotations
@@ -54,32 +57,150 @@ class _Output:
 class Host:
     """A Luminary rendering host (one per process is typical)."""
 
-    def __init__(self, device_mask: int = 0xFFFFFFFF, samples_per_step: int = 4):
+    def __init__(
+        self,
+        device_mask: int = 0xFFFFFFFF,
+        samples_per_step: int = 4,
+        asynchronous: bool = False,
+    ):
+        import threading
+
         self.scene = Scene()
         self._renderer: Renderer | None = None
+        self._renderer_lock = threading.RLock()
         self._device_mask = device_mask
         self._samples_per_step = samples_per_step
         self._requests: dict[int, OutputRequest] = {}
+        self._fulfilled: dict[int, int] = {}  # promise -> output handle
         self._next_promise = 0
         self._outputs: dict[int, _Output] = {}
         self._next_output = 0
         self._render_time = 0.0
+        self._asynchronous = asynchronous
+        self._workers = []
+        self._shutdown = threading.Event()
+        self._work_available = threading.Event()
+        if asynchronous:
+            from .queue_worker import QueueWorker, WorkQueue
+
+            self._host_queue = WorkQueue("host")
+            self._host_worker = QueueWorker("Host Main Worker", self._host_queue)
+            self._host_worker.start()
+            self._workers.append(self._host_worker)
+            self._render_thread = threading.Thread(
+                target=self._render_loop, name="Device Worker", daemon=True
+            )
+            self._render_thread.start()
 
     # -- lifecycle ----------------------------------------------------------
 
     @property
     def renderer(self) -> Renderer:
         if self._renderer is None:
-            self._renderer = Renderer(self.scene)
+            with self._renderer_lock:
+                if self._renderer is None:
+                    self._renderer = Renderer(self.scene)
         return self._renderer
 
     def destroy(self):
+        self._shutdown.set()
+        self._work_available.set()
+        for w in self._workers:
+            w.shutdown()
         self._renderer = None
+
+    def check_errors(self):
+        """Raise the first error captured on a worker thread."""
+        for w in self._workers:
+            errs = w.take_errors()
+            if errs:
+                raise errs[0]
+
+    # -- async workers -------------------------------------------------------
+
+    @property
+    def num_queue_workers(self) -> int:
+        """reference: luminary_host_get_num_queue_workers."""
+        return len(self._workers) + (1 if self._asynchronous else 0)
+
+    def get_queue_worker_name(self, worker_id: int) -> str | None:
+        names = [w.name for w in self._workers]
+        if self._asynchronous:
+            names.append("Device Worker")
+        return names[worker_id] if 0 <= worker_id < len(names) else None
+
+    def get_queue_worker_string(self, worker_id: int) -> str | None:
+        """Current task of a worker (None = idle)."""
+        if worker_id < len(self._workers):
+            return self._workers[worker_id].current_task
+        if self._asynchronous and worker_id == len(self._workers):
+            return self._render_task
+        return None
+
+    def get_queue_worker_time(self, worker_id: int) -> float:
+        if worker_id < len(self._workers):
+            return self._workers[worker_id].current_task_time
+        return 0.0
+
+    _render_task: str | None = None
+
+    def _render_loop(self):
+        """The device-worker loop (reference: device_manager's worker thread
+        + the render continuation callbacks, device_manager.c:864-877)."""
+        import time as _time
+
+        while not self._shutdown.is_set():
+            pending = [r for r in self._requests.values() if not r.ready]
+            if not pending:
+                self._work_available.wait(timeout=0.05)
+                self._work_available.clear()
+                continue
+            target = max(r.sample_count for r in pending)
+            with self._renderer_lock:
+                r = self.renderer
+                r.update()
+                if r.sample_count < target:
+                    self._render_task = "Rendering"
+                    step = min(
+                        self._samples_per_step, target - r.sample_count
+                    )
+                    t0 = _time.monotonic()
+                    r.render_samples(step)
+                    self._render_time += _time.monotonic() - t0
+                    self._render_task = None
+                self._fulfill_ready()
+
+    def _fulfill_ready(self):
+        """Convert finished requests into output handles (render lock held)."""
+        r = self.renderer
+        for promise, req in list(self._requests.items()):
+            if not req.ready and r.sample_count >= req.sample_count:
+                handle = self._next_output
+                self._next_output += 1
+                self._outputs[handle] = _Output(
+                    image=r.get_image(),
+                    sample_count=r.sample_count,
+                    time=self._render_time,
+                )
+                req.ready = True
+                self._fulfilled[promise] = handle
 
     # -- scene loading ------------------------------------------------------
 
-    def load_lum_file(self, path: str) -> LumFileContent:
-        """reference: luminary_host_load_lum_file (host.c:534)."""
+    def load_lum_file(self, path: str) -> LumFileContent | None:
+        """reference: luminary_host_load_lum_file (host.c:534). In async
+        mode the load happens on the host worker and None is returned."""
+        if self._asynchronous:
+            from .queue_worker import QueueEntry
+
+            self._host_queue.push(
+                QueueEntry(name="Loading Lum File",
+                           function=lambda: self._load_lum_sync(path))
+            )
+            return None
+        return self._load_lum_sync(path)
+
+    def _load_lum_sync(self, path: str) -> LumFileContent:
         content = read_lum_file(path)
         base_instance_count = self.scene.num_instances
         mesh_id_offset = self.scene.num_meshes
@@ -229,11 +350,20 @@ class Host:
         return promise
 
     def try_await_output(self, promise: int) -> int:
-        """Poll a promise; renders a bounded slice of work per call so callers
-        stay responsive (the async stage moves this off-thread). Returns an
-        output handle or OUTPUT_HANDLE_INVALID."""
+        """Poll a promise. In async mode this never blocks (the render
+        worker does the work); in sync mode it renders a bounded slice per
+        call so callers stay responsive. Returns an output handle or
+        OUTPUT_HANDLE_INVALID."""
+        if promise in self._fulfilled:
+            handle = self._fulfilled.pop(promise)
+            del self._requests[promise]
+            return handle
         if promise not in self._requests:
             raise InvalidAPIArgumentError(f"unknown output promise {promise}")
+        if self._asynchronous:
+            self.check_errors()
+            self._work_available.set()
+            return OUTPUT_HANDLE_INVALID
         req = self._requests[promise]
         r = self.renderer
         r.update()

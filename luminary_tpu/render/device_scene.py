@@ -284,7 +284,11 @@ def bvh_max_depth(child: np.ndarray) -> int:
 def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     corners, normals, uvs, mats, insts, prims = flatten_instances(scene)
     t = corners.shape[0]
-    bvh: BVH2 = build_bvh(corners, leaf_size=LEAF_SIZE)
+    from ..bvh.native import build_bvh_native
+
+    bvh = build_bvh_native(corners, leaf_size=LEAF_SIZE)
+    if bvh is None:
+        bvh = build_bvh(corners, leaf_size=LEAF_SIZE)
     depth = bvh_max_depth(bvh.child)
     assert depth <= MAX_TRAIL_DEPTH, (
         f"BVH depth {depth} exceeds the {MAX_TRAIL_DEPTH}-bit traversal trail"

@@ -1,0 +1,78 @@
+"""Async host mode tests (reference architecture: host worker threads,
+non-blocking API, worker introspection — host/host.c, host.h:46-70)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from luminary_tpu.host.host import Host, OUTPUT_HANDLE_INVALID
+
+OBJ = "v -2 0 -2\nv 2 0 -2\nv 2 0 2\nv -2 0 2\nf 1 2 3 4\n"
+
+
+@pytest.fixture
+def obj_file(tmp_path):
+    p = tmp_path / "plane.obj"
+    p.write_text(OBJ)
+    return str(p)
+
+
+def test_async_render_flow(obj_file):
+    host = Host(asynchronous=True, samples_per_step=8)
+    try:
+        host.load_obj_file(obj_file)
+        s = host.get_settings()
+        s.width = s.height = 16
+        s.max_ray_depth = 2
+        host.set_settings(s)
+
+        promise = host.request_output(sample_count=8)
+        handle = OUTPUT_HANDLE_INVALID
+        deadline = time.monotonic() + 120
+        while handle == OUTPUT_HANDLE_INVALID and time.monotonic() < deadline:
+            handle = host.try_await_output(promise)
+            time.sleep(0.02)
+        assert handle != OUTPUT_HANDLE_INVALID, "async render never completed"
+        img = host.get_image(handle)
+        assert img.shape == (16, 16, 3)
+        assert host.get_image_meta(handle)["sample_count"] >= 8
+    finally:
+        host.destroy()
+
+
+def test_async_lum_load(tmp_path, obj_file):
+    lum = tmp_path / "s.lum"
+    lum.write_text(
+        "Luminary\nVERSION 4\nGENERAL WIDTH___ 16\nGENERAL HEIGHT__ 16\n"
+        "GENERAL BOUNCES_ 2\nGENERAL MESHFILE plane.obj\n"
+    )
+    host = Host(asynchronous=True)
+    try:
+        assert host.load_lum_file(str(lum)) is None  # queued
+        deadline = time.monotonic() + 30
+        while host.num_meshes == 0 and time.monotonic() < deadline:
+            host.check_errors()
+            time.sleep(0.01)
+        assert host.num_meshes == 1
+    finally:
+        host.destroy()
+
+
+def test_worker_introspection(obj_file):
+    host = Host(asynchronous=True)
+    try:
+        assert host.num_queue_workers >= 2
+        names = [host.get_queue_worker_name(i) for i in range(host.num_queue_workers)]
+        assert "Host Main Worker" in names
+        assert "Device Worker" in names
+        assert host.get_queue_worker_time(0) == 0.0  # idle
+    finally:
+        host.destroy()
+
+
+def test_sync_mode_unaffected(obj_file):
+    host = Host()
+    host.load_obj_file(obj_file)
+    assert host.num_meshes == 1
+    assert host.num_queue_workers == 0

@@ -147,3 +147,46 @@ def test_leaf_order_padding():
     used = order[order >= 0]
     assert sorted(used.tolist()) == list(range(10))
     assert len(order) % 4 == 0
+
+
+def test_native_builder_matches_numpy(rng):
+    from luminary_tpu.bvh.native import build_bvh_native, native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    corners = random_tris(rng, 500)
+    bvh_n = build_bvh_native(corners, leaf_size=4)
+    dbvh_n = to_device_bvh(bvh_n, corners)
+    bvh_p = build_bvh(corners, leaf_size=4)
+    dbvh_p = to_device_bvh(bvh_p, corners)
+
+    origins = (rng.random((256, 3)).astype(np.float32) - 0.5) * 20.0
+    dirs = rng.standard_normal((256, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    hn = trace_closest(dbvh_n, jnp.asarray(origins), jnp.asarray(dirs))
+    hp = trace_closest(dbvh_p, jnp.asarray(origins), jnp.asarray(dirs))
+    np.testing.assert_allclose(
+        np.minimum(np.asarray(hn.t), 1e30),
+        np.minimum(np.asarray(hp.t), 1e30),
+        rtol=1e-4,
+    )
+    # all triangles present exactly once
+    used = bvh_n.tri_order[bvh_n.tri_order >= 0]
+    assert sorted(used.tolist()) == list(range(500))
+
+
+def test_native_builder_large_scene_performance(rng):
+    from luminary_tpu.bvh.native import build_bvh_native, native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    import time
+
+    corners = random_tris(rng, 200_000, spread=100.0)
+    t0 = time.monotonic()
+    bvh = build_bvh_native(corners, leaf_size=4)
+    dt = time.monotonic() - t0
+    assert bvh is not None
+    assert dt < 5.0, f"native build too slow: {dt:.2f}s for 200k tris"
+    used = bvh.tri_order[bvh.tri_order >= 0]
+    assert len(used) == 200_000
