@@ -122,10 +122,13 @@ def generate_camera_rays(
     Returns (origin [N,3] world, direction [N,3] world unit).
     """
     # One jitter shared by all pixels of a sample (reference:
-    # camera_utils.cuh:23-27 keys the jitter on pixel (0,0)).
+    # camera_utils.cuh:23-27 keys the jitter on pixel (0,0)) — computed on a
+    # single lane and broadcast (the Sobol+Owen chain is ~50 u32 multiplies,
+    # too costly to replicate 262k times).
     jitter = quasi_2d(
-        RandomTarget.CAMERA_JITTER, jnp.zeros_like(pixel_id), sample_id
+        RandomTarget.CAMERA_JITTER, jnp.zeros((1,), jnp.uint32), sample_id
     )
+    jitter = jnp.broadcast_to(jitter.reshape(-1)[-2:], (2,))
 
     step = 2.0 * cam.fov / width
     vfov = step * height * 0.5

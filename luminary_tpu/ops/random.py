@@ -74,12 +74,18 @@ def _mix(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _key(target, pixel_id, sample_id, depth) -> jnp.ndarray:
-    """Combine the 4-part key into well-mixed 32-bit state."""
+    """Combine the 4-part key into well-mixed 32-bit state.
+
+    Two mixer rounds total: u32 multiplies are the expensive op on the TPU
+    VPU, and two murmur-style rounds already pass the avalanche bar for
+    rendering use (the reference's Squares-style hash is similarly shallow,
+    random.cuh:171-195)."""
     t = jnp.uint32(int(target)) + _DEPTH_STRIDE * jnp.asarray(depth, jnp.uint32)
-    h = _mix(jnp.asarray(pixel_id, jnp.uint32) ^ jnp.uint32(0x9E3779B9))
-    h = _mix(h + jnp.asarray(sample_id, jnp.uint32) * jnp.uint32(0x85EBCA6B))
-    h = _mix(h + t * jnp.uint32(0xC2B2AE35))
-    return h
+    h = jnp.asarray(pixel_id, jnp.uint32) ^ (
+        jnp.asarray(sample_id, jnp.uint32) * jnp.uint32(0x85EBCA6B)
+    )
+    h = h + t * jnp.uint32(0xC2B2AE35)
+    return _mix(h ^ (h >> 15))
 
 
 def _to_float(bits: jnp.ndarray) -> jnp.ndarray:
@@ -93,9 +99,11 @@ def random_1d(target, pixel_id, sample_id, depth=0) -> jnp.ndarray:
 
 
 def random_2d(target, pixel_id, sample_id, depth=0) -> jnp.ndarray:
-    """[..., 2] uniform floats; second dim decorrelated by a salt."""
+    """[..., 2] uniform floats; second dim decorrelated by one extra round."""
     h = _key(target, pixel_id, sample_id, depth)
-    return jnp.stack([_to_float(h), _to_float(_mix(h ^ jnp.uint32(0x68BC21EB)))], axis=-1)
+    h2 = (h ^ jnp.uint32(0x68BC21EB)) * jnp.uint32(0x846CA68B)
+    h2 ^= h2 >> 16
+    return jnp.stack([_to_float(h), _to_float(h2)], axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -111,3 +111,42 @@ def sample_fog_collision(fog: DeviceFog, origin, direction, t_surface,
     t_s = t0 + free_path
     collision = (t1 > t0) & (t_s < t1)
     return collision, jnp.where(collision, t_s, t_surface)
+
+class DeviceWater(NamedTuple):
+    """Ocean water body below `height` (reference: Jerlov water types,
+    cuda/volume.cuh ocean medium). v1 is absorption-only — exact exponential
+    transmittance applied per segment, no scattering events."""
+
+    active: jnp.ndarray  # bool scalar
+    absorb: jnp.ndarray  # f32 [3] absorption 1/m
+    height: jnp.ndarray  # f32 water surface y
+
+
+def pack_water(ocean) -> "DeviceWater":
+    import numpy as _np
+
+    from .procedural import JERLOV_COEFFS
+
+    absorb, _scatter = JERLOV_COEFFS[int(ocean.water_type)]
+    return DeviceWater(
+        active=_np.bool_(bool(ocean.active)),
+        absorb=_np.asarray(absorb, _np.float32),
+        height=_np.float32(ocean.height),
+    )
+
+
+def water_transmittance(water: "DeviceWater", origin, direction, dist):
+    """exp(-σ_a · overlap) of a segment with the water half-space
+    (y < water.height)."""
+    oy = origin[..., 1]
+    dy = direction[..., 1]
+    dy_safe = jnp.where(jnp.abs(dy) < 1e-9, 1e-9, dy)
+    t_plane = (water.height - oy) / dy_safe
+    inside = oy < water.height
+    t0 = jnp.where(inside, 0.0, jnp.where(dy < 0.0, t_plane, jnp.inf))
+    t1 = jnp.where(inside, jnp.where(dy > 0.0, t_plane, dist), dist)
+    t0 = jnp.clip(t0, 0.0, dist)
+    t1 = jnp.clip(t1, 0.0, dist)
+    overlap = jnp.maximum(t1 - t0, 0.0)
+    overlap = jnp.where(water.active, overlap, 0.0)
+    return jnp.exp(-water.absorb * overlap[..., None])

@@ -106,6 +106,7 @@ class DeviceScene(NamedTuple):
     sky: DeviceSky
     lights: "DeviceLights"
     fog: "DeviceFog"
+    water: "DeviceWater"
 
 
 def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
@@ -120,13 +121,32 @@ def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
     )
 
 
+def procedural_materials(scene: Scene) -> list[Material]:
+    """Synthetic materials appended after user materials: ocean water and
+    particle albedo (ids are num_materials + 0 / + 1 when active)."""
+    out = []
+    if scene.ocean.active:
+        out.append(
+            Material(
+                albedo=(0.9, 0.95, 1.0, 1.0),
+                base_substrate=MaterialBaseSubstrate.TRANSLUCENT,
+                refraction_index=scene.ocean.refractive_index,
+                roughness=0.05,
+            )
+        )
+    if scene.particles.active:
+        a = scene.particles.albedo
+        out.append(Material(albedo=(a[0], a[1], a[2], 1.0), roughness=1.0))
+    return out
+
+
 def pack_materials(scene: Scene) -> DeviceMaterials:
     # Materialize the GGX energy LUT outside any trace (it is cached and then
     # closed over as a constant by the jitted render step).
     from ..ops.ggx import ggx_energy_lut
 
     ggx_energy_lut()
-    mats = scene.materials or [Material()]
+    mats = (scene.materials or [Material()]) + procedural_materials(scene)
     m = len(mats)
 
     def tex(t):
@@ -247,6 +267,38 @@ def flatten_instances(scene: Scene):
         mats_l.append(mesh.material_ids.astype(np.int32))
         insts_l.append(np.full(mesh.num_triangles, inst.id, np.int32))
         prims_l.append(np.arange(mesh.num_triangles, dtype=np.int32))
+
+    # Procedural geometry: tessellated ocean + particle billboards
+    # (reference: analytic ocean raymarch + particle GAS; see ops/procedural).
+    from ..ops.procedural import (
+        OCEAN_INSTANCE_ID,
+        PARTICLES_INSTANCE_ID,
+        generate_ocean_mesh,
+        generate_particles,
+    )
+
+    proc_mat = len(scene.materials) if scene.materials else 1
+    if scene.ocean.active:
+        oc_c, oc_n = generate_ocean_mesh(
+            scene.ocean, center_xz=(scene.camera.pos[0], scene.camera.pos[2])
+        )
+        t_o = oc_c.shape[0]
+        corners_l.append(oc_c)
+        normals_l.append(oc_n)
+        uvs_l.append(np.zeros((t_o, 3, 2), np.float32))
+        mats_l.append(np.full(t_o, proc_mat, np.int32))
+        insts_l.append(np.full(t_o, OCEAN_INSTANCE_ID, np.int32))
+        prims_l.append(np.arange(t_o, dtype=np.int32))
+        proc_mat += 1
+    if scene.particles.active:
+        pc_c, pc_n = generate_particles(scene.particles)
+        t_p = pc_c.shape[0]
+        corners_l.append(pc_c)
+        normals_l.append(pc_n)
+        uvs_l.append(np.zeros((t_p, 3, 2), np.float32))
+        mats_l.append(np.full(t_p, proc_mat, np.int32))
+        insts_l.append(np.full(t_p, PARTICLES_INSTANCE_ID, np.int32))
+        prims_l.append(np.arange(t_p, dtype=np.int32))
 
     if not corners_l:
         return (
@@ -369,7 +421,7 @@ def pack_scene(scene: Scene) -> DeviceScene:
     """Full scene pack (the 'upload dirty entities' path; reference:
     device_manager.c:281-513 does this incrementally — incrementality comes
     with the dirty-flag-driven renderer update)."""
-    from ..ops.volume import pack_fog
+    from ..ops.volume import pack_fog, pack_water
 
     geo = pack_geometry(scene)
     materials = pack_materials(scene)
@@ -379,5 +431,6 @@ def pack_scene(scene: Scene) -> DeviceScene:
         sky=pack_sky(scene),
         lights=pack_lights_for(geo, materials),
         fog=pack_fog(scene.fog),
+        water=pack_water(scene.ocean),
     )
     return jax.device_put(ds)

@@ -236,12 +236,13 @@ class Renderer:
             lights = pack_lights_for(geo, materials)
         else:
             lights = self.device_scene.lights
-        from ..ops.volume import pack_fog
+        from ..ops.volume import pack_fog, pack_water
 
         self.device_scene = jax.device_put(
             DeviceScene(
                 geo=geo, materials=materials, sky=sky, lights=lights,
                 fog=pack_fog(self.scene.fog),
+                water=pack_water(self.scene.ocean),
             )
         )
         self.device_camera = pack_camera(self.scene.camera)
