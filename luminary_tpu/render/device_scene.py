@@ -107,6 +107,7 @@ class DeviceScene(NamedTuple):
     lights: "DeviceLights"
     fog: "DeviceFog"
     water: "DeviceWater"
+    textures: "DeviceTextures"
 
 
 def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
@@ -421,6 +422,7 @@ def pack_scene(scene: Scene) -> DeviceScene:
     """Full scene pack (the 'upload dirty entities' path; reference:
     device_manager.c:281-513 does this incrementally — incrementality comes
     with the dirty-flag-driven renderer update)."""
+    from ..ops.textures import pack_textures
     from ..ops.volume import pack_fog, pack_water
 
     geo = pack_geometry(scene)
@@ -432,5 +434,6 @@ def pack_scene(scene: Scene) -> DeviceScene:
         lights=pack_lights_for(geo, materials),
         fog=pack_fog(scene.fog),
         water=pack_water(scene.ocean),
+        textures=pack_textures(scene.textures),
     )
     return jax.device_put(ds)

@@ -208,6 +208,7 @@ class Renderer:
                 max_depth=max(int(s.max_ray_depth), 1),
                 chunk=chunk,
                 shading_mode=int(s.shading_mode),
+                use_textures=len(self.scene.textures) > 0,
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)
@@ -236,13 +237,19 @@ class Renderer:
             lights = pack_lights_for(geo, materials)
         else:
             lights = self.device_scene.lights
+        from ..ops.textures import pack_textures
         from ..ops.volume import pack_fog, pack_water
 
+        if self.device_scene is None or flags & DirtyFlags.TEXTURES:
+            textures = pack_textures(self.scene.textures)
+        else:
+            textures = self.device_scene.textures
         self.device_scene = jax.device_put(
             DeviceScene(
                 geo=geo, materials=materials, sky=sky, lights=lights,
                 fog=pack_fog(self.scene.fog),
                 water=pack_water(self.scene.ocean),
+                textures=textures,
             )
         )
         self.device_camera = pack_camera(self.scene.camera)

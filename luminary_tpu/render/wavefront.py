@@ -45,6 +45,7 @@ from ..ops.volume import (
     sample_hg_direction,
     water_transmittance,
 )
+from ..ops.textures import sample_atlas
 from ..ops.wavefront_utils import sample_sun_direction
 from .device_scene import (
     LEAF_SIZE,
@@ -62,6 +63,7 @@ class RenderConfig(NamedTuple):
     max_depth: int
     chunk: int | None = 65536
     shading_mode: int = 0  # ShadingMode enum
+    use_textures: bool = False  # static: skips atlas fetches when False
 
 
 class GBufferMeta(NamedTuple):
@@ -196,6 +198,21 @@ def render_sample(
         vol_pos = origin + direction * t_col[..., None]
         ns, ng, ng_raw = _shading_normal(geo, slot, direction, hit.u, hit.v)
         lane_mat = _gather_material(mats, mat_id)
+        # albedo texture modulation (reference: 5 texture slots; albedo first)
+        if config.use_textures:
+            tex_id = mats.albedo_tex[mat_id]
+            uvs = geo.uvs[slot]  # [N, 3, 2]
+            w_b = (1.0 - hit.u - hit.v)
+            uv = (
+                uvs[:, 0] * w_b[..., None]
+                + uvs[:, 1] * hit.u[..., None]
+                + uvs[:, 2] * hit.v[..., None]
+            )
+            texel = sample_atlas(scene.textures, tex_id, uv[..., 0], uv[..., 1])
+            lane_mat = lane_mat._replace(
+                albedo=lane_mat.albedo * texel[..., :3],
+                opacity=lane_mat.opacity * texel[..., 3],
+            )
         wo = -direction
 
         # scatter-albedo loss at a volume collision
