@@ -108,6 +108,7 @@ class DeviceScene(NamedTuple):
     fog: "DeviceFog"
     water: "DeviceWater"
     textures: "DeviceTextures"
+    clouds: "DeviceClouds"
 
 
 def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
@@ -422,6 +423,7 @@ def pack_scene(scene: Scene) -> DeviceScene:
     """Full scene pack (the 'upload dirty entities' path; reference:
     device_manager.c:281-513 does this incrementally — incrementality comes
     with the dirty-flag-driven renderer update)."""
+    from ..ops.clouds import pack_clouds
     from ..ops.textures import pack_textures
     from ..ops.volume import pack_fog, pack_water
 
@@ -435,5 +437,6 @@ def pack_scene(scene: Scene) -> DeviceScene:
         fog=pack_fog(scene.fog),
         water=pack_water(scene.ocean),
         textures=pack_textures(scene.textures),
+        clouds=pack_clouds(scene.cloud),
     )
     return jax.device_put(ds)

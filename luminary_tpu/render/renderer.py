@@ -209,6 +209,8 @@ class Renderer:
                 chunk=chunk,
                 shading_mode=int(s.shading_mode),
                 use_textures=len(self.scene.textures) > 0,
+                use_clouds=bool(self.scene.cloud.active and self.scene.cloud.low.active),
+                cloud_steps=min(max(int(self.scene.cloud.steps) // 2, 8), 64),
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)
@@ -237,6 +239,7 @@ class Renderer:
             lights = pack_lights_for(geo, materials)
         else:
             lights = self.device_scene.lights
+        from ..ops.clouds import pack_clouds
         from ..ops.textures import pack_textures
         from ..ops.volume import pack_fog, pack_water
 
@@ -250,6 +253,7 @@ class Renderer:
                 fog=pack_fog(self.scene.fog),
                 water=pack_water(self.scene.ocean),
                 textures=textures,
+                clouds=pack_clouds(self.scene.cloud),
             )
         )
         self.device_camera = pack_camera(self.scene.camera)

@@ -64,6 +64,8 @@ class RenderConfig(NamedTuple):
     chunk: int | None = 65536
     shading_mode: int = 0  # ShadingMode enum
     use_textures: bool = False  # static: skips atlas fetches when False
+    use_clouds: bool = False  # static: skips the cloud march when False
+    cloud_steps: int = 32
 
 
 class GBufferMeta(NamedTuple):
@@ -364,6 +366,17 @@ def render_sample(
     sky_total = sky_rgb + jnp.where(
         in_sun_disc[..., None], sun_radiance * miss_sun_weight[..., None], 0.0
     )
+    if config.use_clouds:
+        # One cloud march per sample across all miss lanes (reference marches
+        # per sky task; clouds live above the scene so miss position ≈ the
+        # final path origin).
+        from ..ops.clouds import cloud_march
+
+        cloud_rgb, cloud_t = cloud_march(
+            scene.clouds, origin, safe_dir, scene.sky.sun_dir,
+            sun_radiance, sky_rgb, steps=config.cloud_steps,
+        )
+        sky_total = cloud_rgb + sky_total * cloud_t[..., None]
     radiance = radiance + jnp.where(
         ever_missed[..., None], miss_throughput * sky_total, 0.0
     )
