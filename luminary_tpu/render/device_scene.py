@@ -439,4 +439,6 @@ def pack_scene(scene: Scene) -> DeviceScene:
         textures=pack_textures(scene.textures),
         clouds=pack_clouds(scene.cloud),
     )
-    return jax.device_put(ds)
+    from ..utils.fastput import fast_device_put
+
+    return fast_device_put(ds)

@@ -247,7 +247,9 @@ class Renderer:
             textures = pack_textures(self.scene.textures)
         else:
             textures = self.device_scene.textures
-        self.device_scene = jax.device_put(
+        from ..utils.fastput import fast_device_put
+
+        self.device_scene = fast_device_put(
             DeviceScene(
                 geo=geo, materials=materials, sky=sky, lights=lights,
                 fog=pack_fog(self.scene.fog),
