@@ -109,12 +109,14 @@ def _subset_step(
     static_argnames=(
         "width", "height", "tonemap", "filter_id", "dithering",
         "bloom", "purkinje", "color_correction", "film_grain",
+        "supersampling",
     ),
 )
 def _generate_image(
     accum: AccumState,
     width: int,
     height: int,
+    supersampling: int,
     exposure,
     tonemap: int,
     filter_id: int,
@@ -144,6 +146,13 @@ def _generate_image(
         accum.sample_count[:n_pixels].astype(jnp.float32), 1.0
     )[:, None]
     img = (mean * exposure).reshape(height, width, 3)
+    if supersampling > 1:
+        oh, ow = height // supersampling, width // supersampling
+        img = img[: oh * supersampling, : ow * supersampling].reshape(
+            oh, supersampling, ow, supersampling, 3
+        ).mean(axis=(1, 3))
+        height, width = oh, ow
+        n_pixels = oh * ow
     if bloom:
         img = apply_bloom(img, bloom_blend)
     if purkinje:
@@ -200,11 +209,25 @@ class Renderer:
             or self.config.height != s.height
         )
         if rebuild_buffers or flags & DirtyFlags.INTEGRATION:
-            n_pixels = s.width * s.height
+            # Supersampling renders at ss x resolution and box-averages on
+            # output (reference: structs.h supersampling + GENERATE_FINAL_IMAGE
+            # SS average). Region rendering restricts the wavefront to the
+            # sensor sub-rect (reference: settings.region_*).
+            ss = max(int(s.supersampling), 1)
+            rw_full, rh_full = s.width * ss, s.height * ss
+            rx = int(np.clip(s.region_x, 0.0, 1.0) * rw_full)
+            ry = int(np.clip(s.region_y, 0.0, 1.0) * rh_full)
+            rw = max(int(np.clip(s.region_width, 0.0, 1.0) * rw_full), 1)
+            rh = max(int(np.clip(s.region_height, 0.0, 1.0) * rh_full), 1)
+            rw = min(rw, rw_full - rx)
+            rh = min(rh, rh_full - ry)
+            self._ss = ss
+            self._region = (rx, ry, rw, rh)
+            n_pixels = rw * rh
             chunk = min(self.chunk, _round_up(n_pixels, 256))
             self.config = RenderConfig(
-                width=s.width,
-                height=s.height,
+                width=rw_full,
+                height=rh_full,
                 max_depth=max(int(s.max_ray_depth), 1),
                 chunk=chunk,
                 shading_mode=int(s.shading_mode),
@@ -216,7 +239,10 @@ class Renderer:
             idx = np.arange(n_pad, dtype=np.uint32)
             idx = np.minimum(idx, n_pixels - 1)  # padded lanes re-trace pixel N-1
             self._px, self._py = jax.device_put(
-                ((idx % s.width).astype(np.int32), (idx // s.width).astype(np.int32))
+                (
+                    (rx + idx % rw).astype(np.int32),
+                    (ry + idx // rw).astype(np.int32),
+                )
             )
 
         if self.device_scene is None or flags & (
@@ -278,8 +304,8 @@ class Renderer:
     @property
     def sample_count(self) -> int:
         """Effective (minimum completed) samples per pixel."""
-        n = self.config.width * self.config.height
-        return int(jnp.min(self.accum.sample_count[:n]))
+        _, _, rw, rh = self._region
+        return int(jnp.min(self.accum.sample_count[: rw * rh]))
 
     def render_samples(self, num_samples: int):
         """Advance accumulation by a budget of num_samples full-frame
@@ -315,7 +341,8 @@ class Renderer:
         )
 
         s = self.scene.settings
-        n_pixels = self.config.width * self.config.height
+        _, _, rw, rh = self._region
+        n_pixels = rw * rh
         lane_budget = num_samples * n_pixels
         interval = max(int(s.adaptive_sampling_update_interval) // 8, 2)
 
@@ -339,12 +366,12 @@ class Renderer:
                 block_error_map(
                     self.accum.radiance, self.accum.lum_sq,
                     self.accum.sample_count,
-                    self.config.width, self.config.height,
+                    rw, rh,
                     bool(s.adaptive_sampling_exposure_aware),
                     jnp.float32(self.scene.camera.exposure),
                 )
             )
-            pix = pick_stage_pixels(err, self.config.width, self.config.height, subset)
+            pix = pick_stage_pixels(err, rw, rh, subset)
             if pix is None:
                 break
             # fixed-size subset: tile the picked pixels to fill the wavefront
@@ -359,9 +386,10 @@ class Renderer:
             sample_ids = jnp.asarray(
                 counts.astype(np.uint32) + dup_rank.astype(np.uint32) * rounds
             )
+            rx0, ry0 = self._region[0], self._region[1]
             idx = jnp.asarray(pix_full.astype(np.int32))
-            px = jnp.asarray((pix_full % self.config.width).astype(np.int32))
-            py = jnp.asarray((pix_full // self.config.width).astype(np.int32))
+            px = jnp.asarray((rx0 + pix_full % rw).astype(np.int32))
+            py = jnp.asarray((ry0 + pix_full // rw).astype(np.int32))
             rad, lsq = _subset_step(
                 self.device_scene, self.device_camera, self.config,
                 px, py, sample_ids, rounds,
@@ -383,10 +411,12 @@ class Renderer:
     def get_image(self) -> np.ndarray:
         """uint8 [H, W, 3] final image."""
         cam = self.scene.camera
+        rx, ry, rw, rh = self._region
         img = _generate_image(
             self.accum,
-            self.config.width,
-            self.config.height,
+            rw,
+            rh,
+            self._ss,
             jnp.float32(cam.exposure),
             int(cam.tonemap),
             int(cam.filter),
@@ -408,18 +438,22 @@ class Renderer:
 
     def get_radiance(self) -> np.ndarray:
         """float32 [H, W, 3] linear mean radiance (for comparison metrics)."""
-        n = self.config.width * self.config.height
+        rx, ry, rw, rh = self._region
+        n = rw * rh
         mean = self.accum.radiance[:n] / jnp.maximum(
             self.accum.sample_count[:n].astype(jnp.float32), 1.0
         )[:, None]
-        return np.asarray(mean).reshape(self.config.height, self.config.width, 3)
+        return np.asarray(mean).reshape(rh, rw, 3)
 
     def get_pixel_info(self, x: int, y: int):
         """Interactive picking (reference: luminary_host_get_pixel_info,
         host.c:997-1016). Returns dict or None before first sample."""
         if self.gbuffer is None:
             return None
-        idx = y * self.config.width + x
+        rx, ry, rw, rh = self._region
+        idx = (y * self._ss - ry) * rw + (x * self._ss - rx)
+        if not 0 <= idx < rw * rh:
+            return None
         depth = float(self.gbuffer.depth[idx])
         return {
             "pixel_query_is_valid": bool(self.gbuffer.instance_id[idx] >= 0),
