@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import math3
 
@@ -30,10 +31,10 @@ ATMO_HEIGHT = 100.0
 ATMO_RADIUS = EARTH_RADIUS + ATMO_HEIGHT
 
 # Sea-level coefficients, km^-1 (standard clear-sky values)
-BETA_RAYLEIGH = jnp.asarray([5.802e-3, 13.558e-3, 33.1e-3])
+BETA_RAYLEIGH = np.asarray([5.802e-3, 13.558e-3, 33.1e-3])
 BETA_MIE_SCATTER = 3.996e-3
 BETA_MIE_ABSORB = 4.4e-4
-BETA_OZONE_ABS = jnp.asarray([0.650e-3, 1.881e-3, 0.085e-3])
+BETA_OZONE_ABS = np.asarray([0.650e-3, 1.881e-3, 0.085e-3])
 
 TRANSMITTANCE_W, TRANSMITTANCE_H = 256, 64  # reference sky_defines.h:13-14
 MULTISCATTER_RES = 32  # reference sky_defines.h:12

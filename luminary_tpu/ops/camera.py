@@ -5,7 +5,7 @@ Matches the reference's thin-lens model so framing is identical
 camera.cuh:11-39): sensor plane at +Z looking down -Z in camera space, fov
 encodes the half-width of the sensor at z=1, aperture/focal distances in
 millimetre lens units scaled by CAMERA_COMMON_SCALE into world units, and the
-per-sample (not per-pixel) subpixel jitter.
+per-sample (not per-pixel) subpixel jitter. Component-SoA throughout.
 """
 
 from __future__ import annotations
@@ -14,8 +14,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from . import math3
 from .random import RandomTarget, quasi_2d, random_1d, random_2d
+from .vec import Vec3, normalize, quaternion_apply_v
 
 CAMERA_COMMON_SCALE = 0.001
 CAMERA_COMMON_INV_SCALE = 1.0 / CAMERA_COMMON_SCALE
@@ -70,42 +70,37 @@ def pack_camera(camera) -> DeviceCamera:
     )
 
 
-def _sample_aperture(cam: DeviceCamera, pixel_id, sample_id):
+def _sample_aperture(cam: DeviceCamera, pixel_id, sample_id) -> Vec3:
     """Aperture point in lens units (reference: camera_thin_lens.cuh
     camera_thin_lens_sample_aperture). Weight forced to 1 like the reference."""
     r = random_2d(RandomTarget.LENS, pixel_id, sample_id)
+    r0, r1 = r[..., 0], r[..., 1]
     aperture = cam.aperture_size * CAMERA_COMMON_INV_SCALE
 
     # Round aperture
-    alpha = r[..., 0] * (2.0 * jnp.pi)
-    beta = jnp.sqrt(r[..., 1]) * aperture
-    round_xy = jnp.stack([jnp.cos(alpha) * beta, jnp.sin(alpha) * beta], axis=-1)
+    alpha = r0 * (2.0 * jnp.pi)
+    beta = jnp.sqrt(r1) * aperture
+    round_x = jnp.cos(alpha) * beta
+    round_y = jnp.sin(alpha) * beta
 
     # Bladed aperture: uniform point in the triangle fan sector
     blades = cam.aperture_blade_count.astype(jnp.float32)
     blade = jnp.floor(
         random_1d(RandomTarget.LENS_BLADE, pixel_id, sample_id) * blades
     )
-    a = jnp.sqrt(r[..., 0])
+    a = jnp.sqrt(r0)
     u = 1.0 - a
-    v = a * r[..., 1]
+    v = a * r1
     step = (2.0 * jnp.pi) / blades
     a1 = step * blade
     a2 = step * (blade + 1.0)
-    bladed_xy = (
-        jnp.stack(
-            [
-                jnp.sin(a1) * u + jnp.sin(a2) * v,
-                jnp.cos(a1) * u + jnp.cos(a2) * v,
-            ],
-            axis=-1,
-        )
-        * aperture
-    )
+    bladed_x = (jnp.sin(a1) * u + jnp.sin(a2) * v) * aperture
+    bladed_y = (jnp.cos(a1) * u + jnp.cos(a2) * v) * aperture
 
-    xy = jnp.where(cam.aperture_shape_bladed, bladed_xy, round_xy)
-    xy = jnp.where(cam.aperture_size > 0.0, xy, jnp.zeros_like(xy))
-    return jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+    open_ap = cam.aperture_size > 0.0
+    x = jnp.where(open_ap, jnp.where(cam.aperture_shape_bladed, bladed_x, round_x), 0.0)
+    y = jnp.where(open_ap, jnp.where(cam.aperture_shape_bladed, bladed_y, round_y), 0.0)
+    return Vec3(x, y, jnp.zeros_like(x))
 
 
 def generate_camera_rays(
@@ -117,35 +112,41 @@ def generate_camera_rays(
     pixel_id: jnp.ndarray,
     sample_id,
 ):
-    """Thin-lens primary rays for a pixel wavefront.
-
-    Returns (origin [N,3] world, direction [N,3] world unit).
-    """
+    """Thin-lens primary rays for a pixel wavefront → (origin, direction)
+    component-SoA Vec3s in world space."""
     # One jitter shared by all pixels of a sample (reference:
     # camera_utils.cuh:23-27 keys the jitter on pixel (0,0)) — computed on a
-    # single lane and broadcast (the Sobol+Owen chain is ~50 u32 multiplies,
-    # too costly to replicate 262k times).
+    # single lane and broadcast (the Sobol chain is ~50 u32 multiplies).
     jitter = quasi_2d(
         RandomTarget.CAMERA_JITTER, jnp.zeros((1,), jnp.uint32), sample_id
     )
-    jitter = jnp.broadcast_to(jitter.reshape(-1)[-2:], (2,))
+    jx = jitter.reshape(-1)[0]
+    jy = jitter.reshape(-1)[1]
 
     step = 2.0 * cam.fov / width
     vfov = step * height * 0.5
-    sx = cam.fov - step * (pixel_x.astype(jnp.float32) + jitter[..., 0])
-    sy = -vfov + step * (pixel_y.astype(jnp.float32) + jitter[..., 1])
-    sensor = jnp.stack([sx, sy, jnp.ones_like(sx)], axis=-1)
+    sx = cam.fov - step * (pixel_x.astype(jnp.float32) + jx)
+    sy = -vfov + step * (pixel_y.astype(jnp.float32) + jy)
+    sensor = Vec3(sx, sy, jnp.ones_like(sx))
 
-    to_focal = math3.normalize(-sensor)
+    to_focal = normalize(-sensor)
     focal_len = jnp.maximum(cam.object_distance * CAMERA_COMMON_INV_SCALE, 0.01)
-    focal_point = to_focal * (-focal_len / to_focal[..., 2:3])
+    scale = -focal_len / to_focal.z
+    focal_point = to_focal * scale
 
     aperture_point = _sample_aperture(cam, pixel_id, sample_id)
-    direction = math3.normalize(focal_point - aperture_point)
+    direction = normalize(focal_point - aperture_point)
 
     # To world space (reference: camera.cuh:30-36).
-    q = cam.rotation_q
-    origin = math3.quaternion_apply(q, aperture_point)
-    origin = origin * (cam.camera_scale * CAMERA_COMMON_SCALE) + cam.pos
-    direction = math3.quaternion_apply(q, direction)
+    qw, qx, qy, qz = (
+        cam.rotation_q[0], cam.rotation_q[1], cam.rotation_q[2], cam.rotation_q[3]
+    )
+    origin = quaternion_apply_v(qw, qx, qy, qz, aperture_point)
+    s = cam.camera_scale * CAMERA_COMMON_SCALE
+    origin = Vec3(
+        origin.x * s + cam.pos[0],
+        origin.y * s + cam.pos[1],
+        origin.z * s + cam.pos[2],
+    )
+    direction = quaternion_apply_v(qw, qx, qy, qz, direction)
     return origin, direction

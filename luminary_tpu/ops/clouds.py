@@ -17,7 +17,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from . import math3
+from .vec import Vec3, dot as vdot
 
 
 class DeviceClouds(NamedTuple):
@@ -55,49 +55,57 @@ def pack_clouds(cloud) -> DeviceClouds:
     )
 
 
-def _hash3(p):
-    """f32 hash of a 3D lattice point (no integer multiplies needed on the
-    hot path beyond these — cheap sin-free construction)."""
-    h = p[..., 0] * 127.1 + p[..., 1] * 311.7 + p[..., 2] * 74.7
+def _hash3(px, py, pz):
+    """f32 hash of a 3D lattice point (sin-free is not worth it here; one
+    transcendental per corner on the VPU)."""
+    h = px * 127.1 + py * 311.7 + pz * 74.7
     return jnp.abs(jnp.mod(jnp.sin(h) * 43758.5453, 1.0))
 
 
-def value_noise3(p):
-    """Trilinear value noise at positions [..., 3]."""
-    pi = jnp.floor(p)
-    pf = p - pi
-    w = pf * pf * (3.0 - 2.0 * pf)
+def value_noise3(p: Vec3):
+    """Trilinear value noise at component-SoA positions."""
+    ix, iy, iz = jnp.floor(p.x), jnp.floor(p.y), jnp.floor(p.z)
+    fx, fy, fz = p.x - ix, p.y - iy, p.z - iz
+    wx = fx * fx * (3.0 - 2.0 * fx)
+    wy = fy * fy * (3.0 - 2.0 * fy)
+    wz = fz * fz * (3.0 - 2.0 * fz)
 
-    def corner(dx, dy, dz):
-        return _hash3(pi + jnp.asarray([dx, dy, dz], p.dtype))
+    c000 = _hash3(ix, iy, iz)
+    c100 = _hash3(ix + 1, iy, iz)
+    c010 = _hash3(ix, iy + 1, iz)
+    c110 = _hash3(ix + 1, iy + 1, iz)
+    c001 = _hash3(ix, iy, iz + 1)
+    c101 = _hash3(ix + 1, iy, iz + 1)
+    c011 = _hash3(ix, iy + 1, iz + 1)
+    c111 = _hash3(ix + 1, iy + 1, iz + 1)
+    x00 = c000 + (c100 - c000) * wx
+    x10 = c010 + (c110 - c010) * wx
+    x01 = c001 + (c101 - c001) * wx
+    x11 = c011 + (c111 - c011) * wx
+    y0 = x00 + (x10 - x00) * wy
+    y1 = x01 + (x11 - x01) * wy
+    return y0 + (y1 - y0) * wz
 
-    c000, c100 = corner(0, 0, 0), corner(1, 0, 0)
-    c010, c110 = corner(0, 1, 0), corner(1, 1, 0)
-    c001, c101 = corner(0, 0, 1), corner(1, 0, 1)
-    c011, c111 = corner(0, 1, 1), corner(1, 1, 1)
-    x00 = c000 + (c100 - c000) * w[..., 0]
-    x10 = c010 + (c110 - c010) * w[..., 0]
-    x01 = c001 + (c101 - c001) * w[..., 0]
-    x11 = c011 + (c111 - c011) * w[..., 0]
-    y0 = x00 + (x10 - x00) * w[..., 1]
-    y1 = x01 + (x11 - x01) * w[..., 1]
-    return y0 + (y1 - y0) * w[..., 2]
 
-
-def fbm3(p, octaves: int = 3):
+def fbm3(p: Vec3, octaves: int = 3):
     total = 0.0
     amp, norm = 0.5, 0.0
     for o in range(octaves):
-        total = total + amp * value_noise3(p * (2.0**o) + 17.31 * o)
+        q = Vec3(
+            p.x * (2.0**o) + 17.31 * o,
+            p.y * (2.0**o) + 17.31 * o,
+            p.z * (2.0**o) + 17.31 * o,
+        )
+        total = total + amp * value_noise3(q)
         norm += amp
         amp *= 0.5
     return total / norm
 
 
-def cloud_density(cl: DeviceClouds, pos):
-    """Density in [0, 1] at world positions [..., 3] (HZD-style coverage/
-    height-gradient/detail-erosion recipe — our own noise stack)."""
-    h = pos[..., 1]
+def cloud_density(cl: DeviceClouds, pos: Vec3):
+    """Density in [0, 1] at component-SoA world positions (HZD-style
+    coverage/height-gradient/detail-erosion recipe — our own noise stack)."""
+    h = pos.y
     h01 = jnp.clip(
         (h - cl.height_min) / jnp.maximum(cl.height_max - cl.height_min, 1e-3),
         0.0, 1.0,
@@ -105,18 +113,13 @@ def cloud_density(cl: DeviceClouds, pos):
     # height gradient: round bottoms, wispy tops
     grad = jnp.clip(h01 * 4.0, 0.0, 1.0) * jnp.clip((1.0 - h01) * 2.5, 0.0, 1.0)
 
-    p = pos + jnp.concatenate(
-        [cl.offset[0][None], cl.seed[None], cl.offset[1][None]]
-    )
-    weather = fbm3(
-        jnp.concatenate(
-            [p[..., 0:1], jnp.zeros_like(p[..., 0:1]), p[..., 2:3]], axis=-1
-        )
-        * (0.0004 * cl.weather_scale),
-        octaves=3,
-    )
-    base = fbm3(p * (0.0015 * cl.shape_scale), octaves=4)
-    detail = fbm3(p * (0.009 * cl.detail_scale), octaves=2)
+    p = Vec3(pos.x + cl.offset[0], pos.y + cl.seed, pos.z + cl.offset[1])
+    ws = 0.0004 * cl.weather_scale
+    weather = fbm3(Vec3(p.x * ws, jnp.zeros_like(p.y), p.z * ws), octaves=3)
+    ss = 0.0015 * cl.shape_scale
+    base = fbm3(Vec3(p.x * ss, p.y * ss, p.z * ss), octaves=4)
+    ds = 0.009 * cl.detail_scale
+    detail = fbm3(Vec3(p.x * ds, p.y * ds, p.z * ds), octaves=2)
 
     coverage = jnp.clip(weather * cl.coverage, cl.coverage_min, 2.0)
     d = base * grad * coverage - 0.55
@@ -124,9 +127,9 @@ def cloud_density(cl: DeviceClouds, pos):
     return jnp.clip(d * 4.0, 0.0, 1.0) * cl.density
 
 
-def _layer_span(cl: DeviceClouds, origin, direction):
-    oy = origin[..., 1]
-    dy = direction[..., 1]
+def _layer_span(cl: DeviceClouds, origin: Vec3, direction: Vec3):
+    oy = origin.y
+    dy = direction.y
     dy_safe = jnp.where(jnp.abs(dy) < 1e-7, 1e-7, dy)
     t_lo = (cl.height_min - oy) / dy_safe
     t_hi = (cl.height_max - oy) / dy_safe
@@ -138,15 +141,15 @@ def _layer_span(cl: DeviceClouds, origin, direction):
 
 def cloud_march(
     cl: DeviceClouds,
-    origin,
-    direction,
-    sun_dir,
-    sun_radiance,
-    sky_ambient,
+    origin: Vec3,
+    direction: Vec3,
+    sun_dir: Vec3,
+    sun_radiance,  # f32 [3]
+    sky_ambient,  # (r, g, b) channel arrays
     steps: int = 48,
     shadow_steps: int = 4,
 ):
-    """March the low cloud layer. Returns (radiance [N,3], transmittance [N]).
+    """March the low cloud layer → ((r,g,b) radiance, transmittance [N]).
 
     Lighting: sun with a short shadow march + dual-lobe HG (forward +
     backward, reference cloud.cuh scatter lerp) + ambient from the SH sky.
@@ -156,7 +159,7 @@ def cloud_march(
     dt = span / steps
     sigma = 0.004  # extinction per density unit per meter
 
-    cos_sun = math3.dot(direction, sun_dir)
+    cos_sun = vdot(direction, sun_dir)
     g1, g2, lerp = 0.65, -0.25, 0.5
     from .volume import hg_phase
 
@@ -166,32 +169,38 @@ def cloud_march(
 
     import jax
 
+    amb_r, amb_g, amb_b = sky_ambient
+    n_shape = origin.x.shape
+
     def step_fn(i, carry):
-        radiance, transmittance = carry
+        rr, rg, rb, transmittance = carry
         t = t0 + (i.astype(jnp.float32) + 0.5) * dt
-        pos = origin + direction * t[..., None]
+        pos = Vec3(
+            origin.x + direction.x * t,
+            origin.y + direction.y * t,
+            origin.z + direction.z * t,
+        )
         dens = cloud_density(cl, pos) * (span > 1e-3)
         ext = dens * sigma * dt
 
         def shadow_fn(k, tau):
-            sp = pos + sun_dir * ((k.astype(jnp.float32) + 0.5) * shadow_len / shadow_steps)
+            o = (k.astype(jnp.float32) + 0.5) * shadow_len / shadow_steps
+            sp = Vec3(pos.x + sun_dir.x * o, pos.y + sun_dir.y * o, pos.z + sun_dir.z * o)
             return tau + cloud_density(cl, sp)
 
         shadow_tau = jax.lax.fori_loop(0, shadow_steps, shadow_fn, jnp.zeros_like(dens))
         sun_t = jnp.exp(-shadow_tau * sigma * (shadow_len / shadow_steps))
         powder = 1.0 - jnp.exp(-dens * 2.0)  # darker cores
-        scatter = (
-            sun_radiance * (phase * sun_t * powder)[..., None]
-            + sky_ambient * 0.3
-        )
-        radiance = radiance + scatter * (transmittance * ext)[..., None]
+        lit = phase * sun_t * powder
+        w = transmittance * ext
+        rr = rr + (sun_radiance[0] * lit + amb_r * 0.3) * w
+        rg = rg + (sun_radiance[1] * lit + amb_g * 0.3) * w
+        rb = rb + (sun_radiance[2] * lit + amb_b * 0.3) * w
         transmittance = transmittance * jnp.exp(-ext)
-        return radiance, transmittance
+        return rr, rg, rb, transmittance
 
-    radiance, transmittance = jax.lax.fori_loop(
-        0,
-        steps,
-        step_fn,
-        (jnp.zeros(origin.shape[:-1] + (3,)), jnp.ones(origin.shape[:-1])),
+    rr, rg, rb, transmittance = jax.lax.fori_loop(
+        0, steps, step_fn,
+        (jnp.zeros(n_shape), jnp.zeros(n_shape), jnp.zeros(n_shape), jnp.ones(n_shape)),
     )
-    return radiance, transmittance
+    return (rr, rg, rb), transmittance

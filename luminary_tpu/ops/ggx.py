@@ -5,12 +5,11 @@ bsdf.cuh:11-85, bsdf_utils.cuh — bounded-VNDF reflection sampling
 [Eto-Tokuyoshi 2023], Smith height-correlated masking, dielectric/conductor
 fresnel, multiscatter energy-compensation LUTs built on device,
 device_bsdf.c). Our directional-albedo LUT is jit-precomputed with a
-deterministic VNDF-importance quadrature instead of a progressive GPU kernel,
-and energy compensation uses the Turquin-style 1 + F_avg (1-E)/E multiplier
-driven by that LUT.
+deterministic VNDF-importance quadrature, and energy compensation uses the
+Turquin-style 1 + F_avg (1-E)/E multiplier driven by that LUT.
 
-Conventions: all directions point *away* from the surface; ``wo`` toward the
-viewer (−ray), ``wi`` the light direction. Local frames put the normal on +Z.
+Component-SoA: directions are Vec3 bundles in the LOCAL shading frame
+(z = normal); colors are (r, g, b) channel tuples.
 """
 
 from __future__ import annotations
@@ -21,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import math3
+from .vec import Vec3, dot, normalize, reflect
 
 MIN_ROUGHNESS = 0.025  # clamp like the reference's roughness_clamp floor
 
@@ -52,61 +51,48 @@ def _smith_lambda(alpha: jnp.ndarray, cos_t: jnp.ndarray) -> jnp.ndarray:
 def smith_g1(alpha, cos_t):
     return 1.0 / (1.0 + _smith_lambda(alpha, cos_t))
 
+
 def smith_g2(alpha, cos_o, cos_i):
     """Height-correlated Smith masking-shadowing."""
     return 1.0 / (1.0 + _smith_lambda(alpha, cos_o) + _smith_lambda(alpha, cos_i))
 
 
-def sample_vndf_bounded(wo_l: jnp.ndarray, alpha: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:
-    """Bounded VNDF sampling of the GGX half-vector (Eto & Tokuyoshi 2023,
-    'Bounded VNDF Sampling for Smith-GGX Reflections' — tightens the
-    spherical-cap bound to cut wasted samples; the reference cites the same
-    paper, bsdf_utils.cuh:176-180).
-
-    wo_l: view direction in local frame [..., 3] (z = normal).
-    Returns half-vector in local frame.
-    """
-    a = alpha[..., None]
-    wo_std = math3.normalize(
-        jnp.concatenate([wo_l[..., :2] * a, wo_l[..., 2:3]], axis=-1)
-    )
-    # Bounded cap constant
+def sample_vndf_bounded(wo_l: Vec3, alpha: jnp.ndarray, r2: jnp.ndarray) -> Vec3:
+    """Bounded VNDF sampling of the GGX half-vector (Eto & Tokuyoshi 2023 —
+    the paper the reference cites, bsdf_utils.cuh:176-180). Local frame."""
+    wo_std = normalize(Vec3(wo_l.x * alpha, wo_l.y * alpha, wo_l.z))
     alpha_c = jnp.minimum(alpha, 1.0)
-    s = 1.0 + jnp.sqrt(jnp.maximum(wo_l[..., 0] ** 2 + wo_l[..., 1] ** 2, 0.0))
+    s = 1.0 + jnp.sqrt(jnp.maximum(wo_l.x * wo_l.x + wo_l.y * wo_l.y, 0.0))
     a2 = alpha_c * alpha_c
     s2 = s * s
-    k = (1.0 - a2) * s2 / (s2 + a2 * wo_l[..., 2] ** 2)
+    k = (1.0 - a2) * s2 / (s2 + a2 * wo_l.z * wo_l.z)
 
-    # Sample the (bounded) spherical cap around wo_std
-    b = jnp.where(wo_l[..., 2] > 0.0, k * wo_std[..., 2], wo_std[..., 2])
+    b = jnp.where(wo_l.z > 0.0, k * wo_std.z, wo_std.z)
     phi = 2.0 * jnp.pi * r2[..., 0]
     z = (1.0 - r2[..., 1]) * (1.0 + b) - b
     sin_t = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
-    c = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), z], axis=-1)
-    h_std = c + wo_std
-    # Back to ellipsoid space
-    h = math3.normalize(
-        jnp.concatenate([h_std[..., :2] * a, jnp.maximum(h_std[..., 2:3], 0.0)], axis=-1)
-    )
-    return h
+    cx = sin_t * jnp.cos(phi) + wo_std.x
+    cy = sin_t * jnp.sin(phi) + wo_std.y
+    cz = z + wo_std.z
+    return normalize(Vec3(cx * alpha, cy * alpha, jnp.maximum(cz, 0.0)))
 
 
-def vndf_bounded_pdf(wo_l, wi_l, alpha):
+def vndf_bounded_pdf(wo_l: Vec3, wi_l: Vec3, alpha):
     """PDF of sample_vndf_bounded over wi (reflected solid angle)."""
-    h = math3.normalize(wo_l + wi_l)
-    ndf = ggx_ndf(alpha, h[..., 2])
-    ai = alpha[..., None] * wo_l[..., :2]
-    len2 = jnp.sum(ai * ai, axis=-1)
-    t = jnp.sqrt(len2 + wo_l[..., 2] ** 2)
-    # Bounded-cap normalization
+    h = normalize(wo_l + wi_l)
+    ndf = ggx_ndf(alpha, h.z)
+    aix = alpha * wo_l.x
+    aiy = alpha * wo_l.y
+    len2 = aix * aix + aiy * aiy
+    t = jnp.sqrt(len2 + wo_l.z * wo_l.z)
     alpha_c = jnp.minimum(alpha, 1.0)
-    s = 1.0 + jnp.sqrt(jnp.maximum(wo_l[..., 0] ** 2 + wo_l[..., 1] ** 2, 0.0))
+    s = 1.0 + jnp.sqrt(jnp.maximum(wo_l.x * wo_l.x + wo_l.y * wo_l.y, 0.0))
     a2 = alpha_c * alpha_c
     s2 = s * s
-    k = (1.0 - a2) * s2 / (s2 + a2 * wo_l[..., 2] ** 2)
-    pdf_upper = ndf / (2.0 * (k * wo_l[..., 2] + t))
-    pdf_lower = ndf * (t - wo_l[..., 2]) / (2.0 * len2 + 1e-12)
-    return jnp.where(wo_l[..., 2] >= 0.0, pdf_upper, pdf_lower)
+    k = (1.0 - a2) * s2 / (s2 + a2 * wo_l.z * wo_l.z)
+    pdf_upper = ndf / (2.0 * (k * wo_l.z + t))
+    pdf_lower = ndf * (t - wo_l.z) / (2.0 * len2 + 1e-12)
+    return jnp.where(wo_l.z >= 0.0, pdf_upper, pdf_lower)
 
 
 # ---------------------------------------------------------------------------
@@ -114,9 +100,11 @@ def vndf_bounded_pdf(wo_l, wi_l, alpha):
 # ---------------------------------------------------------------------------
 
 
-def fresnel_schlick(f0: jnp.ndarray, cos_t: jnp.ndarray) -> jnp.ndarray:
+def fresnel_schlick(f0, cos_t):
+    """Scalar-channel Schlick; call per channel for RGB."""
     m = jnp.clip(1.0 - cos_t, 0.0, 1.0)
-    return f0 + (1.0 - f0) * (m ** 5)[..., None] if f0.ndim > cos_t.ndim else f0 + (1.0 - f0) * m ** 5
+    m5 = (m * m) * (m * m) * m
+    return f0 + (1.0 - f0) * m5
 
 
 def fresnel_dielectric(cos_i: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
@@ -144,13 +132,9 @@ _LUT_CACHE_PATH = __import__("os").path.join(
 @lru_cache(maxsize=1)
 def ggx_energy_lut() -> jax.Array:
     """E(μo, roughness): single-scatter directional albedo of the GGX lobe
-    with F=1, on a 32x32 grid (the role of the reference's 32³ bsdf LUTs,
-    device_utils.h:42; our conductor compensation only needs the 2D slice).
-
-    Computed once with deterministic VNDF importance sampling (estimator
-    E = mean(G2/G1) with h ~ VNDF), then cached to data/ — the embedded-LUT
-    role of the reference's Ceb assets (device_embedded.c).
-    """
+    with F=1 on a 32x32 grid (the role of the reference's 32³ bsdf LUTs,
+    device_utils.h:42). Computed once with deterministic VNDF importance
+    sampling (estimator E = mean(G2/G1)), cached to data/."""
     import os
 
     if os.path.exists(_LUT_CACHE_PATH):
@@ -163,29 +147,23 @@ def ggx_energy_lut() -> jax.Array:
         rough = jnp.linspace(0.0, 1.0, _LUT_RES)
         alpha = roughness_to_alpha(rough)
 
-        # Deterministic low-discrepancy grid (R2 sequence)
         n = 1024
         i = jnp.arange(n, dtype=jnp.float32) + 0.5
         g = 1.32471795724474602596
         r2 = jnp.stack([jnp.mod(i / g, 1.0), jnp.mod(i / (g * g), 1.0)], axis=-1)
 
         def entry(mu_o, a):
-            wo = jnp.stack(
-                [jnp.sqrt(jnp.maximum(1.0 - mu_o**2, 0.0)), jnp.zeros_like(mu_o), mu_o],
-                axis=-1,
+            sin_o = jnp.sqrt(jnp.maximum(1.0 - mu_o**2, 0.0))
+            wo = Vec3(
+                jnp.broadcast_to(sin_o, (n,)),
+                jnp.zeros((n,)),
+                jnp.broadcast_to(mu_o, (n,)),
             )
-            wo_b = jnp.broadcast_to(wo, (n, 3))
             a_b = jnp.broadcast_to(a, (n,))
-            h = sample_vndf_bounded(wo_b, a_b, r2)
-            wi = math3.reflect(-wo_b, h)
-            ok = wi[..., 2] > 0.0
-            # For bounded VNDF the estimator weight is G2/G1 adjusted by the
-            # bound; using the ratio pdf_std/pdf_bounded * G2/G1 keeps it
-            # unbiased. Approximate with standard VNDF weight (bound ratio
-            # integrates to ~1 for the energy integral).
-            w = smith_g2(a_b, wo_b[..., 2], wi[..., 2]) / jnp.maximum(
-                smith_g1(a_b, wo_b[..., 2]), 1e-6
-            )
+            h = sample_vndf_bounded(wo, a_b, r2)
+            wi = reflect(-wo, h)
+            ok = wi.z > 0.0
+            w = smith_g2(a_b, wo.z, wi.z) / jnp.maximum(smith_g1(a_b, wo.z), 1e-6)
             return jnp.mean(jnp.where(ok, w, 0.0))
 
         f = jax.vmap(lambda m: jax.vmap(lambda al: entry(m, al))(alpha))(mu)
@@ -199,52 +177,57 @@ def ggx_energy_lut() -> jax.Array:
     return lut
 
 
-def energy_compensation(f0_avg: jnp.ndarray, cos_o: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
-    """Turquin-style multiple-scattering gain: 1 + F_avg (1-E)/E."""
+def energy_compensation_gain(cos_o: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
+    """(1-E)/E from the LUT — multiply by F_avg and add 1 at the call site."""
     lut = ggx_energy_lut()
     mu_i = jnp.clip((cos_o - 0.02) / 0.98, 0.0, 1.0) * (_LUT_RES - 1)
     r_i = jnp.clip(roughness, 0.0, 1.0) * (_LUT_RES - 1)
     i0 = jnp.clip(mu_i.astype(jnp.int32), 0, _LUT_RES - 2)
     j0 = jnp.clip(r_i.astype(jnp.int32), 0, _LUT_RES - 2)
     fi, fj = mu_i - i0, r_i - j0
+    flat = lut.reshape(-1)
+    base = i0 * _LUT_RES + j0
     e = (
-        lut[i0, j0] * (1 - fi) * (1 - fj)
-        + lut[i0 + 1, j0] * fi * (1 - fj)
-        + lut[i0, j0 + 1] * (1 - fi) * fj
-        + lut[i0 + 1, j0 + 1] * fi * fj
+        flat[base] * (1 - fi) * (1 - fj)
+        + flat[base + _LUT_RES] * fi * (1 - fj)
+        + flat[base + 1] * (1 - fi) * fj
+        + flat[base + _LUT_RES + 1] * fi * fj
     )
-    gain = 1.0 + (1.0 - e) / e
-    if f0_avg.ndim > cos_o.ndim:
-        return 1.0 + f0_avg * (gain - 1.0)[..., None]
-    return 1.0 + f0_avg * (gain - 1.0)
+    return (1.0 - e) / e
 
 
 # ---------------------------------------------------------------------------
-# Lobe eval / sample in local frame
+# Lobe eval in local frame (RGB as channel tuples)
 # ---------------------------------------------------------------------------
 
 
-def ggx_reflect_eval(wo_l, wi_l, alpha, f0_rgb, roughness):
-    """Specular reflection lobe value (RGB, includes fresnel + multiscatter
-    gain) and its sampling pdf. Zero below the horizon."""
-    cos_o = wo_l[..., 2]
-    cos_i = wi_l[..., 2]
+def ggx_reflect_eval(wo_l: Vec3, wi_l: Vec3, alpha, f0_rgb, roughness):
+    """Specular lobe value·cos (RGB tuple, fresnel + multiscatter included)
+    and its sampling pdf. Zero below the horizon."""
+    cos_o = wo_l.z
+    cos_i = wi_l.z
     valid = (cos_o > 0.0) & (cos_i > 0.0)
-    h = math3.normalize(wo_l + wi_l)
-    cos_h = jnp.clip(h[..., 2], 0.0, 1.0)
-    cos_oh = jnp.clip(jnp.sum(wo_l * h, axis=-1), 0.0, 1.0)
+    h = normalize(wo_l + wi_l)
+    cos_h = jnp.clip(h.z, 0.0, 1.0)
+    cos_oh = jnp.clip(dot(wo_l, h), 0.0, 1.0)
     d = ggx_ndf(alpha, cos_h)
     g2 = smith_g2(alpha, cos_o, cos_i)
-    f = fresnel_schlick(f0_rgb, cos_oh)
-    spec = f * (d * g2 / jnp.maximum(4.0 * cos_o, 1e-8))[..., None]  # * cos_i folded: value*cos
-    # note: this returns f_r * cos_i (the integrator works with premultiplied cos)
-    f0_avg = jnp.mean(f0_rgb, axis=-1)
-    spec = spec * energy_compensation(f0_avg, cos_o, roughness)[..., None]
+    base = d * g2 / jnp.maximum(4.0 * cos_o, 1e-8)  # f_r * cos_i premultiplied
+    f0r, f0g, f0b = f0_rgb
+    f0_avg = (f0r + f0g + f0b) * (1.0 / 3.0)
+    gain = energy_compensation_gain(cos_o, roughness)
+    comp = 1.0 + f0_avg * gain
+    scale = jnp.where(valid, base * comp, 0.0)
+    fr = fresnel_schlick(f0r, cos_oh) * scale
+    fg = fresnel_schlick(f0g, cos_oh) * scale
+    fb = fresnel_schlick(f0b, cos_oh) * scale
     pdf = vndf_bounded_pdf(wo_l, wi_l, alpha)
-    return jnp.where(valid[..., None], spec, 0.0), jnp.where(valid, pdf, 0.0)
+    return (fr, fg, fb), jnp.where(valid, pdf, 0.0)
 
 
-def diffuse_eval(wi_l, albedo):
-    """Lambert lobe premultiplied by cos: albedo/π * cos_i, pdf = cos_i/π."""
-    cos_i = jnp.maximum(wi_l[..., 2], 0.0)
-    return albedo * (cos_i / jnp.pi)[..., None], cos_i / jnp.pi
+def diffuse_eval(wi_l: Vec3, kd_rgb):
+    """Lambert lobe·cos: kd/π · cos_i, pdf = cos_i/π. RGB channel tuple."""
+    cos_i = jnp.maximum(wi_l.z, 0.0)
+    w = cos_i * (1.0 / jnp.pi)
+    kr, kg, kb = kd_rgb
+    return (kr * w, kg * w, kb * w), w

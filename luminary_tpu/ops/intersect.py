@@ -1,46 +1,49 @@
-"""Ray-primitive intersection kernels (batched jnp).
+"""Ray-primitive intersection kernels (component-SoA, batched jnp).
 
 Replaces the reference's OptiX RT-core intersections + dormant custom
 traversal (reference: src/luminary/device/cuda/bvh.cuh — compiled out;
 device/optix/*.cu). Triangle test is Möller-Trumbore in the precomputed
-(v0, e1, e2) form; AABB test is the branchless slab method. Both are written
-to vectorize over arbitrary leading batch dims on the VPU.
+(v0, e1, e2) form; AABB test is the branchless slab method.
+
+All functions take :class:`~luminary_tpu.ops.vec.Vec3` component bundles —
+flat [N] arrays per component. On TPU this is ~7x faster than [N, 3] arrays
+(minor-axis padding; see ops/vec.py).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-from . import math3
+from .vec import Vec3, cross, dot
 
 # Distance returned for misses — also the ray-alive sentinel
 # (reference uses FLT_MAX the same way).
-MISS_DIST = jnp.float32(3.0e38)
+MISS_DIST = np.float32(3.0e38)
 
 
 def ray_triangle(
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
-    v0: jnp.ndarray,
-    e1: jnp.ndarray,
-    e2: jnp.ndarray,
+    origin: Vec3,
+    direction: Vec3,
+    v0: Vec3,
+    e1: Vec3,
+    e2: Vec3,
     t_min: float | jnp.ndarray = 1e-4,
 ):
-    """Möller-Trumbore over broadcastable batches.
+    """Möller-Trumbore over broadcastable component batches.
 
-    Returns (t, u, v, hit) where hit=False gives t=MISS_DIST. Backface hits
-    are reported (the integrator decides what to do with them).
+    Returns (t, u, v, hit) with t=MISS_DIST on miss. Backface hits are
+    reported (the integrator decides what to do with them).
     """
-    pvec = jnp.cross(direction, e2)
-    det = math3.dot(e1, pvec)
-    # Near-zero determinant → parallel → miss.
+    pvec = cross(direction, e2)
+    det = dot(e1, pvec)
     parallel = jnp.abs(det) < 1e-12
     inv_det = jnp.reciprocal(jnp.where(parallel, 1.0, det))
     tvec = origin - v0
-    u = math3.dot(tvec, pvec) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = math3.dot(direction, qvec) * inv_det
-    t = math3.dot(e2, qvec) * inv_det
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1)
+    v = dot(direction, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
     hit = (
         (~parallel)
         & (u >= 0.0)
@@ -52,23 +55,26 @@ def ray_triangle(
 
 
 def ray_aabb(
-    origin: jnp.ndarray,
-    inv_direction: jnp.ndarray,
-    box_min: jnp.ndarray,
-    box_max: jnp.ndarray,
+    origin: Vec3,
+    inv_direction: Vec3,
+    box_min: Vec3,
+    box_max: Vec3,
     t_max: jnp.ndarray,
     t_min: float | jnp.ndarray = 0.0,
 ):
-    """Branchless slab test.
-
-    Args broadcast; inv_direction is 1/direction with ±inf for zero
-    components (jnp division produces that naturally).
-    Returns (entry_t, hit).
-    """
-    t0 = (box_min - origin) * inv_direction
-    t1 = (box_max - origin) * inv_direction
-    near = jnp.minimum(t0, t1)
-    far = jnp.maximum(t0, t1)
-    entry = jnp.maximum(jnp.max(near, axis=-1), t_min)
-    exit_ = jnp.minimum(jnp.min(far, axis=-1), t_max)
-    return entry, entry <= exit_
+    """Branchless slab test on component bundles. Returns (entry_t, hit)."""
+    t0x = (box_min.x - origin.x) * inv_direction.x
+    t1x = (box_max.x - origin.x) * inv_direction.x
+    t0y = (box_min.y - origin.y) * inv_direction.y
+    t1y = (box_max.y - origin.y) * inv_direction.y
+    t0z = (box_min.z - origin.z) * inv_direction.z
+    t1z = (box_max.z - origin.z) * inv_direction.z
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.minimum(jnp.maximum(t0z, t1z), t_max),
+    )
+    return near, near <= far

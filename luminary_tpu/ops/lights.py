@@ -22,8 +22,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from . import math3
-from .random import RandomTarget, random_1d, random_2d
+from .random import RandomTarget, random_2d
+from .vec import Vec3, gather as vgather
 
 
 class DeviceLights(NamedTuple):
@@ -116,14 +116,13 @@ def pack_lights(
 def sample_light_point(
     lights: DeviceLights,
     geo,
-    shading_pos: jnp.ndarray,  # [N,3]
     pixel_id,
     sample_id,
     depth,
 ):
     """Draw one light triangle (alias table) + a uniform point on it.
 
-    Returns (light_slot [N], point [N,3], normal [N,3], pdf_area [N],
+    Returns (light_slot [N], point Vec3, normal Vec3, pdf_area [N],
     emission_valid [N]). pdf_area is over the light surface: select_pdf/area.
     """
     l = lights.prob.shape[0]
@@ -140,11 +139,11 @@ def sample_light_point(
     su = jnp.sqrt(jnp.clip(r2[..., 0], 1e-8, 1.0))
     b1 = 1.0 - su
     b2 = r2[..., 1] * su
-    v0 = geo.bvh.tri_v0[slot]
-    e1 = geo.bvh.tri_e1[slot]
-    e2 = geo.bvh.tri_e2[slot]
-    point = v0 + e1 * b1[..., None] + e2 * b2[..., None]
-    n = geo.face_normal[slot]
+    v0 = vgather(geo.bvh.tri_v0, slot)
+    e1 = vgather(geo.bvh.tri_e1, slot)
+    e2 = vgather(geo.bvh.tri_e2, slot)
+    point = v0 + e1 * b1 + e2 * b2
+    n = vgather(geo.face_normal, slot)
     area = lights.slot_area[slot]
     pdf_area = pdf_select / jnp.maximum(area, 1e-12)
     has_lights = lights.num_lights > 0

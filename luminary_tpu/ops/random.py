@@ -22,6 +22,7 @@ from __future__ import annotations
 from enum import IntEnum
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class RandomTarget(IntEnum):
@@ -59,7 +60,9 @@ class RandomTarget(IntEnum):
     NUM_TARGETS = 24
 
 
-_DEPTH_STRIDE = jnp.uint32(RandomTarget.NUM_TARGETS)
+# numpy (not jnp): a device constant here would force jax backend init at
+# import time, breaking light-weight imports of the io/scene subpackages.
+_DEPTH_STRIDE = np.uint32(RandomTarget.NUM_TARGETS)
 
 
 def _mix(x: jnp.ndarray) -> jnp.ndarray:

@@ -14,13 +14,14 @@ import numpy as np
 L_MAX = 6  # 49 coefficients per channel
 
 
-def _sh_basis(dirs, xp):
-    """All real SH basis values up to L_MAX for unit dirs [..., 3].
+def _sh_basis(xyz, xp):
+    """All real SH basis values up to L_MAX for unit direction components
+    (x, y, z) — a tuple of same-shaped arrays.
 
     Works for numpy (projection) and jax.numpy (evaluation): pass the module.
     Returns list of [...]-shaped arrays, length (L_MAX+1)^2, ordered (l, m).
     """
-    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    x, y, z = xyz
     out = []
     # Associated Legendre via recurrence on z; azimuth via complex powers of
     # (x + iy) built incrementally as (cos mφ sin^m θ, sin mφ sin^m θ).
@@ -89,7 +90,7 @@ def project_envmap_sh(env: np.ndarray) -> np.ndarray:
     d_omega = (np.pi / h) * (2.0 * np.pi / w) * st  # [h,1]
     weights = np.broadcast_to(d_omega, (h, w))[..., None]  # [h,w,1]
 
-    basis = _sh_basis(dirs, np)
+    basis = _sh_basis((dirs[..., 0], dirs[..., 1], dirs[..., 2]), np)
     n_coeff = len(basis)
     coeffs = np.zeros((n_coeff, 3), np.float32)
     for i, b in enumerate(basis):
@@ -105,10 +106,26 @@ def project_envmap_sh(env: np.ndarray) -> np.ndarray:
     return coeffs
 
 
+def eval_sh_components(coeffs, x, y, z, xp):
+    """Evaluate SH radiance for unit direction components → (r, g, b)
+    channel arrays (clamped ≥ 0). Component-SoA form for the hot path."""
+    basis = _sh_basis((x, y, z), xp)
+    r = g = b = 0.0
+    for i, bas in enumerate(basis):
+        r = r + coeffs[i, 0] * bas
+        g = g + coeffs[i, 1] * bas
+        b = b + coeffs[i, 2] * bas
+    zero = xp.zeros_like(r)
+    return (
+        xp.maximum(r, zero),
+        xp.maximum(g, zero),
+        xp.maximum(b, zero),
+    )
+
+
 def eval_sh(coeffs, dirs, xp):
     """Evaluate SH radiance for unit dirs [..., 3] → [..., 3] (clamped ≥ 0)."""
-    basis = _sh_basis(dirs, xp)
-    out = 0.0
-    for i, b in enumerate(basis):
-        out = out + coeffs[i] * b[..., None]
-    return xp.maximum(out, 0.0)
+    r, g, b = eval_sh_components(
+        coeffs, dirs[..., 0], dirs[..., 1], dirs[..., 2], xp
+    )
+    return xp.stack([r, g, b], axis=-1)

@@ -17,8 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from . import math3
-from .sh import eval_sh
+from .sh import eval_sh_components
+from .vec import Vec3, dot as vdot
 
 # Sun angular radius as seen from earth (~0.2667 deg).
 SUN_COS_RADIUS = 0.99998869
@@ -29,32 +29,37 @@ SUN_IRRADIANCE = 1.25  # top-of-atmosphere, at exposure-1 calibration
 SUN_RADIANCE = SUN_IRRADIANCE / _SUN_SOLID_ANGLE
 
 
-def sky_radiance(sky, direction: jnp.ndarray, include_sun=True) -> jnp.ndarray:
-    """Environment radiance for escaping rays. [N, 3].
+def sun_dir_vec(sky) -> Vec3:
+    return Vec3(sky.sun_dir[0], sky.sun_dir[1], sky.sun_dir[2])
 
-    Args:
-      sky: DeviceSky pack (env map + sun state).
-      include_sun: whether the solar disc contributes (the integrator handles
-        disc MIS itself and passes False, adding the disc explicitly).
+
+def sky_radiance(sky, direction: Vec3, include_sun=True) -> Vec3:
+    """Environment radiance for escaping rays → RGB Vec3 of [N] channels.
+
+    include_sun: whether the solar disc contributes (the integrator handles
+    disc MIS itself and passes False, adding the disc explicitly).
     """
     d = direction
     # SH-6 evaluation: gather-free sky (an env-map fetch is an O(N·texels)
     # table scan on TPU; the smooth, disc-free sky fits SH well).
-    env = eval_sh(sky.sh_coeffs, d, jnp)
+    r, g, b = eval_sh_components(sky.sh_coeffs, d.x, d.y, d.z, jnp)
 
-    cos_sun = math3.dot(d, sky.sun_dir)
+    cos_sun = vdot(d, sun_dir_vec(sky))
     in_disc = cos_sun >= SUN_COS_RADIUS
     center = jnp.clip((cos_sun - SUN_COS_RADIUS) / (1.0 - SUN_COS_RADIUS), 0.0, 1.0)
-    limb = 0.3 + 0.7 * jnp.sqrt(center)
-    sun_disc = in_disc[..., None] * limb[..., None] * sky.sun_disc_radiance
-
+    limb = jnp.where(in_disc, 0.3 + 0.7 * jnp.sqrt(center), 0.0)
     include = jnp.asarray(include_sun)
-    if include.ndim > 0:
-        include = include[..., None]
-    radiance = env + jnp.where(include, sun_disc, 0.0)
+    disc = limb * include
+    r = r + disc * sky.sun_disc_radiance[0]
+    g = g + disc * sky.sun_disc_radiance[1]
+    b = b + disc * sky.sun_disc_radiance[2]
 
-    constant = jnp.broadcast_to(sky.constant_color, radiance.shape)
-    return jnp.where(sky.mode == 2, constant, radiance)
+    is_const = sky.mode == 2
+    return Vec3(
+        jnp.where(is_const, sky.constant_color[0], r),
+        jnp.where(is_const, sky.constant_color[1], g),
+        jnp.where(is_const, sky.constant_color[2], b),
+    )
 
 
 def sun_solid_angle_radiance(sky) -> jnp.ndarray:

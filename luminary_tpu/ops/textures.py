@@ -19,7 +19,10 @@ ATLAS_RES = 64  # pages are ATLAS_RES x ATLAS_RES RGBA
 
 
 class DeviceTextures(NamedTuple):
-    atlas: jnp.ndarray  # f32 [num_pages * R * R, 4], linear color
+    atlas_r: jnp.ndarray  # f32 [num_pages * R * R], linear color
+    atlas_g: jnp.ndarray
+    atlas_b: jnp.ndarray
+    atlas_a: jnp.ndarray
     num_pages: jnp.ndarray  # i32 scalar
 
 
@@ -55,19 +58,30 @@ def pack_textures(textures) -> DeviceTextures:
         pages.append(_resize_area(f[..., :4], ATLAS_RES).astype(np.float32))
     if not pages:
         atlas = np.ones((1 * ATLAS_RES * ATLAS_RES, 4), np.float32)
-        return DeviceTextures(atlas=atlas, num_pages=np.int32(0))
-    atlas = np.stack(pages).reshape(-1, 4)
-    return DeviceTextures(atlas=atlas, num_pages=np.int32(len(pages)))
+    else:
+        atlas = np.stack(pages).reshape(-1, 4)
+    return DeviceTextures(
+        atlas_r=np.ascontiguousarray(atlas[:, 0]),
+        atlas_g=np.ascontiguousarray(atlas[:, 1]),
+        atlas_b=np.ascontiguousarray(atlas[:, 2]),
+        atlas_a=np.ascontiguousarray(atlas[:, 3]),
+        num_pages=np.int32(len(pages)),
+    )
 
 
 def sample_atlas(tex: DeviceTextures, tex_id, u, v):
     """Nearest-tap fetch: [N] page ids (+ids < 0 → white), [N] uv (repeat
-    wrap). Returns [N, 4]."""
+    wrap). Returns (r, g, b, a) channel arrays."""
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
     x = jnp.clip((uu * ATLAS_RES).astype(jnp.int32), 0, ATLAS_RES - 1)
     y = jnp.clip((vv * ATLAS_RES).astype(jnp.int32), 0, ATLAS_RES - 1)
     page = jnp.maximum(tex_id, 0)
     idx = page * (ATLAS_RES * ATLAS_RES) + y * ATLAS_RES + x
-    texel = tex.atlas[idx]
-    return jnp.where((tex_id >= 0)[..., None], texel, 1.0)
+    present = tex_id >= 0
+    return (
+        jnp.where(present, tex.atlas_r[idx], 1.0),
+        jnp.where(present, tex.atlas_g[idx], 1.0),
+        jnp.where(present, tex.atlas_b[idx], 1.0),
+        jnp.where(present, tex.atlas_a[idx], 1.0),
+    )

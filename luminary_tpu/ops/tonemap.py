@@ -10,6 +10,7 @@ Benjamin/Troy AGX matrices).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import math3
 from .random import RandomTarget, random_1d
@@ -40,14 +41,14 @@ def tm_uncharted2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # AGX (Troy Sobotka's AgX, Benjamin Wrensch's approximation constants).
-_AGX_IN = jnp.asarray(
+_AGX_IN = np.asarray(
     [
         [0.842479062253094, 0.0423282422610123, 0.0423756549057051],
         [0.0784335999999992, 0.878468636469772, 0.0784336],
         [0.0792237451477643, 0.0791661274605434, 0.879142973793104],
     ]
 )
-_AGX_OUT = jnp.asarray(
+_AGX_OUT = np.asarray(
     [
         [1.19687900512017, -0.0528968517574562, -0.0529716355144438],
         [-0.0980208811401368, 1.15190312990417, -0.0980434501171241],

@@ -1,22 +1,17 @@
-"""Wavefront BVH traversal — stackless bit-trail design.
+"""Wavefront BVH traversal — component-SoA, two execution tiers.
 
 TPU-native replacement for the reference's OptiX RT-core traversal (reference:
 src/luminary/device/optix/optix_kernel_raytrace.cu) and its dormant custom
 stackful kernel (src/luminary/device/cuda/bvh.cuh, compiled out).
 
-Why stackless: a per-ray stack needs ``stack[ray, ptr]`` dynamic row indexing,
-which lowers to ~1 ms/iteration scatters on TPU (measured) — while flat ``[N]``
-gathers from node tables cost ~1 µs. So the traversal keeps ALL per-ray state
-in flat vectors: current node id, a 64-bit trail (two u32 words), and the
-best-hit registers. Ordered near-first descent with parent-link backtracking
-(the classic bitstack walk-up scheme): descending pushes one trail bit per
-level ("far sibling pending?"), backtracking walks parent links one level per
-iteration until a pending bit is found, then crosses to the sibling.
-
-Every iteration is pure lane-parallel VPU work: one [*, 2, 3] AABB gather +
-slab test for descending lanes, one [*, LEAF] triangle block test for leaf
-lanes, one parent/sibling gather for backtracking lanes — all masked, no
-scatters, no cross-lane traffic.
+Layout rules that shaped this design (all measured on v5e):
+  * per-ray dynamic ROW indexing (stacks, take_along_axis) ≈ 1 ms/iter → the
+    deep tier is stackless (bit-trail + parent links), per-ray state is flat;
+  * [N, 3] vectors pad 3 → 128 lanes (7x waste) → everything is per-component
+    flat arrays (ops/vec.py), including the node/triangle tables;
+  * gathers scan their table (O(N·M)) while dense brute-force Möller-Trumbore
+    streams on the VPU → scenes up to DENSE_MAX_SLOTS triangles skip the tree
+    entirely and intersect statically-sliced triangle tiles.
 """
 
 from __future__ import annotations
@@ -28,29 +23,36 @@ import jax.numpy as jnp
 import numpy as np
 
 from .intersect import MISS_DIST, ray_aabb, ray_triangle
+from .vec import Vec3, gather as vgather
 
 INVALID_CHILD = np.int32(0x7FFFFFFF)
 MAX_TRAIL_DEPTH = 64  # two u32 trail words; builder enforces this bound
 
+DENSE_MAX_SLOTS = 8192
+_DENSE_TILE = 512
+
 
 class DeviceBVH(NamedTuple):
-    """Threaded BVH + leaf-slot-ordered triangle geometry.
+    """Threaded BVH + leaf-slot-ordered triangle geometry, per-component.
 
     Node ids: >= 0 interior, < 0 leaf block (~id), INVALID_CHILD absent.
     Shading attributes live in the same slot order (see DeviceScene) so a
     hit's slot id indexes everything with no indirection.
     """
 
-    child_min: jnp.ndarray  # f32 [M, 2, 3]
-    child_max: jnp.ndarray  # f32 [M, 2, 3]
-    child: jnp.ndarray  # i32 [M, 2]
-    node_parent: jnp.ndarray  # i32 [M] parent interior id (-1 for root)
-    node_sibling: jnp.ndarray  # i32 [M] sibling node code (leaf-coded ok)
-    leaf_parent: jnp.ndarray  # i32 [B] parent interior id per leaf block
-    leaf_sibling: jnp.ndarray  # i32 [B] sibling node code per leaf block
-    tri_v0: jnp.ndarray  # f32 [P, 3]  (P = B * leaf_size, padded)
-    tri_e1: jnp.ndarray  # f32 [P, 3]
-    tri_e2: jnp.ndarray  # f32 [P, 3]
+    c0_min: Vec3  # [M] per component — child 0 AABB
+    c0_max: Vec3
+    c1_min: Vec3
+    c1_max: Vec3
+    child0: jnp.ndarray  # i32 [M]
+    child1: jnp.ndarray  # i32 [M]
+    node_parent: jnp.ndarray  # i32 [M]
+    node_sibling: jnp.ndarray  # i32 [M]
+    leaf_parent: jnp.ndarray  # i32 [B]
+    leaf_sibling: jnp.ndarray  # i32 [B]
+    tri_v0: Vec3  # [P]  (P = B * leaf_size, padded)
+    tri_e1: Vec3
+    tri_e2: Vec3
 
 
 class Hit(NamedTuple):
@@ -64,8 +66,40 @@ class Hit(NamedTuple):
         return self.slot >= 0
 
 
+def pack_device_bvh(bvh, links, v0, e1, e2) -> DeviceBVH:
+    """numpy BVH2 (+links) + slot triangles → per-component DeviceBVH.
+
+    All leaves stay numpy; the caller ships them via fast_device_put.
+    """
+    node_parent, node_sibling, leaf_parent, leaf_sibling = links
+    cm = bvh.child_min
+    cx = bvh.child_max
+
+    def v3(a):
+        return Vec3(
+            np.ascontiguousarray(a[..., 0]),
+            np.ascontiguousarray(a[..., 1]),
+            np.ascontiguousarray(a[..., 2]),
+        )
+
+    return DeviceBVH(
+        c0_min=v3(cm[:, 0]),
+        c0_max=v3(cx[:, 0]),
+        c1_min=v3(cm[:, 1]),
+        c1_max=v3(cx[:, 1]),
+        child0=np.ascontiguousarray(bvh.child[:, 0]),
+        child1=np.ascontiguousarray(bvh.child[:, 1]),
+        node_parent=node_parent,
+        node_sibling=node_sibling,
+        leaf_parent=leaf_parent,
+        leaf_sibling=leaf_sibling,
+        tri_v0=v3(v0),
+        tri_e1=v3(e1),
+        tri_e2=v3(e2),
+    )
+
+
 def _parent_of(bvh: DeviceBVH, node):
-    """parent id for a node code (interior or leaf)."""
     is_leaf = node < 0
     idx_i = jnp.where(is_leaf, 0, node)
     idx_l = jnp.where(is_leaf, ~node, 0)
@@ -79,149 +113,48 @@ def _sibling_of(bvh: DeviceBVH, node):
     return jnp.where(is_leaf, bvh.leaf_sibling[idx_l], bvh.node_sibling[idx_i])
 
 
-def _traverse(bvh: DeviceBVH, origin, direction, t_max, leaf_size: int,
-              any_hit: bool, t_min: float = 1e-4):
-    n = origin.shape[0]
-    # Clamp direction components away from zero: keeps the slab test free of
-    # 0*inf NaNs for axis-aligned rays and masked-lane dummy rays.
-    d_safe = jnp.where(
-        jnp.abs(direction) < 1e-20, jnp.where(direction < 0, -1e-20, 1e-20), direction
-    )
-    inv_dir = jnp.reciprocal(d_safe)
+def _safe_inv(direction: Vec3) -> Vec3:
+    """1/d with zero components clamped (no 0*inf NaNs in the slab test)."""
 
-    node = jnp.zeros((n,), jnp.int32)  # root
-    trail_lo = jnp.zeros((n,), jnp.uint32)
-    trail_hi = jnp.zeros((n,), jnp.uint32)
-    backtrack = jnp.zeros((n,), bool)
-    done = jnp.zeros((n,), bool)
-    t_best = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
-    slot_best = jnp.full((n,), -1, jnp.int32)
-    u_best = jnp.zeros((n,), jnp.float32)
-    v_best = jnp.zeros((n,), jnp.float32)
-
-    def cond(state):
-        done = state[5]
-        return ~jnp.all(done)
-
-    def body(state):
-        node, trail_lo, trail_hi, backtrack, t_best, done, slot_best, u_best, v_best = state
-        live = ~done
-
-        # ---------- leaf lanes: intersect the 4-slot block ----------
-        # Unrolled per slot with a running elementwise min: per-row dynamic
-        # extraction (argmin + take_along_axis) costs ~1 ms/iter on TPU, while
-        # flat [N] gathers + selects cost ~1 µs (measured; same reason the
-        # whole traversal is stackless).
-        at_leaf = live & ~backtrack & (node < 0)
-        base = jnp.where(at_leaf, ~node, 0) * leaf_size
-        for k in range(leaf_size):
-            sl = base + k
-            t, u, v, tri_hit = ray_triangle(
-                origin, direction,
-                bvh.tri_v0[sl], bvh.tri_e1[sl], bvh.tri_e2[sl],
-                t_min=t_min,
-            )
-            better = tri_hit & at_leaf & (t < t_best)
-            t_best = jnp.where(better, t, t_best)
-            slot_best = jnp.where(better, sl, slot_best)
-            u_best = jnp.where(better, u, u_best)
-            v_best = jnp.where(better, v, v_best)
-        if any_hit:
-            done = done | (at_leaf & (slot_best >= 0))
-            live = ~done
-
-        # ---------- interior lanes: slab-test both children ----------
-        descend = live & ~backtrack & (node >= 0)
-        nidx = jnp.where(descend, node, 0)
-        ch = bvh.child[nidx]
-        entry, box_hit = ray_aabb(
-            origin[:, None, :], inv_dir[:, None, :],
-            bvh.child_min[nidx], bvh.child_max[nidx],
-            t_best[:, None], t_min=0.0,
+    def f(c):
+        return jnp.reciprocal(
+            jnp.where(jnp.abs(c) < 1e-20, jnp.where(c < 0, -1e-20, 1e-20), c)
         )
-        box_hit &= (ch != INVALID_CHILD) & descend[:, None]
-        n_hits = box_hit[:, 0].astype(jnp.int32) + box_hit[:, 1].astype(jnp.int32)
-        swap = (entry[:, 1] < entry[:, 0]) & box_hit[:, 1]
-        near = jnp.where(swap, ch[:, 1], jnp.where(box_hit[:, 0], ch[:, 0], ch[:, 1]))
 
-        # descend outcomes
-        go_down = descend & (n_hits > 0)
-        push_bit = (n_hits == 2).astype(jnp.uint32)
-        new_lo = (trail_lo << 1) | push_bit
-        new_hi = (trail_hi << 1) | (trail_lo >> 31)
-        trail_lo = jnp.where(go_down, new_lo, trail_lo)
-        trail_hi = jnp.where(go_down, new_hi, trail_hi)
-        node = jnp.where(go_down, near, node)
-
-        # lanes that finished a leaf or hit nothing enter backtracking
-        start_back = (descend & (n_hits == 0)) | at_leaf
-        backtrack = backtrack | start_back
-
-        # ---------- backtracking lanes: one walk-up / cross step ----------
-        bt = live & backtrack & ~go_down
-        trail_zero = (trail_lo | trail_hi) == 0
-        done = done | (bt & trail_zero)
-        bt &= ~trail_zero
-        pending = (trail_lo & 1) == 1
-        # cross to sibling (consume the pending bit)
-        cross = bt & pending
-        sib = _sibling_of(bvh, node)
-        node = jnp.where(cross, sib, node)
-        trail_lo = jnp.where(cross, trail_lo ^ 1, trail_lo)
-        backtrack = jnp.where(cross, False, backtrack)
-        # walk up one level (shift the trail right)
-        up = bt & ~pending
-        par = _parent_of(bvh, node)
-        node = jnp.where(up, par, node)
-        trail_lo = jnp.where(up, (trail_lo >> 1) | (trail_hi << 31), trail_lo)
-        trail_hi = jnp.where(up, trail_hi >> 1, trail_hi)
-
-        return node, trail_lo, trail_hi, backtrack, t_best, done, slot_best, u_best, v_best
-
-    state = (node, trail_lo, trail_hi, backtrack, t_best, done, slot_best, u_best, v_best)
-    state = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, t_best, _, slot_best, u_best, v_best = state
-    t_out = jnp.where(slot_best >= 0, t_best, MISS_DIST)
-    return Hit(t=t_out, slot=slot_best, u=u_best, v=v_best)
+    return Vec3(f(direction.x), f(direction.y), f(direction.z))
 
 
-# Scenes with at most this many triangle slots use the dense path: TPU
-# gathers scale O(N·table) anyway (they lower to full-table scans; measured
-# ~520 µs per 65k-gather from a 2048-row table), while dense brute-force
-# Möller-Trumbore streams at ~667 Gtest/s on the VPU. Crossover favors dense
-# far beyond intuition.
-DENSE_MAX_SLOTS = 8192
-_DENSE_TILE = 512
-
-
-def _trace_dense(bvh: DeviceBVH, origin, direction, t_max, any_hit: bool,
-                 t_min: float = 1e-4):
-    """Brute-force all-slots intersection, tiled over triangles.
-
-    Triangle tiles are static slices (no gathers at all); the per-tile
-    [N, TILE] intermediates keep memory bounded.
-    """
-    n = origin.shape[0]
-    p = bvh.tri_v0.shape[0]
+def _trace_dense(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
+                 any_hit: bool, t_min: float = 1e-4):
+    """Brute-force all-slots intersection over static triangle tiles."""
+    n = origin.x.shape[0]
+    p = bvh.tri_v0.x.shape[0]
     t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     slot_best = jnp.full((n,), -1, jnp.int32)
     u_best = jnp.zeros((n,), jnp.float32)
     v_best = jnp.zeros((n,), jnp.float32)
 
-    o = origin[:, None, :]
-    d = direction[:, None, :]
+    o2 = Vec3(origin.x[:, None], origin.y[:, None], origin.z[:, None])
+    d2 = Vec3(direction.x[:, None], direction.y[:, None], direction.z[:, None])
+
+    def tile_vec(tab: Vec3, start, end):
+        return Vec3(
+            tab.x[None, start:end], tab.y[None, start:end], tab.z[None, start:end]
+        )
+
     for start in range(0, p, _DENSE_TILE):
         end = min(start + _DENSE_TILE, p)
         tile = end - start
         t, u, v, hit = ray_triangle(
-            o, d,
-            bvh.tri_v0[None, start:end], bvh.tri_e1[None, start:end],
-            bvh.tri_e2[None, start:end], t_min=t_min,
+            o2, d2,
+            tile_vec(bvh.tri_v0, start, end),
+            tile_vec(bvh.tri_e1, start, end),
+            tile_vec(bvh.tri_e2, start, end),
+            t_min=t_min,
         )
         t = jnp.where(hit, t, MISS_DIST)
         t_tile = jnp.min(t, axis=1)
-        # Winner extraction without per-row gathers (those cost ~1 ms on TPU):
-        # two equality-masked reductions pick a consistent (slot, u, v).
+        # winner extraction without per-row gathers (~1 ms/iter on TPU)
         slots_iota = jax.lax.broadcasted_iota(jnp.int32, (n, tile), 1)
         at_min = t == t_tile[:, None]
         slot_tile = jnp.min(
@@ -236,6 +169,105 @@ def _trace_dense(bvh: DeviceBVH, origin, direction, t_max, any_hit: bool,
         u_best = jnp.where(improved, u_tile, u_best)
         v_best = jnp.where(improved, v_tile, v_best)
 
+    t_out = jnp.where(slot_best >= 0, t_best, MISS_DIST)
+    return Hit(t=t_out, slot=slot_best, u=u_best, v=v_best)
+
+
+def _traverse(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
+              leaf_size: int, any_hit: bool, t_min: float = 1e-4):
+    """Stackless bit-trail walk (deep tier), fully lane-parallel."""
+    n = origin.x.shape[0]
+    inv_dir = _safe_inv(direction)
+
+    node = jnp.zeros((n,), jnp.int32)  # root
+    trail_lo = jnp.zeros((n,), jnp.uint32)
+    trail_hi = jnp.zeros((n,), jnp.uint32)
+    backtrack = jnp.zeros((n,), bool)
+    done = jnp.zeros((n,), bool)
+    t_best = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+    slot_best = jnp.full((n,), -1, jnp.int32)
+    u_best = jnp.zeros((n,), jnp.float32)
+    v_best = jnp.zeros((n,), jnp.float32)
+
+    def cond(state):
+        return ~jnp.all(state[5])
+
+    def body(state):
+        node, trail_lo, trail_hi, backtrack, t_best, done, slot_best, u_best, v_best = state
+        live = ~done
+
+        # ---------- leaf lanes: unrolled fixed-size block ----------
+        at_leaf = live & ~backtrack & (node < 0)
+        base = jnp.where(at_leaf, ~node, 0) * leaf_size
+        for k in range(leaf_size):
+            sl = base + k
+            t, u, v, tri_hit = ray_triangle(
+                origin, direction,
+                vgather(bvh.tri_v0, sl),
+                vgather(bvh.tri_e1, sl),
+                vgather(bvh.tri_e2, sl),
+                t_min=t_min,
+            )
+            better = tri_hit & at_leaf & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            slot_best = jnp.where(better, sl, slot_best)
+            u_best = jnp.where(better, u, u_best)
+            v_best = jnp.where(better, v, v_best)
+        if any_hit:
+            done = done | (at_leaf & (slot_best >= 0))
+            live = ~done
+
+        # ---------- interior lanes: slab-test both children ----------
+        descend = live & ~backtrack & (node >= 0)
+        nidx = jnp.where(descend, node, 0)
+        ch0 = bvh.child0[nidx]
+        ch1 = bvh.child1[nidx]
+        e0, h0 = ray_aabb(
+            origin, inv_dir, vgather(bvh.c0_min, nidx), vgather(bvh.c0_max, nidx),
+            t_best, t_min=0.0,
+        )
+        e1_, h1 = ray_aabb(
+            origin, inv_dir, vgather(bvh.c1_min, nidx), vgather(bvh.c1_max, nidx),
+            t_best, t_min=0.0,
+        )
+        h0 &= (ch0 != INVALID_CHILD) & descend
+        h1 &= (ch1 != INVALID_CHILD) & descend
+        n_hits = h0.astype(jnp.int32) + h1.astype(jnp.int32)
+        swap = (e1_ < e0) & h1
+        near = jnp.where(swap, ch1, jnp.where(h0, ch0, ch1))
+
+        go_down = descend & (n_hits > 0)
+        push_bit = (n_hits == 2).astype(jnp.uint32)
+        new_lo = (trail_lo << 1) | push_bit
+        new_hi = (trail_hi << 1) | (trail_lo >> 31)
+        trail_lo = jnp.where(go_down, new_lo, trail_lo)
+        trail_hi = jnp.where(go_down, new_hi, trail_hi)
+        node = jnp.where(go_down, near, node)
+
+        backtrack = backtrack | (descend & (n_hits == 0)) | at_leaf
+
+        # ---------- backtracking lanes: one walk-up / cross step ----------
+        bt = live & backtrack & ~go_down
+        trail_zero = (trail_lo | trail_hi) == 0
+        done = done | (bt & trail_zero)
+        bt &= ~trail_zero
+        pending = (trail_lo & 1) == 1
+        cross_ = bt & pending
+        sib = _sibling_of(bvh, node)
+        node = jnp.where(cross_, sib, node)
+        trail_lo = jnp.where(cross_, trail_lo ^ 1, trail_lo)
+        backtrack = jnp.where(cross_, False, backtrack)
+        up = bt & ~pending
+        par = _parent_of(bvh, node)
+        node = jnp.where(up, par, node)
+        trail_lo = jnp.where(up, (trail_lo >> 1) | (trail_hi << 31), trail_lo)
+        trail_hi = jnp.where(up, trail_hi >> 1, trail_hi)
+
+        return node, trail_lo, trail_hi, backtrack, t_best, done, slot_best, u_best, v_best
+
+    state = (node, trail_lo, trail_hi, backtrack, t_best, done, slot_best, u_best, v_best)
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, _, t_best, _, slot_best, u_best, v_best = state
     t_out = jnp.where(slot_best >= 0, t_best, MISS_DIST)
     return Hit(t=t_out, slot=slot_best, u=u_best, v=v_best)
 
@@ -259,16 +291,16 @@ def _chunked(fn, n_rays: int, chunk: int | None, args):
 
 def trace_closest(
     bvh: DeviceBVH,
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
+    origin: Vec3,
+    direction: Vec3,
     t_max=MISS_DIST,
     leaf_size: int = 4,
     chunk: int | None = None,
 ) -> Hit:
-    """Closest-hit query for a ray wavefront (origin/direction f32 [N, 3])."""
-    n = origin.shape[0]
+    """Closest-hit query for a component-SoA ray wavefront."""
+    n = origin.x.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    dense = bvh.tri_v0.shape[0] <= DENSE_MAX_SLOTS
+    dense = bvh.tri_v0.x.shape[0] <= DENSE_MAX_SLOTS
 
     def run(args):
         o, d, tm = args
@@ -281,16 +313,16 @@ def trace_closest(
 
 def trace_occluded(
     bvh: DeviceBVH,
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
+    origin: Vec3,
+    direction: Vec3,
     t_max,
     leaf_size: int = 4,
     chunk: int | None = None,
 ) -> jnp.ndarray:
     """Occlusion query: True where any geometry lies within t_max."""
-    n = origin.shape[0]
+    n = origin.x.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    dense = bvh.tri_v0.shape[0] <= DENSE_MAX_SLOTS
+    dense = bvh.tri_v0.x.shape[0] <= DENSE_MAX_SLOTS
 
     def run(args):
         o, d, tm = args
@@ -304,11 +336,7 @@ def trace_occluded(
 
 
 def compute_links(child: np.ndarray, num_blocks: int):
-    """Derive parent/sibling link tables from the child array (host side).
-
-    Returns (node_parent [M], node_sibling [M], leaf_parent [B],
-    leaf_sibling [B]) — the threading the stackless walk needs.
-    """
+    """Derive parent/sibling link tables from the child array (host side)."""
     m = child.shape[0]
     node_parent = np.full(m, -1, np.int32)
     node_sibling = np.full(m, INVALID_CHILD, np.int32)

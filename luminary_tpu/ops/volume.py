@@ -18,8 +18,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from . import math3
 from .random import RandomTarget, random_1d, random_2d
+from .vec import Vec3, normalize as vnormalize, orthonormal_basis as vonb
 
 
 class DeviceFog(NamedTuple):
@@ -57,7 +57,7 @@ def hg_phase(cos_theta, g):
     )
 
 
-def sample_hg_direction(w_in, g, pixel_id, sample_id, depth):
+def sample_hg_direction(w_in: Vec3, g, pixel_id, sample_id, depth) -> Vec3:
     """Sample the HG phase about the incoming propagation direction w_in."""
     r2 = random_2d(RandomTarget.VOLUME_PHASE, pixel_id, sample_id, depth)
     g_safe = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
@@ -67,19 +67,21 @@ def sample_hg_direction(w_in, g, pixel_id, sample_id, depth):
     cos_t = jnp.clip(cos_t, -1.0, 1.0)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     phi = 2.0 * jnp.pi * r2[..., 1]
-    t, b = math3.orthonormal_basis(w_in)
-    return math3.normalize(
-        t * (jnp.cos(phi) * sin_t)[..., None]
-        + b * (jnp.sin(phi) * sin_t)[..., None]
-        + w_in * cos_t[..., None]
-    )
+    t, b = vonb(w_in)
+    a1 = jnp.cos(phi) * sin_t
+    a2 = jnp.sin(phi) * sin_t
+    return vnormalize(Vec3(
+        t.x * a1 + b.x * a2 + w_in.x * cos_t,
+        t.y * a1 + b.y * a2 + w_in.y * cos_t,
+        t.z * a1 + b.z * a2 + w_in.z * cos_t,
+    ))
 
 
-def fog_segment(fog: DeviceFog, origin, direction, t_limit):
+def fog_segment(fog: DeviceFog, origin: Vec3, direction: Vec3, t_limit):
     """Overlap [t0, t1] of a ray with the fog slab (y < height), clamped to
     [0, t_limit]. Returns (t0, t1) with t1 <= t0 when no overlap."""
-    oy = origin[..., 1]
-    dy = direction[..., 1]
+    oy = origin.y
+    dy = direction.y
     dy_safe = jnp.where(jnp.abs(dy) < 1e-9, 1e-9, dy)
     t_plane = (fog.height - oy) / dy_safe
     inside = oy < fog.height
@@ -135,11 +137,11 @@ def pack_water(ocean) -> "DeviceWater":
     )
 
 
-def water_transmittance(water: "DeviceWater", origin, direction, dist):
+def water_transmittance(water: "DeviceWater", origin: Vec3, direction: Vec3, dist):
     """exp(-σ_a · overlap) of a segment with the water half-space
-    (y < water.height)."""
-    oy = origin[..., 1]
-    dy = direction[..., 1]
+    (y < water.height). Returns (tr, tg, tb) channel arrays."""
+    oy = origin.y
+    dy = direction.y
     dy_safe = jnp.where(jnp.abs(dy) < 1e-9, 1e-9, dy)
     t_plane = (water.height - oy) / dy_safe
     inside = oy < water.height
@@ -149,4 +151,8 @@ def water_transmittance(water: "DeviceWater", origin, direction, dist):
     t1 = jnp.clip(t1, 0.0, dist)
     overlap = jnp.maximum(t1 - t0, 0.0)
     overlap = jnp.where(water.active, overlap, 0.0)
-    return jnp.exp(-water.absorb * overlap[..., None])
+    return (
+        jnp.exp(-water.absorb[0] * overlap),
+        jnp.exp(-water.absorb[1] * overlap),
+        jnp.exp(-water.absorb[2] * overlap),
+    )

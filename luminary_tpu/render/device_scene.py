@@ -22,7 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bvh.builder import BVH2, build_bvh
-from ..ops.traverse import DeviceBVH, INVALID_CHILD, MAX_TRAIL_DEPTH, compute_links
+from ..ops.traverse import (
+    DeviceBVH,
+    INVALID_CHILD,
+    MAX_TRAIL_DEPTH,
+    compute_links,
+    pack_device_bvh,
+)
+from ..ops.vec import Vec3
 from ..scene.entities import Material, MaterialBaseSubstrate, TEXTURE_NONE
 from ..scene.scene import Scene
 from ..utils.log import info_message
@@ -53,11 +60,16 @@ def _euler_to_matrix(rotation) -> np.ndarray:
 
 class DeviceMaterials(NamedTuple):
     """Packed material table (reference: DeviceMaterialCompressed,
-    device_structs.h:214-236 — here kept as SoA float arrays; quantization is
+    device_structs.h:214-236 — per-channel SoA float arrays; quantization is
     a later memory optimization)."""
 
-    albedo: jnp.ndarray  # f32 [M, 4]
-    emission: jnp.ndarray  # f32 [M, 3] (pre-scaled by emission_scale)
+    albedo_r: jnp.ndarray  # f32 [M]
+    albedo_g: jnp.ndarray
+    albedo_b: jnp.ndarray
+    albedo_a: jnp.ndarray
+    emission_r: jnp.ndarray  # f32 [M] (pre-scaled by emission_scale)
+    emission_g: jnp.ndarray
+    emission_b: jnp.ndarray
     roughness: jnp.ndarray  # f32 [M]
     metallic: jnp.ndarray  # f32 [M] 0/1
     ior: jnp.ndarray  # f32 [M]
@@ -89,15 +101,19 @@ class DeviceSky(NamedTuple):
 
 
 class DeviceSceneGeo(NamedTuple):
-    """Leaf-slot-ordered world-space geometry + BVH."""
+    """Leaf-slot-ordered world-space geometry + BVH (per-component tables —
+    see ops/vec.py for why [P, 3]-style arrays are banned from the hot path)."""
 
     bvh: DeviceBVH
-    normals: jnp.ndarray  # f32 [P, 3, 3] per-corner shading normals (world)
-    uvs: jnp.ndarray  # f32 [P, 3, 2]
+    n0: "Vec3"  # [P] shading normal at corner 0 (world, unit)
+    n1: "Vec3"
+    n2: "Vec3"
+    uv_u: "Vec3"  # [P] texture u at corners (0, 1, 2) packed in .x/.y/.z
+    uv_v: "Vec3"  # [P] texture v at corners (0, 1, 2)
     material_id: jnp.ndarray  # i32 [P]
     instance_id: jnp.ndarray  # i32 [P]
     prim_id: jnp.ndarray  # i32 [P] original triangle index within its mesh
-    face_normal: jnp.ndarray  # f32 [P, 3] geometric normal (world, unit)
+    face_normal: "Vec3"  # [P] geometric normal (world, unit)
 
 
 class DeviceScene(NamedTuple):
@@ -165,11 +181,18 @@ def pack_materials(scene: Scene) -> DeviceMaterials:
             f |= MAT_FLAG_THIN_WALLED
         flags[i] = f
 
+    albedo = np.asarray([mat.albedo for mat in mats], np.float32)
+    emission = np.asarray(
+        [np.asarray(mat.emission) * mat.emission_scale for mat in mats], np.float32
+    )
     return DeviceMaterials(
-        albedo=np.asarray([mat.albedo for mat in mats], np.float32),
-        emission=np.asarray(
-            [np.asarray(mat.emission) * mat.emission_scale for mat in mats], np.float32
-        ),
+        albedo_r=albedo[:, 0].copy(),
+        albedo_g=albedo[:, 1].copy(),
+        albedo_b=albedo[:, 2].copy(),
+        albedo_a=albedo[:, 3].copy(),
+        emission_r=emission[:, 0].copy(),
+        emission_g=emission[:, 1].copy(),
+        emission_b=emission[:, 2].copy(),
         roughness=np.asarray([mat.roughness for mat in mats], np.float32),
         metallic=np.asarray([1.0 if mat.metallic else 0.0 for mat in mats], np.float32),
         ior=np.asarray([mat.refraction_index for mat in mats], np.float32),
@@ -375,31 +398,30 @@ def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     fn_len = np.linalg.norm(fn, axis=-1, keepdims=True)
     fn = fn / np.maximum(fn_len, 1e-20)
 
-    node_parent, node_sibling, leaf_parent, leaf_sibling = compute_links(
-        bvh.child, bvh.num_blocks
-    )
+    links = compute_links(bvh.child, bvh.num_blocks)
+    slot_n = slotify(normals) if t else np.zeros((p, 3, 3), np.float32)
+    slot_uv = slotify(uvs) if t else np.zeros((p, 3, 2), np.float32)
+
+    def v3(a):
+        return Vec3(
+            np.ascontiguousarray(a[..., 0]),
+            np.ascontiguousarray(a[..., 1]),
+            np.ascontiguousarray(a[..., 2]),
+        )
+
     # numpy leaves: the caller ships the whole pytree to the device with a
-    # single jax.device_put (eager per-array transfers cost seconds each on
-    # the tunneled TPU).
+    # single blob transfer (utils/fastput.py).
     return DeviceSceneGeo(
-        bvh=DeviceBVH(
-            child_min=bvh.child_min,
-            child_max=bvh.child_max,
-            child=bvh.child,
-            node_parent=node_parent,
-            node_sibling=node_sibling,
-            leaf_parent=leaf_parent,
-            leaf_sibling=leaf_sibling,
-            tri_v0=v0,
-            tri_e1=e1,
-            tri_e2=e2,
-        ),
-        normals=slotify(normals) if t else np.zeros((p, 3, 3), np.float32),
-        uvs=slotify(uvs) if t else np.zeros((p, 3, 2), np.float32),
+        bvh=pack_device_bvh(bvh, links, v0, e1, e2),
+        n0=v3(slot_n[:, 0]),
+        n1=v3(slot_n[:, 1]),
+        n2=v3(slot_n[:, 2]),
+        uv_u=Vec3(slot_uv[:, 0, 0].copy(), slot_uv[:, 1, 0].copy(), slot_uv[:, 2, 0].copy()),
+        uv_v=Vec3(slot_uv[:, 0, 1].copy(), slot_uv[:, 1, 1].copy(), slot_uv[:, 2, 1].copy()),
         material_id=np.where(valid, mats[safe] if t else 0, 0).astype(np.int32),
         instance_id=np.where(valid, insts[safe] if t else 0, -1).astype(np.int32),
         prim_id=np.where(valid, prims[safe] if t else 0, -1).astype(np.int32),
-        face_normal=fn.astype(np.float32),
+        face_normal=v3(fn.astype(np.float32)),
     )
 
 
@@ -408,12 +430,25 @@ def pack_lights_for(geo: DeviceSceneGeo, materials: DeviceMaterials):
     device_light.c build, here alias-table based — see ops/lights.py)."""
     from ..ops.lights import pack_lights
 
+    def arr3(v):
+        return np.stack(
+            [np.asarray(v.x), np.asarray(v.y), np.asarray(v.z)], axis=-1
+        )
+
+    emission = np.stack(
+        [
+            np.asarray(materials.emission_r),
+            np.asarray(materials.emission_g),
+            np.asarray(materials.emission_b),
+        ],
+        axis=-1,
+    )
     return pack_lights(
-        tri_v0=np.asarray(geo.bvh.tri_v0),
-        tri_e1=np.asarray(geo.bvh.tri_e1),
-        tri_e2=np.asarray(geo.bvh.tri_e2),
+        tri_v0=arr3(geo.bvh.tri_v0),
+        tri_e1=arr3(geo.bvh.tri_e1),
+        tri_e2=arr3(geo.bvh.tri_e2),
         material_id=np.asarray(geo.material_id),
-        emission=np.asarray(materials.emission),
+        emission=emission,
         emissive_flags=(np.asarray(materials.flags) & MAT_FLAG_EMISSIVE) != 0,
         valid_slot=np.asarray(geo.prim_id) >= 0,
     )

@@ -1,4 +1,4 @@
-"""The wavefront path-tracing integrator.
+"""The wavefront path-tracing integrator (component-SoA).
 
 TPU translation of the reference's per-sample device loop (reference:
 src/luminary/device/device_renderer.c:59-131 — the per-depth kernel queue
@@ -6,17 +6,19 @@ RAYTRACE → SORT → GEOMETRY/... shade → SHADOW → accumulate). On TPU the
 persistent-thread task queues become a dense SoA wavefront of one lane per
 pixel: each depth iteration traces the whole wavefront, shades all lanes
 masked by liveness, and the NEE shadow rays (sun + area light, reference
-direct_lighting.cuh) are traced as additional wavefronts. Dead lanes ride
-along masked — compaction is a measured optimization, not a correctness
-requirement (reference's tasks_sort ⇒ future sorted-batch pass).
+direct_lighting.cuh) are traced as additional wavefronts.
+
+Layout discipline: ALL per-lane state is flat [N] arrays — directions as
+:class:`Vec3` component bundles, colors as (r, g, b) channel arrays. On TPU
+an [N, 3] array pads its minor axis 3 → 128 lanes; the flat form measures
+~7x faster (ops/vec.py).
 
 Light transport: GGX/Lambert/dielectric materials (ops/material.py), NEE to
 the sun cone and to alias-table-sampled emissive triangles, with balance-
 heuristic MIS between NEE and BSDF sampling on both strategies (reference:
-cuda/mis.cuh, direct_lighting.cuh:21-119).
-
-Everything here is shape-static and jit-compiled once per
-(resolution, max_depth) configuration.
+cuda/mis.cuh, direct_lighting.cuh:21-119); analog-tracked height fog with
+volume NEE; Jerlov water absorption; one deferred SH-sky evaluation and one
+optional cloud march per sample.
 """
 
 from __future__ import annotations
@@ -25,19 +27,26 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops import math3
 from ..ops.camera import DeviceCamera, generate_camera_rays
 from ..ops.intersect import MISS_DIST
 from ..ops.lights import light_pdf_solid_angle, mis_balance, sample_light_point
-from ..ops.material import LaneMaterial, material_eval, material_sample
+from ..ops.material import (
+    LaneMaterial,
+    frame_eval,
+    make_frame,
+    material_sample,
+)
 from ..ops.random import RandomTarget, random_1d
 from ..ops.sky import (
     SUN_ANGULAR_RADIUS,
     SUN_COS_RADIUS,
     sky_radiance,
+    sun_dir_vec,
     sun_solid_angle_radiance,
 )
+from ..ops.textures import sample_atlas
 from ..ops.traverse import trace_closest, trace_occluded
+from ..ops.vec import Vec3, dot, gather as vgather, normalize, vwhere
 from ..ops.volume import (
     fog_transmittance,
     hg_phase,
@@ -45,7 +54,6 @@ from ..ops.volume import (
     sample_hg_direction,
     water_transmittance,
 )
-from ..ops.textures import sample_atlas
 from ..ops.wavefront_utils import sample_sun_direction
 from .device_scene import (
     LEAF_SIZE,
@@ -82,30 +90,38 @@ _RAY_EPS = 1e-3
 SUN_SOLID_ANGLE = 2.0 * jnp.pi * (1.0 - jnp.cos(SUN_ANGULAR_RADIUS))
 
 
-def _shading_normal(geo, slot, direction, u, v):
+def _shading_normal(geo, slot, direction: Vec3, u, v):
     """Interpolated shading normal (forward-facing) + geometric normal (both
     flipped toward the incoming ray) + the unflipped face normal."""
-    n = geo.normals[slot]  # [N,3,3]
-    w = (1.0 - u - v)[..., None]
-    ns = math3.normalize(
-        n[:, 0] * w + n[:, 1] * u[..., None] + n[:, 2] * v[..., None]
-    )
-    ng_raw = geo.face_normal[slot]
-    flip = jnp.sign(-math3.dot(ng_raw, direction))[..., None]
-    ng = ng_raw * jnp.where(flip == 0.0, 1.0, flip)
-    ns = ns * jnp.sign(math3.dot(ns, ng))[..., None]
+    n0 = vgather(geo.n0, slot)
+    n1 = vgather(geo.n1, slot)
+    n2 = vgather(geo.n2, slot)
+    w = 1.0 - u - v
+    ns = normalize(Vec3(
+        n0.x * w + n1.x * u + n2.x * v,
+        n0.y * w + n1.y * u + n2.y * v,
+        n0.z * w + n1.z * u + n2.z * v,
+    ))
+    ng_raw = vgather(geo.face_normal, slot)
+    flip_in = dot(ng_raw, direction)
+    s_g = jnp.where(flip_in > 0.0, -1.0, 1.0)
+    ng = Vec3(ng_raw.x * s_g, ng_raw.y * s_g, ng_raw.z * s_g)
+    s_n = jnp.sign(dot(ns, ng))
+    s_n = jnp.where(s_n == 0.0, 1.0, s_n)
+    ns = Vec3(ns.x * s_n, ns.y * s_n, ns.z * s_n)
     return ns, ng, ng_raw
 
 
 def _gather_material(mats, mat_id) -> LaneMaterial:
-    albedo4 = mats.albedo[mat_id]
     return LaneMaterial(
-        albedo=albedo4[..., :3],
+        albedo_r=mats.albedo_r[mat_id],
+        albedo_g=mats.albedo_g[mat_id],
+        albedo_b=mats.albedo_b[mat_id],
         roughness=mats.roughness[mat_id],
         metallic=mats.metallic[mat_id],
         ior=mats.ior[mat_id],
         translucent=(mats.flags[mat_id] & MAT_FLAG_TRANSLUCENT) != 0,
-        opacity=albedo4[..., 3],
+        opacity=mats.albedo_a[mat_id],
     )
 
 
@@ -134,16 +150,18 @@ def render_sample(
         cam, config.width, config.height, pixel_x, pixel_y, pixel_id, sample_id
     )
 
-    radiance = jnp.zeros((n, 3), jnp.float32)
-    throughput = jnp.ones((n, 3), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
+    ones = jnp.ones((n,), jnp.float32)
+    rad_r, rad_g, rad_b = zeros, zeros, zeros
+    thr_r, thr_g, thr_b = ones, ones, ones
     active = jnp.ones((n,), bool)
     rays_traced = jnp.float32(0.0)
-    prev_pdf = jnp.zeros((n,), jnp.float32)  # BSDF pdf of previous bounce
+    prev_pdf = zeros  # BSDF pdf of previous bounce
     prev_delta = jnp.ones((n,), bool)  # camera/delta: emission gets full weight
     # deferred sky: each lane misses at most once
-    miss_dir = jnp.zeros((n, 3), jnp.float32)
-    miss_throughput = jnp.zeros((n, 3), jnp.float32)
-    miss_sun_weight = jnp.zeros((n,), jnp.float32)
+    miss_dir = Vec3(zeros, zeros, zeros)
+    miss_thr_r, miss_thr_g, miss_thr_b = zeros, zeros, zeros
+    miss_sun_weight = zeros
     ever_missed = jnp.zeros((n,), bool)
 
     gbuffer = GBufferMeta(
@@ -153,7 +171,8 @@ def render_sample(
         rel_hit_pos=jnp.zeros((n, 3), jnp.float32),
     )
 
-    sun_radiance = sun_solid_angle_radiance(scene.sky)
+    sun_radiance = sun_solid_angle_radiance(scene.sky)  # f32 [3]
+    sun_v = sun_dir_vec(scene.sky)
 
     # Static python depth loop (the reference's action list is likewise
     # depth-unrolled, device_renderer.c:59-131).
@@ -173,21 +192,19 @@ def render_sample(
         missed = active & ~hit.valid & ~collided
         hit_lane = active & hit.valid & ~collided
 
-        # ---- Jerlov water absorption along the segment (exact exponential;
-        # reference: ocean water medium, cuda/volume.cuh) ----
+        # ---- Jerlov water absorption along the segment ----
         seg_len = jnp.where(collided, t_col, jnp.where(hit.valid, hit.t, 1e7))
-        throughput = throughput * water_transmittance(
-            scene.water, origin, direction, seg_len
-        )
+        twr, twg, twb = water_transmittance(scene.water, origin, direction, seg_len)
+        thr_r, thr_g, thr_b = thr_r * twr, thr_g * twg, thr_b * twb
 
-        # ---- record the miss (sky evaluated ONCE after the loop: each lane
-        # escapes at most once, and the SH evaluation is one of the most
-        # expensive per-lane ops — ~2.4 ms per 262k-lane call measured) ----
+        # ---- record the miss (sky evaluated ONCE after the loop) ----
         w_sun = jnp.where(
             prev_delta, 1.0, mis_balance(prev_pdf, 1.0 / SUN_SOLID_ANGLE)
         )
-        miss_dir = jnp.where(missed[..., None], direction, miss_dir)
-        miss_throughput = jnp.where(missed[..., None], throughput, miss_throughput)
+        miss_dir = vwhere(missed, direction, miss_dir)
+        miss_thr_r = jnp.where(missed, thr_r, miss_thr_r)
+        miss_thr_g = jnp.where(missed, thr_g, miss_thr_g)
+        miss_thr_b = jnp.where(missed, thr_b, miss_thr_b)
         miss_sun_weight = jnp.where(missed, w_sun, miss_sun_weight)
         ever_missed = ever_missed | missed
         active = hit_lane | vol_lane
@@ -196,38 +213,51 @@ def render_sample(
         slot = jnp.where(hit_lane, hit.slot, 0)
         mat_id = geo.material_id[slot]
         t_safe = jnp.where(hit_lane, hit.t, 1.0)  # keep dead lanes finite
-        hit_pos = origin + direction * t_safe[..., None]
-        vol_pos = origin + direction * t_col[..., None]
+        hit_pos = Vec3(
+            origin.x + direction.x * t_safe,
+            origin.y + direction.y * t_safe,
+            origin.z + direction.z * t_safe,
+        )
+        vol_pos = Vec3(
+            origin.x + direction.x * t_col,
+            origin.y + direction.y * t_col,
+            origin.z + direction.z * t_col,
+        )
         ns, ng, ng_raw = _shading_normal(geo, slot, direction, hit.u, hit.v)
         lane_mat = _gather_material(mats, mat_id)
-        # albedo texture modulation (reference: 5 texture slots; albedo first)
         if config.use_textures:
             tex_id = mats.albedo_tex[mat_id]
-            uvs = geo.uvs[slot]  # [N, 3, 2]
-            w_b = (1.0 - hit.u - hit.v)
-            uv = (
-                uvs[:, 0] * w_b[..., None]
-                + uvs[:, 1] * hit.u[..., None]
-                + uvs[:, 2] * hit.v[..., None]
-            )
-            texel = sample_atlas(scene.textures, tex_id, uv[..., 0], uv[..., 1])
+            u0 = vgather(geo.uv_u, slot)
+            v0 = vgather(geo.uv_v, slot)
+            w_b = 1.0 - hit.u - hit.v
+            uu = u0.x * w_b + u0.y * hit.u + u0.z * hit.v
+            vv = v0.x * w_b + v0.y * hit.u + v0.z * hit.v
+            tr_, tg_, tb_, ta_ = sample_atlas(scene.textures, tex_id, uu, vv)
             lane_mat = lane_mat._replace(
-                albedo=lane_mat.albedo * texel[..., :3],
-                opacity=lane_mat.opacity * texel[..., 3],
+                albedo_r=lane_mat.albedo_r * tr_,
+                albedo_g=lane_mat.albedo_g * tg_,
+                albedo_b=lane_mat.albedo_b * tb_,
+                opacity=lane_mat.opacity * ta_,
             )
         wo = -direction
 
         # scatter-albedo loss at a volume collision
-        throughput = throughput * jnp.where(
-            vol_lane[..., None], fog.scatter_albedo, 1.0
-        )
+        vol_alb = jnp.where(vol_lane, fog.scatter_albedo, 1.0)
+        thr_r, thr_g, thr_b = thr_r * vol_alb, thr_g * vol_alb, thr_b * vol_alb
 
         if depth == 0:
             gbuffer = GBufferMeta(
                 depth=jnp.where(hit_lane, hit.t, MISS_DIST),
                 instance_id=jnp.where(hit_lane, geo.instance_id[slot], -1),
                 material_id=jnp.where(hit_lane, mat_id, -1),
-                rel_hit_pos=jnp.where(hit_lane[..., None], hit_pos - cam.pos, 0.0),
+                rel_hit_pos=jnp.where(
+                    hit_lane[..., None],
+                    jnp.stack(
+                        [hit_pos.x - cam.pos[0], hit_pos.y - cam.pos[1],
+                         hit_pos.z - cam.pos[2]], axis=-1,
+                    ),
+                    0.0,
+                ),
             )
             if config.shading_mode != 0:
                 return (
@@ -237,33 +267,45 @@ def render_sample(
                 )
 
         # ---- emission on hit (one-sided), MIS vs light NEE ----
-        emission = mats.emission[mat_id]
+        em_r = mats.emission_r[mat_id]
+        em_g = mats.emission_g[mat_id]
+        em_b = mats.emission_b[mat_id]
         emissive = (mats.flags[mat_id] & MAT_FLAG_EMISSIVE) != 0
-        front_face = math3.dot(ng_raw, direction) < 0.0
-        cos_light = jnp.abs(math3.dot(ng_raw, direction))
+        d_dot_ng = dot(ng_raw, direction)
+        front_face = d_dot_ng < 0.0
+        cos_light = jnp.abs(d_dot_ng)
         pdf_nee = light_pdf_solid_angle(lights, slot, hit.t, cos_light)
         w_emit = jnp.where(prev_delta, 1.0, mis_balance(prev_pdf, pdf_nee))
-        radiance = radiance + jnp.where(
-            (hit_lane & emissive & front_face)[..., None],
-            throughput * emission * w_emit[..., None],
-            0.0,
-        )
+        add_emit = jnp.where(hit_lane & emissive & front_face, w_emit, 0.0)
+        rad_r = rad_r + thr_r * em_r * add_emit
+        rad_g = rad_g + thr_g * em_g * add_emit
+        rad_b = rad_b + thr_b * em_b * add_emit
 
-        shadow_origin = jnp.where(
-            vol_lane[..., None], vol_pos, hit_pos + ng * _RAY_EPS
+        shadow_origin = vwhere(
+            vol_lane,
+            vol_pos,
+            Vec3(hit_pos.x + ng.x * _RAY_EPS, hit_pos.y + ng.y * _RAY_EPS,
+                 hit_pos.z + ng.z * _RAY_EPS),
         )
         nee_lane = (hit_lane & ~lane_mat.translucent) | vol_lane
 
-        # ---- NEE strategy 1: the sun (reference direct_lighting sun RIS) ----
-        sun_dir_s = sample_sun_direction(scene.sky.sun_dir, pixel_id, sample_id, depth)
-        f_sun, pdf_b_sun = material_eval(lane_mat, ns, wo, sun_dir_s)
-        phase_sun = hg_phase(math3.dot(direction, sun_dir_s), fog.g)
-        f_sun = jnp.where(vol_lane[..., None], phase_sun[..., None], f_sun)
+        # shared shading frame for the three lobe evaluations at this hit
+        frame = make_frame(lane_mat, ns, wo)
+
+        # ---- NEE strategy 1: the sun (reference direct_lighting sun) ----
+        sun_dir_s = sample_sun_direction(sun_v, pixel_id, sample_id, depth)
+        (fs_r, fs_g, fs_b), pdf_b_sun = frame_eval(
+            lane_mat, frame, lane_mat.roughness, sun_dir_s
+        )
+        phase_sun = hg_phase(dot(direction, sun_dir_s), fog.g)
+        fs_r = jnp.where(vol_lane, phase_sun, fs_r)
+        fs_g = jnp.where(vol_lane, phase_sun, fs_g)
+        fs_b = jnp.where(vol_lane, phase_sun, fs_b)
         pdf_b_sun = jnp.where(vol_lane, phase_sun, pdf_b_sun)
         pdf_sun = 1.0 / SUN_SOLID_ANGLE
         sun_candidate = (
             nee_lane
-            & (vol_lane | (math3.dot(sun_dir_s, ns) > 0.0))
+            & (vol_lane | (dot(sun_dir_s, ns) > 0.0))
             & (scene.sky.sun_dir[1] > -0.1)
             & (scene.sky.mode != 2)
         )
@@ -273,38 +315,47 @@ def render_sample(
             leaf_size=LEAF_SIZE, chunk=config.chunk,
         )
         t_fog_sun = fog_transmittance(fog, shadow_origin, sun_dir_s, 1e7)
-        t_water_sun = water_transmittance(scene.water, shadow_origin, sun_dir_s, 1e7)
-        w_mis_sun = mis_balance(pdf_sun, pdf_b_sun)
-        radiance = radiance + jnp.where(
-            (sun_candidate & ~sun_occluded)[..., None],
-            throughput * f_sun * sun_radiance * t_water_sun
-            * (SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun)[..., None],
-            0.0,
+        tws_r, tws_g, tws_b = water_transmittance(
+            scene.water, shadow_origin, sun_dir_s, 1e7
         )
+        w_mis_sun = mis_balance(pdf_sun, pdf_b_sun)
+        sun_w = jnp.where(sun_candidate & ~sun_occluded,
+                          SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun, 0.0)
+        rad_r = rad_r + thr_r * fs_r * sun_radiance[0] * tws_r * sun_w
+        rad_g = rad_g + thr_g * fs_g * sun_radiance[1] * tws_g * sun_w
+        rad_b = rad_b + thr_b * fs_b * sun_radiance[2] * tws_b * sun_w
 
         # ---- NEE strategy 2: emissive triangles (alias table) ----
         l_slot, l_point, l_n, pdf_area, l_valid = sample_light_point(
-            lights, geo, shadow_origin, pixel_id, sample_id, depth
+            lights, geo, pixel_id, sample_id, depth
         )
         to_light = l_point - shadow_origin
-        dist = math3.length(to_light)
-        l_dir = jnp.where(
-            (dist > 1e-6)[..., None],
-            to_light * jnp.reciprocal(jnp.maximum(dist, 1e-8))[..., None],
-            jnp.asarray([0.0, 0.0, 1.0]),
+        dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 0.0))
+        inv_dist = jnp.reciprocal(jnp.maximum(dist, 1e-8))
+        l_dir = vwhere(
+            dist > 1e-6,
+            Vec3(to_light.x * inv_dist, to_light.y * inv_dist, to_light.z * inv_dist),
+            Vec3.of(0.0, 0.0, 1.0, like=to_light),
         )
-        cos_l = math3.dot(l_n, -l_dir)  # one-sided emitter
-        l_emission = mats.emission[geo.material_id[l_slot]]
+        cos_l = -dot(l_n, l_dir)  # one-sided emitter
+        l_mat = geo.material_id[l_slot]
+        le_r = mats.emission_r[l_mat]
+        le_g = mats.emission_g[l_mat]
+        le_b = mats.emission_b[l_mat]
         pdf_l_sa = pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8)
-        f_l, pdf_b_l = material_eval(lane_mat, ns, wo, l_dir)
-        phase_l = hg_phase(math3.dot(direction, l_dir), fog.g)
-        f_l = jnp.where(vol_lane[..., None], phase_l[..., None], f_l)
+        (fl_r, fl_g, fl_b), pdf_b_l = frame_eval(
+            lane_mat, frame, lane_mat.roughness, l_dir
+        )
+        phase_l = hg_phase(dot(direction, l_dir), fog.g)
+        fl_r = jnp.where(vol_lane, phase_l, fl_r)
+        fl_g = jnp.where(vol_lane, phase_l, fl_g)
+        fl_b = jnp.where(vol_lane, phase_l, fl_b)
         pdf_b_l = jnp.where(vol_lane, phase_l, pdf_b_l)
         light_candidate = (
             nee_lane
             & l_valid
             & (cos_l > 1e-6)
-            & (vol_lane | (math3.dot(l_dir, ns) > 0.0))
+            & (vol_lane | (dot(l_dir, ns) > 0.0))
             & (dist > 1e-5)
         )
         rays_traced = rays_traced + jnp.sum(light_candidate.astype(jnp.float32))
@@ -313,104 +364,125 @@ def render_sample(
             leaf_size=LEAF_SIZE, chunk=config.chunk,
         )
         t_fog_l = fog_transmittance(fog, shadow_origin, l_dir, dist)
-        t_water_l = water_transmittance(scene.water, shadow_origin, l_dir, dist)
+        twl_r, twl_g, twl_b = water_transmittance(
+            scene.water, shadow_origin, l_dir, dist
+        )
         w_mis_l = mis_balance(pdf_l_sa, pdf_b_l)
-        radiance = radiance + jnp.where(
-            (light_candidate & ~l_occluded)[..., None],
-            throughput
-            * f_l
-            * l_emission
-            * t_water_l
-            * (w_mis_l * t_fog_l / jnp.maximum(pdf_l_sa, 1e-12))[..., None],
+        l_w = jnp.where(
+            light_candidate & ~l_occluded,
+            w_mis_l * t_fog_l / jnp.maximum(pdf_l_sa, 1e-12),
             0.0,
         )
+        rad_r = rad_r + thr_r * fl_r * le_r * twl_r * l_w
+        rad_g = rad_g + thr_g * fl_g * le_g * twl_g * l_w
+        rad_b = rad_b + thr_b * fl_b * le_b * twl_b * l_w
 
         # ---- bounce ----
         if depth + 1 < config.max_depth:
-            wi, weight, pdf, is_delta, transmitted = material_sample(
-                lane_mat, ns, ng, wo, pixel_id, sample_id, depth
+            wi, (wr, wg, wb), pdf, is_delta, transmitted = material_sample(
+                lane_mat, frame, ns, wo, pixel_id, sample_id, depth
             )
             # volume lanes bounce by HG phase sampling (pdf == phase → the
             # phase/pdf ratio is 1, so weight is unity)
             wi_vol = sample_hg_direction(direction, fog.g, pixel_id, sample_id, depth)
-            pdf_vol = hg_phase(math3.dot(direction, wi_vol), fog.g)
-            wi = jnp.where(vol_lane[..., None], wi_vol, wi)
-            weight = jnp.where(vol_lane[..., None], 1.0, weight)
+            pdf_vol = hg_phase(dot(direction, wi_vol), fog.g)
+            wi = vwhere(vol_lane, wi_vol, wi)
+            wr = jnp.where(vol_lane, 1.0, wr)
+            wg = jnp.where(vol_lane, 1.0, wg)
+            wb = jnp.where(vol_lane, 1.0, wb)
             pdf = jnp.where(vol_lane, pdf_vol, pdf)
             is_delta = jnp.where(vol_lane, False, is_delta)
-            throughput = throughput * jnp.where(active[..., None], weight, 1.0)
-            offset_n = jnp.where(transmitted[..., None], -ng, ng)
-            origin = jnp.where(
-                vol_lane[..., None], vol_pos, hit_pos + offset_n * _RAY_EPS
+            thr_r = thr_r * jnp.where(active, wr, 1.0)
+            thr_g = thr_g * jnp.where(active, wg, 1.0)
+            thr_b = thr_b * jnp.where(active, wb, 1.0)
+            off = jnp.where(transmitted, -_RAY_EPS, _RAY_EPS)
+            origin = vwhere(
+                vol_lane,
+                vol_pos,
+                Vec3(hit_pos.x + ng.x * off, hit_pos.y + ng.y * off,
+                     hit_pos.z + ng.z * off),
             )
-            direction = jnp.where(active[..., None], wi, direction)
+            direction = vwhere(active, wi, direction)
             prev_pdf = jnp.where(active, pdf, 0.0)
             prev_delta = jnp.where(active, is_delta, prev_delta)
 
             # kill lanes with dead throughput
-            active = active & (jnp.max(jnp.abs(weight), axis=-1) > 0.0)
+            wmax = jnp.maximum(jnp.abs(wr), jnp.maximum(jnp.abs(wg), jnp.abs(wb)))
+            active = active & (wmax > 0.0)
 
             # Russian roulette past depth 2 (reference: geometry.cuh RR).
             if depth >= 2:
-                p_continue = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+                tmax = jnp.maximum(thr_r, jnp.maximum(thr_g, thr_b))
+                p_continue = jnp.clip(tmax, 0.05, 1.0)
                 r = random_1d(RandomTarget.RUSSIAN_ROULETTE, pixel_id, sample_id, depth)
                 active = active & (r < p_continue)
-                throughput = throughput / p_continue[..., None]
+                inv_p = 1.0 / p_continue
+                thr_r, thr_g, thr_b = thr_r * inv_p, thr_g * inv_p, thr_b * inv_p
 
     # ---- deferred sky: one SH evaluation for all recorded misses ----
-    safe_dir = jnp.where(
-        ever_missed[..., None], miss_dir, jnp.asarray([0.0, 1.0, 0.0])
-    )
+    safe_dir = vwhere(ever_missed, miss_dir, Vec3.of(0.0, 1.0, 0.0, like=miss_dir))
     sky_rgb = sky_radiance(scene.sky, safe_dir, include_sun=False)
-    in_sun_disc = math3.dot(safe_dir, scene.sky.sun_dir) >= SUN_COS_RADIUS
-    sky_total = sky_rgb + jnp.where(
-        in_sun_disc[..., None], sun_radiance * miss_sun_weight[..., None], 0.0
-    )
+    in_sun_disc = dot(safe_dir, sun_v) >= SUN_COS_RADIUS
+    disc_w = jnp.where(in_sun_disc, miss_sun_weight, 0.0)
+    sky_r = sky_rgb.x + sun_radiance[0] * disc_w
+    sky_g = sky_rgb.y + sun_radiance[1] * disc_w
+    sky_b = sky_rgb.z + sun_radiance[2] * disc_w
     if config.use_clouds:
-        # One cloud march per sample across all miss lanes (reference marches
-        # per sky task; clouds live above the scene so miss position ≈ the
-        # final path origin).
         from ..ops.clouds import cloud_march
 
-        cloud_rgb, cloud_t = cloud_march(
-            scene.clouds, origin, safe_dir, scene.sky.sun_dir,
-            sun_radiance, sky_rgb, steps=config.cloud_steps,
+        (cr, cg, cb), cloud_t = cloud_march(
+            scene.clouds, origin, safe_dir, sun_v,
+            sun_radiance, (sky_rgb.x, sky_rgb.y, sky_rgb.z),
+            steps=config.cloud_steps,
         )
-        sky_total = cloud_rgb + sky_total * cloud_t[..., None]
-    radiance = radiance + jnp.where(
-        ever_missed[..., None], miss_throughput * sky_total, 0.0
-    )
+        sky_r = cr + sky_r * cloud_t
+        sky_g = cg + sky_g * cloud_t
+        sky_b = cb + sky_b * cloud_t
+    add = ever_missed.astype(jnp.float32)
+    rad_r = rad_r + miss_thr_r * sky_r * add
+    rad_g = rad_g + miss_thr_g * sky_g * add
+    rad_b = rad_b + miss_thr_b * sky_b * add
 
+    radiance = jnp.stack([rad_r, rad_g, rad_b], axis=-1)
     return radiance, gbuffer, rays_traced
 
 
-def _debug_shade(config, scene, hit, hit_lane, slot, mat_id, ns):
+def _debug_shade(config, scene, hit, hit_lane, slot, mat_id, ns: Vec3):
     """Debug shading modes (reference: geometry.cuh:182-246, ShadingMode)."""
     geo = scene.geo
     mats = scene.materials
     mode = config.shading_mode
+    hl = hit_lane.astype(jnp.float32)
     if mode == 1:  # ALBEDO
-        albedo = mats.albedo[mat_id][..., :3]
-        return jnp.where(hit_lane[..., None], albedo, 0.0)
-    if mode == 2:  # DEPTH
-        d = jnp.where(hit_lane, hit.t, 0.0)[..., None]
-        return jnp.broadcast_to(d / jnp.maximum(jnp.max(d), 1e-6), d.shape[:-1] + (3,))
-    if mode == 3:  # NORMAL
-        return jnp.where(hit_lane[..., None], ns * 0.5 + 0.5, 0.0)
-    if mode == 4:  # IDENTIFICATION — hash instance id to a color
-        iid = geo.instance_id[slot].astype(jnp.uint32)
-        h = iid * jnp.uint32(2654435761)
-        rgb = jnp.stack(
+        return jnp.stack(
             [
-                (h & 0xFF).astype(jnp.float32) / 255.0,
-                ((h >> 8) & 0xFF).astype(jnp.float32) / 255.0,
-                ((h >> 16) & 0xFF).astype(jnp.float32) / 255.0,
+                mats.albedo_r[mat_id] * hl,
+                mats.albedo_g[mat_id] * hl,
+                mats.albedo_b[mat_id] * hl,
             ],
             axis=-1,
         )
-        return jnp.where(hit_lane[..., None], rgb, 0.0)
+    if mode == 2:  # DEPTH
+        d = jnp.where(hit_lane, hit.t, 0.0)
+        d = d / jnp.maximum(jnp.max(d), 1e-6)
+        return jnp.stack([d, d, d], axis=-1)
+    if mode == 3:  # NORMAL
+        return jnp.stack(
+            [ns.x * 0.5 + 0.5, ns.y * 0.5 + 0.5, ns.z * 0.5 + 0.5], axis=-1
+        ) * hl[..., None]
+    if mode == 4:  # IDENTIFICATION — hash instance id to a color
+        iid = geo.instance_id[slot].astype(jnp.uint32)
+        h = iid * jnp.uint32(2654435761)
+        return jnp.stack(
+            [
+                (h & 0xFF).astype(jnp.float32) / 255.0 * hl,
+                ((h >> 8) & 0xFF).astype(jnp.float32) / 255.0 * hl,
+                ((h >> 16) & 0xFF).astype(jnp.float32) / 255.0 * hl,
+            ],
+            axis=-1,
+        )
     if mode == 5:  # LIGHTS — emissive surfaces highlighted
         emissive = (mats.flags[mat_id] & MAT_FLAG_EMISSIVE) != 0
-        base = jnp.where(hit_lane[..., None], jnp.full((1, 3), 0.1), 0.0)
-        return jnp.where((hit_lane & emissive)[..., None], 1.0, base)
+        v = jnp.where(hit_lane & emissive, 1.0, jnp.where(hit_lane, 0.1, 0.0))
+        return jnp.stack([v, v, v], axis=-1)
     raise ValueError(f"unknown shading mode {mode}")

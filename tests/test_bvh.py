@@ -10,9 +10,16 @@ from luminary_tpu.ops.intersect import MISS_DIST, ray_triangle
 from luminary_tpu.ops.traverse import (
     DeviceBVH,
     compute_links,
+    pack_device_bvh,
     trace_closest,
     trace_occluded,
 )
+from luminary_tpu.ops.vec import Vec3
+
+
+def vec(arr):
+    a = np.asarray(arr, np.float32)
+    return Vec3(jnp.asarray(a[..., 0]), jnp.asarray(a[..., 1]), jnp.asarray(a[..., 2]))
 
 
 def random_tris(rng, n, spread=10.0, size=0.5):
@@ -22,6 +29,8 @@ def random_tris(rng, n, spread=10.0, size=0.5):
 
 
 def to_device_bvh(bvh: BVH2, corners: np.ndarray) -> DeviceBVH:
+    import jax
+
     order = bvh.tri_order
     valid = order >= 0
     safe = np.where(valid, order, 0)
@@ -30,30 +39,27 @@ def to_device_bvh(bvh: BVH2, corners: np.ndarray) -> DeviceBVH:
     v0[~valid] = 0
     e1[~valid] = 0
     e2[~valid] = 0
-    np_, ns_, lp_, ls_ = compute_links(bvh.child, bvh.num_blocks)
-    return DeviceBVH(
-        child_min=jnp.asarray(bvh.child_min),
-        child_max=jnp.asarray(bvh.child_max),
-        child=jnp.asarray(bvh.child),
-        node_parent=jnp.asarray(np_),
-        node_sibling=jnp.asarray(ns_),
-        leaf_parent=jnp.asarray(lp_),
-        leaf_sibling=jnp.asarray(ls_),
-        tri_v0=jnp.asarray(v0),
-        tri_e1=jnp.asarray(e1),
-        tri_e2=jnp.asarray(e2),
-    )
+    links = compute_links(bvh.child, bvh.num_blocks)
+    return jax.device_put(pack_device_bvh(bvh, links, v0, e1, e2))
 
 
 def brute_force_t(corners, origins, dirs):
     """Closest-hit t per ray by testing all triangles."""
-    v0 = jnp.asarray(corners[:, 0])
-    e1 = jnp.asarray(corners[:, 1] - corners[:, 0])
-    e2 = jnp.asarray(corners[:, 2] - corners[:, 0])
+
+    def bcast_rows(a):
+        v = vec(a)
+        return Vec3(v.x[:, None], v.y[:, None], v.z[:, None])
+
+    def bcast_cols(a):
+        v = vec(a)
+        return Vec3(v.x[None, :], v.y[None, :], v.z[None, :])
+
     t, _, _, _ = ray_triangle(
-        jnp.asarray(origins)[:, None, :],
-        jnp.asarray(dirs)[:, None, :],
-        v0[None], e1[None], e2[None],
+        bcast_rows(origins),
+        bcast_rows(dirs),
+        bcast_cols(corners[:, 0]),
+        bcast_cols(corners[:, 1] - corners[:, 0]),
+        bcast_cols(corners[:, 2] - corners[:, 0]),
     )
     return np.asarray(jnp.min(t, axis=-1))
 
@@ -69,7 +75,7 @@ def test_traversal_matches_brute_force(rng, num_tris):
     dirs = rng.standard_normal((n_rays, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
 
-    hit = trace_closest(dbvh, jnp.asarray(origins), jnp.asarray(dirs))
+    hit = trace_closest(dbvh, vec(origins), vec(dirs))
     t_ref = brute_force_t(corners, origins, dirs)
     t_got = np.asarray(hit.t)
 
@@ -89,15 +95,18 @@ def test_traversal_slot_maps_to_hit_triangle(rng):
     origins = np.zeros((64, 3), np.float32)
     dirs = rng.standard_normal((64, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    hit = trace_closest(dbvh, jnp.asarray(origins), jnp.asarray(dirs))
+    hit = trace_closest(dbvh, vec(origins), vec(dirs))
     slot = np.asarray(hit.slot)
     ok = slot >= 0
     # The hit point recomputed from the slot triangle's plane lies on the ray.
+    tv0 = np.stack([np.asarray(dbvh.tri_v0.x), np.asarray(dbvh.tri_v0.y), np.asarray(dbvh.tri_v0.z)], -1)
+    te1 = np.stack([np.asarray(dbvh.tri_e1.x), np.asarray(dbvh.tri_e1.y), np.asarray(dbvh.tri_e1.z)], -1)
+    te2 = np.stack([np.asarray(dbvh.tri_e2.x), np.asarray(dbvh.tri_e2.y), np.asarray(dbvh.tri_e2.z)], -1)
     for i in np.nonzero(ok)[0][:10]:
         s = slot[i]
-        v0 = np.asarray(dbvh.tri_v0)[s]
-        e1 = np.asarray(dbvh.tri_e1)[s]
-        e2 = np.asarray(dbvh.tri_e2)[s]
+        v0 = tv0[s]
+        e1 = te1[s]
+        e2 = te2[s]
         p_bary = v0 + float(hit.u[i]) * e1 + float(hit.v[i]) * e2
         p_ray = origins[i] + float(hit.t[i]) * dirs[i]
         assert np.allclose(p_bary, p_ray, atol=1e-3)
@@ -115,7 +124,7 @@ def test_occlusion(rng):
         [[0, 0, 1], [0, 0, -1], [0, 0, 1], [1, 0, 0]], dtype=np.float32
     )
     tmax = np.array([10.0, 10.0, 2.0, 10.0], np.float32)
-    occ = np.asarray(trace_occluded(dbvh, jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(tmax)))
+    occ = np.asarray(trace_occluded(dbvh, vec(origins), vec(dirs), jnp.asarray(tmax)))
     assert occ.tolist() == [True, False, False, False]
 
 
@@ -126,8 +135,8 @@ def test_chunked_trace_matches(rng):
     origins = (rng.random((128, 3)).astype(np.float32) - 0.5) * 20.0
     dirs = rng.standard_normal((128, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    h1 = trace_closest(dbvh, jnp.asarray(origins), jnp.asarray(dirs))
-    h2 = trace_closest(dbvh, jnp.asarray(origins), jnp.asarray(dirs), chunk=32)
+    h1 = trace_closest(dbvh, vec(origins), vec(dirs))
+    h2 = trace_closest(dbvh, vec(origins), vec(dirs), chunk=32)
     assert np.allclose(np.asarray(h1.t), np.asarray(h2.t))
     assert np.array_equal(np.asarray(h1.slot), np.asarray(h2.slot))
 
@@ -135,7 +144,8 @@ def test_chunked_trace_matches(rng):
 def test_empty_bvh():
     bvh = build_bvh(np.zeros((0, 3, 3), np.float32), leaf_size=4)
     dbvh = to_device_bvh(bvh, np.zeros((1, 3, 3), np.float32))
-    hit = trace_closest(dbvh, jnp.zeros((8, 3)), jnp.ones((8, 3)))
+    z = jnp.zeros((8,)); o = jnp.ones((8,))
+    hit = trace_closest(dbvh, Vec3(z, z, z), Vec3(o, o, o))
     assert np.all(np.asarray(hit.slot) == -1)
     assert np.all(np.asarray(hit.t) >= 1e30)
 
@@ -163,8 +173,8 @@ def test_native_builder_matches_numpy(rng):
     origins = (rng.random((256, 3)).astype(np.float32) - 0.5) * 20.0
     dirs = rng.standard_normal((256, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    hn = trace_closest(dbvh_n, jnp.asarray(origins), jnp.asarray(dirs))
-    hp = trace_closest(dbvh_p, jnp.asarray(origins), jnp.asarray(dirs))
+    hn = trace_closest(dbvh_n, vec(origins), vec(dirs))
+    hp = trace_closest(dbvh_p, vec(origins), vec(dirs))
     np.testing.assert_allclose(
         np.minimum(np.asarray(hn.t), 1e30),
         np.minimum(np.asarray(hp.t), 1e30),

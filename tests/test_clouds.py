@@ -11,6 +11,7 @@ from luminary_tpu.ops.clouds import (
     pack_clouds,
     value_noise3,
 )
+from luminary_tpu.ops.vec import Vec3
 from luminary_tpu.render.renderer import Renderer
 from luminary_tpu.scene.entities import Cloud
 from luminary_tpu.testing import sun_plane_scene
@@ -27,7 +28,8 @@ def active_cloud(**kw):
 
 
 def test_noise3_range_and_variation():
-    p = jnp.asarray(np.random.default_rng(0).random((1024, 3)) * 50)
+    arr = np.random.default_rng(0).random((1024, 3)).astype(np.float32) * 50
+    p = Vec3(jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]))
     v = np.asarray(value_noise3(p))
     assert v.min() >= 0 and v.max() <= 1
     assert v.std() > 0.05
@@ -39,14 +41,18 @@ def test_density_confined_to_layer():
     import jax
 
     cl = jax.device_put(pack_clouds(active_cloud()))
-    inside = jnp.asarray([[100.0, 1500.0, -50.0]])
-    below = jnp.asarray([[100.0, 100.0, -50.0]])
-    above = jnp.asarray([[100.0, 5000.0, -50.0]])
+
+    def v3(x, y, z):
+        return Vec3(jnp.asarray([x]), jnp.asarray([y]), jnp.asarray([z]))
+
+    below = v3(100.0, 100.0, -50.0)
+    above = v3(100.0, 5000.0, -50.0)
     assert float(cloud_density(cl, below)[0]) == 0.0
     assert float(cloud_density(cl, above)[0]) == 0.0
     # somewhere in the layer there is cloud
-    xs = jnp.asarray(np.random.default_rng(1).random((4096, 3)) * [8000, 0, 8000]
-                     + [0, 1400, 0], jnp.float32)
+    arr = (np.random.default_rng(1).random((4096, 3)) * [8000, 0, 8000]
+           + [0, 1400, 0]).astype(np.float32)
+    xs = Vec3(jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]))
     d = np.asarray(cloud_density(cl, xs))
     assert d.max() > 0.1
 
@@ -57,13 +63,15 @@ def test_cloud_march_attenuates_sky():
     cl = jax.device_put(pack_clouds(active_cloud(coverage=3.0, density=3.0)))
     n = 256
     xs = np.random.default_rng(2).random((n, 2)).astype(np.float32) * 6000
-    o = jnp.asarray(np.stack([xs[:, 0], np.ones(n, np.float32), xs[:, 1]], -1))
-    d = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (n, 1))  # straight up
-    sun = jnp.asarray([0.0, 1.0, 0.0])
+    o = Vec3(jnp.asarray(xs[:, 0]), jnp.ones((n,)), jnp.asarray(xs[:, 1]))
+    z = jnp.zeros((n,))
+    d = Vec3(z, jnp.ones((n,)), z)  # straight up
+    sun = Vec3(jnp.asarray(0.0), jnp.asarray(1.0), jnp.asarray(0.0))
+    amb = jnp.full((n,), 0.05)
     rad, trans = cloud_march(cl, o, d, sun, jnp.asarray([18000.0] * 3),
-                             jnp.full((n, 3), 0.05), steps=32)
+                             (amb, amb, amb), steps=32)
     t = np.asarray(trans)
-    r = np.asarray(rad)
+    r = np.stack([np.asarray(c) for c in rad], -1)
     assert np.all((t >= 0) & (t <= 1))
     assert t.mean() < 0.999  # some occlusion somewhere
     assert np.all(np.isfinite(r)) and r.max() > 0  # lit clouds

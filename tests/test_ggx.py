@@ -6,26 +6,32 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from luminary_tpu.ops import math3
 from luminary_tpu.ops.ggx import (
     fresnel_dielectric,
     ggx_energy_lut,
     ggx_ndf,
-    ggx_reflect_eval,
-    roughness_to_alpha,
     sample_vndf_bounded,
     smith_g1,
     smith_g2,
     vndf_bounded_pdf,
 )
 from luminary_tpu.ops.lights import build_alias_table
-from luminary_tpu.ops.material import LaneMaterial, material_eval, material_sample
+from luminary_tpu.ops.material import (
+    LaneMaterial,
+    frame_eval,
+    make_frame,
+    material_eval,
+    material_sample,
+)
+from luminary_tpu.ops.vec import Vec3, normalize, reflect
 
 
 def make_mat(n, albedo=(0.8, 0.8, 0.8), roughness=0.5, metallic=0.0,
              ior=1.5, translucent=False):
     return LaneMaterial(
-        albedo=jnp.tile(jnp.asarray(albedo), (n, 1)),
+        albedo_r=jnp.full((n,), albedo[0]),
+        albedo_g=jnp.full((n,), albedo[1]),
+        albedo_b=jnp.full((n,), albedo[2]),
         roughness=jnp.full((n,), roughness),
         metallic=jnp.full((n,), metallic),
         ior=jnp.full((n,), ior),
@@ -34,12 +40,20 @@ def make_mat(n, albedo=(0.8, 0.8, 0.8), roughness=0.5, metallic=0.0,
     )
 
 
+def vec_tile(xyz, n):
+    v = normalize(Vec3(*(jnp.asarray(c, jnp.float32) for c in xyz)))
+    return Vec3(
+        jnp.broadcast_to(v.x, (n,)),
+        jnp.broadcast_to(v.y, (n,)),
+        jnp.broadcast_to(v.z, (n,)),
+    )
+
+
 def test_fresnel_dielectric_endpoints():
     f0 = float(fresnel_dielectric(jnp.asarray(1.0), jnp.asarray(1.5)))
     assert abs(f0 - 0.04) < 0.001
     fg = float(fresnel_dielectric(jnp.asarray(0.0), jnp.asarray(1.5)))
     assert fg > 0.99
-    # total internal reflection from the dense side
     tir = float(fresnel_dielectric(jnp.asarray(0.2), jnp.asarray(1 / 1.5)))
     assert tir == 1.0
 
@@ -47,7 +61,7 @@ def test_fresnel_dielectric_endpoints():
 def test_ndf_normalization():
     """∫ D(h) cos_h dω_h = 1 over the hemisphere."""
     for alpha in (0.1, 0.4, 1.0):
-        n_t, n_p = 256, 64
+        n_t = 256
         theta = (jnp.arange(n_t) + 0.5) / n_t * (jnp.pi / 2)
         d = ggx_ndf(jnp.asarray(alpha), jnp.cos(theta))
         integrand = d * jnp.cos(theta) * jnp.sin(theta)
@@ -56,37 +70,33 @@ def test_ndf_normalization():
 
 
 def test_vndf_sampling_matches_pdf():
-    """Histogram check: sampled half-vectors follow vndf_bounded_pdf."""
+    """MC identity + pdf normalization for the bounded-VNDF sampler."""
     n = 200000
     rng = np.random.default_rng(5)
     r2 = jnp.asarray(rng.random((n, 2)).astype(np.float32))
-    wo = jnp.tile(math3.normalize(jnp.asarray([0.4, 0.0, 0.8])), (n, 1))
+    wo = vec_tile((0.4, 0.0, 0.8), n)
     alpha = jnp.full((n,), 0.3)
     h = sample_vndf_bounded(wo, alpha, r2)
-    wi = math3.reflect(-wo, h)
-    ok = np.asarray(wi[:, 2] > 0)
-    wi_np = np.asarray(wi)[ok]
+    wi = reflect(-wo, h)
+    ok = np.asarray(wi.z > 0)
     pdf = np.asarray(vndf_bounded_pdf(wo, wi, alpha))[ok]
-    # MC identity: E[f(wi)/pdf(wi)] = ∫_support f dω. For alpha=0.3 at this
-    # view angle the reflected lobe covers (essentially) the full upper
-    # hemisphere, so ∫ cos² dω = 2π/3. A sampler/pdf mismatch breaks this.
-    f = wi_np[:, 2] ** 2
+    f = np.asarray(wi.z)[ok] ** 2
     est_sample = (f / pdf).sum() / n
     assert abs(est_sample - 2 * np.pi / 3) < 0.05, est_sample
-    # And the pdf itself integrates to ~1 over the support.
-    inv = (1.0 / pdf).sum() / n  # ∫ dω = hemisphere measure of support
-    est_one = (np.ones_like(f) / pdf * pdf).mean()  # sanity: exactly 1
-    assert abs(est_one - 1.0) < 1e-6
+    # pdf integrates to ~1 over the hemisphere
     nt, npphi = 256, 128
     theta = (np.arange(nt) + 0.5) / nt * np.pi / 2
     phi = (np.arange(npphi) + 0.5) / npphi * 2 * np.pi
     tt, pp = np.meshgrid(theta, phi, indexing="ij")
-    dirs = np.stack(
-        [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)], -1
-    ).reshape(-1, 3)
-    wo1 = jnp.tile(wo[:1], (dirs.shape[0], 1))
-    a1 = jnp.full((dirs.shape[0],), 0.3)
-    pdf_q = np.asarray(vndf_bounded_pdf(wo1, jnp.asarray(dirs, jnp.float32), a1))
+    dx = (np.sin(tt) * np.cos(pp)).reshape(-1)
+    dy = (np.sin(tt) * np.sin(pp)).reshape(-1)
+    dz = np.cos(tt).reshape(-1)
+    m = dx.size
+    wo1 = vec_tile((0.4, 0.0, 0.8), m)
+    a1 = jnp.full((m,), 0.3)
+    dirs = Vec3(jnp.asarray(dx, jnp.float32), jnp.asarray(dy, jnp.float32),
+                jnp.asarray(dz, jnp.float32))
+    pdf_q = np.asarray(vndf_bounded_pdf(wo1, dirs, a1))
     dw = (np.pi / 2 / nt) * (2 * np.pi / npphi) * np.sin(tt).reshape(-1)
     total = (pdf_q * dw).sum()
     assert abs(total - 1.0) < 0.03, f"pdf integrates to {total}"
@@ -96,81 +106,80 @@ def test_energy_lut_monotone_and_bounded():
     lut = np.asarray(ggx_energy_lut())
     assert lut.shape == (32, 32)
     assert np.all(lut > 0) and np.all(lut <= 1.0)
-    # smooth surfaces lose almost nothing
-    assert lut[:, 0].min() > 0.95
-    # rough + grazing loses the most
-    assert lut[0, -1] < lut[-1, 0]
+    assert lut[:, 0].min() > 0.95  # smooth surfaces lose almost nothing
+    assert lut[0, -1] < lut[-1, 0]  # rough + grazing loses the most
 
 
 def test_material_sample_eval_consistency():
-    """For sampled (non-delta) directions: weight == f/pdf and eval() agrees."""
+    """For sampled (non-delta) directions: weight == f/pdf and eval agrees."""
     n = 4096
     mat = make_mat(n, roughness=0.4)
-    ns = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
-    wo = jnp.tile(math3.normalize(jnp.asarray([0.3, 0.1, 0.9])), (n, 1))
+    ns = vec_tile((0.0, 0.0, 1.0), n)
+    wo = vec_tile((0.3, 0.1, 0.9), n)
     pid = jnp.arange(n, dtype=jnp.uint32)
+    fr = make_frame(mat, ns, wo)
     wi, weight, pdf, is_delta, transmitted = material_sample(
-        mat, ns, ns, wo, pid, 3, 1
+        mat, fr, ns, wo, pid, 3, 1
     )
     f, pdf_e = material_eval(mat, ns, wo, wi)
-    ok = np.asarray(pdf > 1e-6) & np.asarray(wi[:, 2] > 1e-3)
-    w = np.asarray(weight)[ok]
-    w2 = np.asarray(f)[ok] / np.asarray(pdf_e)[ok][:, None]
-    assert np.allclose(w, w2, rtol=0.05, atol=1e-3)
+    ok = np.asarray(pdf > 1e-6) & (np.asarray(wi.z) > 1e-3)
+    for c in range(3):
+        w = np.asarray(weight[c])[ok]
+        w2 = np.asarray(f[c])[ok] / np.asarray(pdf_e)[ok]
+        assert np.allclose(w, w2, rtol=0.05, atol=1e-3)
     assert not np.any(np.asarray(is_delta))
 
 
 def test_material_white_furnace():
-    """Rough white opaque material under uniform unit environment ≈ albedo
-    (energy conservation within tolerance)."""
+    """Rough white opaque material under uniform unit environment ≈ albedo."""
     n = 65536
     mat = make_mat(n, albedo=(1.0, 1.0, 1.0), roughness=0.9)
-    ns = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
-    wo = jnp.tile(math3.normalize(jnp.asarray([0.0, 0.4, 0.9])), (n, 1))
+    ns = vec_tile((0.0, 0.0, 1.0), n)
+    wo = vec_tile((0.0, 0.4, 0.9), n)
     pid = jnp.arange(n, dtype=jnp.uint32)
-    wi, weight, pdf, is_delta, _ = material_sample(mat, ns, ns, wo, pid, 0, 0)
-    # E[weight] = ∫ f cos / pdf * pdf dω = directional albedo
-    alb = float(jnp.mean(weight[:, 0]))
+    fr = make_frame(mat, ns, wo)
+    wi, weight, pdf, is_delta, _ = material_sample(mat, fr, ns, wo, pid, 0, 0)
+    alb = float(jnp.mean(weight[0]))
     assert 0.85 < alb <= 1.1, alb
 
 
 def test_metallic_reflects_tinted():
     n = 8192
     mat = make_mat(n, albedo=(0.9, 0.5, 0.1), roughness=0.3, metallic=1.0)
-    ns = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
-    wo = jnp.tile(math3.normalize(jnp.asarray([0.0, 0.0, 1.0])), (n, 1))
+    ns = vec_tile((0.0, 0.0, 1.0), n)
+    wo = vec_tile((0.0, 0.0, 1.0), n)
     pid = jnp.arange(n, dtype=jnp.uint32)
-    wi, weight, pdf, is_delta, _ = material_sample(mat, ns, ns, wo, pid, 0, 0)
-    w = np.asarray(weight).mean(axis=0)
+    fr = make_frame(mat, ns, wo)
+    wi, weight, pdf, is_delta, _ = material_sample(mat, fr, ns, wo, pid, 0, 0)
+    w = [float(jnp.mean(weight[c])) for c in range(3)]
     assert w[0] > w[1] > w[2]  # tint preserved
 
 
 def test_translucent_delta_refracts():
     n = 1024
     mat = make_mat(n, translucent=True, ior=1.5, albedo=(1, 1, 1))
-    ns = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
-    wo = jnp.tile(math3.normalize(jnp.asarray([0.5, 0.0, 0.866])), (n, 1))
+    ns = vec_tile((0.0, 0.0, 1.0), n)
+    wo = vec_tile((0.5, 0.0, 0.866), n)
     pid = jnp.arange(n, dtype=jnp.uint32)
+    fr = make_frame(mat, ns, wo)
     wi, weight, pdf, is_delta, transmitted = material_sample(
-        mat, ns, ns, wo, pid, 0, 0
+        mat, fr, ns, wo, pid, 0, 0
     )
     assert np.all(np.asarray(is_delta))
     tr = np.asarray(transmitted)
     assert 0.5 < tr.mean() < 1.0  # mostly refraction at this angle
-    wi_np = np.asarray(wi)
-    # transmitted rays go below the surface; reflected above
-    assert np.all(wi_np[tr][:, 2] < 0)
-    assert np.all(wi_np[~tr][:, 2] > 0)
+    wiz = np.asarray(wi.z)
+    assert np.all(wiz[tr] < 0)
+    assert np.all(wiz[~tr] > 0)
     # Snell: sin_t = sin_i / 1.5 for entering rays
     sin_i = 0.5
-    sin_t = np.sqrt(wi_np[tr][:, 0] ** 2 + wi_np[tr][:, 1] ** 2)
+    sin_t = np.sqrt(np.asarray(wi.x)[tr] ** 2 + np.asarray(wi.y)[tr] ** 2)
     assert np.allclose(sin_t, sin_i / 1.5, atol=1e-3)
 
 
 def test_alias_table_distribution():
     w = np.asarray([1.0, 2.0, 3.0, 4.0], np.float64)
     prob, alias = build_alias_table(w)
-    # exhaustively integrate the alias sampling probability
     counts = np.zeros(4)
     steps = 400
     for i in range(4):

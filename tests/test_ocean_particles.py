@@ -10,6 +10,7 @@ from luminary_tpu.ops.procedural import (
     generate_particles,
     ocean_fbm,
 )
+from luminary_tpu.ops.vec import Vec3
 from luminary_tpu.ops.volume import pack_water, water_transmittance
 from luminary_tpu.render.renderer import Renderer
 from luminary_tpu.scene.entities import JerlovWaterType, Ocean, Particles
@@ -48,17 +49,20 @@ def test_particles_generation():
 
 def test_water_transmittance_depth_colored():
     w = pack_water(Ocean(active=True, height=0.0, water_type=JerlovWaterType.II))
-    o = jnp.asarray([[0.0, -1.0, 0.0]])
-    d = jnp.asarray([[1.0, 0.0, 0.0]])
-    t10 = np.asarray(water_transmittance(w, o, d, jnp.asarray([10.0])))[0]
-    t50 = np.asarray(water_transmittance(w, o, d, jnp.asarray([50.0])))[0]
+
+    def v3(x, y, z):
+        return Vec3(jnp.asarray([x]), jnp.asarray([y]), jnp.asarray([z]))
+
+    o = v3(0.0, -1.0, 0.0)
+    d = v3(1.0, 0.0, 0.0)
+    t10 = np.asarray(water_transmittance(w, o, d, jnp.asarray([10.0])))[:, 0]
+    t50 = np.asarray(water_transmittance(w, o, d, jnp.asarray([50.0])))[:, 0]
     assert np.all(t50 < t10)
-    # water absorbs red faster than blue... (Jerlov II: R>G but B absorbed most
-    # in our RGB convention: coefficient order is (r,g,b) with b largest)
+    # blue channel is absorbed most in our coefficient table
     assert t10[2] < t10[0]
     # above water: no attenuation
-    o2 = jnp.asarray([[0.0, 5.0, 0.0]])
-    t_above = np.asarray(water_transmittance(w, o2, d, jnp.asarray([10.0])))[0]
+    o2 = v3(0.0, 5.0, 0.0)
+    t_above = np.asarray(water_transmittance(w, o2, d, jnp.asarray([10.0])))[:, 0]
     assert np.allclose(t_above, 1.0)
 
 

