@@ -1,0 +1,165 @@
+"""BVH2 → 8-wide BVH collapse (host side, numpy).
+
+The reference's dormant CWBVH (reference: src/luminary/device/bvh.c — 8-wide
+compressed nodes, disabled behind ``#if 0``) is the inspiration, but the TPU
+layout is its own: every node is a single f32 row of 64 columns so the device
+traversal fetches one node with ONE row-gather (the measured cost model on
+v5e: each gather of [N] rows runs at memory speed ~0.1 ms for N=262k, while
+every extra kernel launch costs ~0.1 ms — so the design minimizes *ops per
+step*, not bytes).
+
+Node row layout (f32 [M, 64]):
+  cols  0: 8   min_x of children 0..7     cols 24:32  max_y
+  cols  8:16   max_x                      cols 32:40  min_z
+  cols 16:24   min_y                      cols 40:48  max_z
+  cols 48:56   child codes (int32 bitcast to f32)
+  cols 56:64   zero padding
+Child code: >= 0 interior node id; < 0 leaf (~code = block id);
+INVALID_CHILD (0x7FFFFFFF) = absent (its AABB is +inf/-inf so slabs miss).
+
+Leaf row layout (f32 [B, 128]): WIDE_LEAF=14 triangles interleaved by field:
+  cols 0:14 v0x, 14:28 v0y, 28:42 v0z, 42:56 e1x, 56:70 e1y, 70:84 e1z,
+  84:98 e2x, 98:112 e2y, 112:126 e2z, 126:128 zero padding.
+14*9 = 126 <= 128, so a leaf gather is exactly one physical (8,128) tile row —
+zero padding waste. Padding slots hold degenerate triangles (e1=e2=0).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from .builder import BVH2
+
+INVALID_CHILD = np.int32(0x7FFFFFFF)
+WIDE_LEAF = 14  # triangles per leaf row (14*9 floats = 126 <= 128 cols)
+BRANCH = 8
+
+
+class WideBVH(NamedTuple):
+    """Host-side 8-wide BVH (numpy; shipped to device by fast_device_put)."""
+
+    node_rows: np.ndarray  # f32 [M, 64] — see module docstring
+    leaf_rows: np.ndarray  # f32 [B, 128]
+    tri_order: np.ndarray  # i32 [B * WIDE_LEAF] original tri id per slot, -1 pad
+    depth: int  # max interior depth (static: sizes the traversal stack)
+    num_nodes: int
+    num_blocks: int
+
+
+def _collapse_children(bvh: BVH2, node: int):
+    """Expand a BVH2 node's two children into up to 8 (code, min, max) by
+    repeatedly replacing the largest-surface-area interior entry with its two
+    children (standard SAH-greedy wide collapse)."""
+    entries = []  # (code, lo, hi)
+    for side in range(2):
+        code = int(bvh.child[node, side])
+        if code == int(INVALID_CHILD):
+            continue
+        entries.append((code, bvh.child_min[node, side], bvh.child_max[node, side]))
+
+    def area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    while len(entries) < BRANCH:
+        best, best_a = -1, -1.0
+        for i, (code, lo, hi) in enumerate(entries):
+            if code >= 0:  # interior — expandable
+                a = area(lo, hi)
+                if a > best_a:
+                    best, best_a = i, a
+        if best < 0:
+            break
+        code, _, _ = entries.pop(best)
+        for side in range(2):
+            c = int(bvh.child[code, side])
+            if c == int(INVALID_CHILD):
+                continue
+            entries.append((c, bvh.child_min[code, side], bvh.child_max[code, side]))
+    return entries
+
+
+def collapse_bvh8(bvh: BVH2) -> WideBVH:
+    """Collapse a BVH2 into the 8-wide device format.
+
+    Leaf blocks are re-packed from ``bvh.leaf_size`` to WIDE_LEAF slots:
+    BVH2 leaves reachable from one collapsed child entry always form one new
+    block (the builder is invoked with max_leaf_tris <= WIDE_LEAF so each BVH2
+    leaf fits a wide block; multiple small BVH2 leaves are NOT merged — block
+    granularity is one BVH2 leaf).
+    """
+    src_leaf = bvh.leaf_size
+    assert src_leaf <= WIDE_LEAF, (
+        f"BVH2 leaf_size {src_leaf} exceeds wide leaf capacity {WIDE_LEAF}"
+    )
+
+    # Wide node emission: BFS from BVH2 root.
+    node_rows: list[np.ndarray] = []
+    blocks: list[np.ndarray] = []  # original tri ids per wide block
+    # (wide_node_id, bvh2_node_id) pending interior conversions
+    pending = [(0, 0)]
+    node_rows.append(np.zeros(64, np.float32))
+    depth_of = {0: 1}
+    max_depth = 1
+
+    def emit_leaf(code: int) -> int:
+        block2 = ~code
+        ids = bvh.tri_order[block2 * src_leaf : (block2 + 1) * src_leaf]
+        ids = ids[ids >= 0]
+        blocks.append(ids.astype(np.int32))
+        return ~(len(blocks) - 1)
+
+    while pending:
+        wide_id, node2 = pending.pop()
+        entries = _collapse_children(bvh, node2)
+        row = np.zeros(64, np.float32)
+        # Absent children: a degenerate box at +inf. With lo == hi == +inf the
+        # slab test misses for EVERY ray-direction sign pattern (a +inf/-inf
+        # pair would pass when inv_dir > 0: t1=+inf, t2=-inf straddle the
+        # interval). The traversal additionally masks on code != INVALID.
+        row[0:48] = np.inf
+        codes = np.full(8, INVALID_CHILD, np.int32)
+        for k, (code, lo, hi) in enumerate(entries):
+            row[0 + k] = lo[0]
+            row[8 + k] = hi[0]
+            row[16 + k] = lo[1]
+            row[24 + k] = hi[1]
+            row[32 + k] = lo[2]
+            row[40 + k] = hi[2]
+            if code < 0:
+                codes[k] = emit_leaf(code)
+            else:
+                child_wide = len(node_rows)
+                node_rows.append(np.zeros(64, np.float32))
+                pending.append((child_wide, code))
+                codes[k] = child_wide
+                depth_of[child_wide] = depth_of[wide_id] + 1
+                max_depth = max(max_depth, depth_of[child_wide])
+        row[48:56] = codes.view(np.float32)
+        node_rows[wide_id] = row
+
+    num_blocks = max(len(blocks), 1)
+    tri_order = np.full(num_blocks * WIDE_LEAF, -1, np.int32)
+    for b, ids in enumerate(blocks):
+        tri_order[b * WIDE_LEAF : b * WIDE_LEAF + len(ids)] = ids
+
+    return WideBVH(
+        node_rows=np.stack(node_rows),
+        leaf_rows=np.zeros((num_blocks, 128), np.float32),  # filled by pack_leaf_rows
+        tri_order=tri_order,
+        depth=max_depth,
+        num_nodes=len(node_rows),
+        num_blocks=num_blocks,
+    )
+
+
+def pack_leaf_rows(wide: WideBVH, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> WideBVH:
+    """Fill leaf_rows from slot-ordered triangle data ([P,3] each, P = B*14)."""
+    b = wide.num_blocks
+    rows = np.zeros((b, 128), np.float32)
+    for j, arr in enumerate((v0, e1, e2)):
+        for c in range(3):
+            rows[:, j * 42 + c * 14 : j * 42 + (c + 1) * 14] = arr[:, c].reshape(b, WIDE_LEAF)
+    return wide._replace(leaf_rows=rows)

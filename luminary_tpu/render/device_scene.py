@@ -21,20 +21,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bvh.builder import BVH2, build_bvh
-from ..ops.traverse import (
-    DeviceBVH,
-    INVALID_CHILD,
-    MAX_TRAIL_DEPTH,
-    compute_links,
-    pack_device_bvh,
-)
+from ..bvh.builder import build_bvh
+from ..bvh.wide import WIDE_LEAF, collapse_bvh8
+from ..ops.traverse import DeviceBVH, pack_device_bvh
 from ..ops.vec import Vec3
 from ..scene.entities import Material, MaterialBaseSubstrate, TEXTURE_NONE
 from ..scene.scene import Scene
 from ..utils.log import info_message
 
-LEAF_SIZE = 4
+LEAF_SIZE = WIDE_LEAF
 
 
 def _euler_to_matrix(rotation) -> np.ndarray:
@@ -344,38 +339,21 @@ def flatten_instances(scene: Scene):
     )
 
 
-def bvh_max_depth(child: np.ndarray) -> int:
-    """Tree depth via level-order sweep over the child table."""
-    depth = 0
-    frontier = np.asarray([0], np.int32)
-    for _ in range(MAX_TRAIL_DEPTH + 1):
-        kids = child[frontier].reshape(-1)
-        kids = kids[(kids != INVALID_CHILD) & (kids >= 0)]
-        if kids.size == 0:
-            return depth
-        frontier = kids
-        depth += 1
-    return depth
-
-
 def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     corners, normals, uvs, mats, insts, prims = flatten_instances(scene)
     t = corners.shape[0]
     from ..bvh.native import build_bvh_native
 
-    bvh = build_bvh_native(corners, leaf_size=LEAF_SIZE)
-    if bvh is None:
-        bvh = build_bvh(corners, leaf_size=LEAF_SIZE)
-    depth = bvh_max_depth(bvh.child)
-    assert depth <= MAX_TRAIL_DEPTH, (
-        f"BVH depth {depth} exceeds the {MAX_TRAIL_DEPTH}-bit traversal trail"
-    )
+    bvh2 = build_bvh_native(corners, leaf_size=LEAF_SIZE)
+    if bvh2 is None:
+        bvh2 = build_bvh(corners, leaf_size=LEAF_SIZE)
+    wide = collapse_bvh8(bvh2)
     info_message(
-        "BVH built: %d tris, %d nodes, %d leaf blocks, depth %d",
-        t, bvh.num_nodes, bvh.num_blocks, depth,
+        "BVH8 built: %d tris, %d wide nodes, %d leaf blocks, depth %d",
+        t, wide.num_nodes, wide.num_blocks, wide.depth,
     )
 
-    order = bvh.tri_order  # [P] original tri id, -1 padding
+    order = wide.tri_order  # [P] original tri id, -1 padding
     p = order.shape[0]
     valid = order >= 0
     safe = np.where(valid, order, 0)
@@ -398,7 +376,6 @@ def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     fn_len = np.linalg.norm(fn, axis=-1, keepdims=True)
     fn = fn / np.maximum(fn_len, 1e-20)
 
-    links = compute_links(bvh.child, bvh.num_blocks)
     slot_n = slotify(normals) if t else np.zeros((p, 3, 3), np.float32)
     slot_uv = slotify(uvs) if t else np.zeros((p, 3, 2), np.float32)
 
@@ -412,7 +389,7 @@ def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     # numpy leaves: the caller ships the whole pytree to the device with a
     # single blob transfer (utils/fastput.py).
     return DeviceSceneGeo(
-        bvh=pack_device_bvh(bvh, links, v0, e1, e2),
+        bvh=pack_device_bvh(wide, v0, e1, e2),
         n0=v3(slot_n[:, 0]),
         n1=v3(slot_n[:, 1]),
         n2=v3(slot_n[:, 2]),

@@ -56,7 +56,6 @@ from ..ops.volume import (
 )
 from ..ops.wavefront_utils import sample_sun_direction
 from .device_scene import (
-    LEAF_SIZE,
     MAT_FLAG_EMISSIVE,
     MAT_FLAG_TRANSLUCENT,
     DeviceScene,
@@ -178,9 +177,7 @@ def render_sample(
     # depth-unrolled, device_renderer.c:59-131).
     for depth in range(config.max_depth):
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
-        hit = trace_closest(
-            geo.bvh, origin, direction, leaf_size=LEAF_SIZE, chunk=config.chunk
-        )
+        hit = trace_closest(geo.bvh, origin, direction, chunk=config.chunk)
 
         # ---- volume collision sampling (analog tracking; reference
         # VOLUME_EVENTS kernel, cuda/volume.cuh) ----
@@ -311,8 +308,7 @@ def render_sample(
         )
         rays_traced = rays_traced + jnp.sum(sun_candidate.astype(jnp.float32))
         sun_occluded = trace_occluded(
-            geo.bvh, shadow_origin, sun_dir_s, MISS_DIST,
-            leaf_size=LEAF_SIZE, chunk=config.chunk,
+            geo.bvh, shadow_origin, sun_dir_s, MISS_DIST, chunk=config.chunk
         )
         t_fog_sun = fog_transmittance(fog, shadow_origin, sun_dir_s, 1e7)
         tws_r, tws_g, tws_b = water_transmittance(
@@ -360,8 +356,7 @@ def render_sample(
         )
         rays_traced = rays_traced + jnp.sum(light_candidate.astype(jnp.float32))
         l_occluded = trace_occluded(
-            geo.bvh, shadow_origin, l_dir, dist - 2.0 * _RAY_EPS,
-            leaf_size=LEAF_SIZE, chunk=config.chunk,
+            geo.bvh, shadow_origin, l_dir, dist - 2.0 * _RAY_EPS, chunk=config.chunk
         )
         t_fog_l = fog_transmittance(fog, shadow_origin, l_dir, dist)
         twl_r, twl_g, twl_b = water_transmittance(

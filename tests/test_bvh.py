@@ -6,10 +6,12 @@ import pytest
 import jax.numpy as jnp
 
 from luminary_tpu.bvh.builder import BVH2, build_bvh
+from luminary_tpu.bvh.wide import WIDE_LEAF, collapse_bvh8
 from luminary_tpu.ops.intersect import MISS_DIST, ray_triangle
 from luminary_tpu.ops.traverse import (
+    DENSE_MAX_SLOTS,
     DeviceBVH,
-    compute_links,
+    _traverse_wide,
     pack_device_bvh,
     trace_closest,
     trace_occluded,
@@ -31,16 +33,16 @@ def random_tris(rng, n, spread=10.0, size=0.5):
 def to_device_bvh(bvh: BVH2, corners: np.ndarray) -> DeviceBVH:
     import jax
 
-    order = bvh.tri_order
+    wide = collapse_bvh8(bvh)
+    order = wide.tri_order
     valid = order >= 0
     safe = np.where(valid, order, 0)
-    c = corners[safe]
+    c = corners[safe] if corners.shape[0] else np.zeros((len(order), 3, 3), np.float32)
     v0, e1, e2 = c[:, 0].copy(), (c[:, 1] - c[:, 0]), (c[:, 2] - c[:, 0])
     v0[~valid] = 0
     e1[~valid] = 0
     e2[~valid] = 0
-    links = compute_links(bvh.child, bvh.num_blocks)
-    return jax.device_put(pack_device_bvh(bvh, links, v0, e1, e2))
+    return jax.device_put(pack_device_bvh(wide, v0, e1, e2))
 
 
 def brute_force_t(corners, origins, dirs):
@@ -67,7 +69,7 @@ def brute_force_t(corners, origins, dirs):
 @pytest.mark.parametrize("num_tris", [1, 5, 63, 300])
 def test_traversal_matches_brute_force(rng, num_tris):
     corners = random_tris(rng, num_tris)
-    bvh = build_bvh(corners, leaf_size=4)
+    bvh = build_bvh(corners, leaf_size=WIDE_LEAF)
     dbvh = to_device_bvh(bvh, corners)
 
     n_rays = 256
@@ -88,9 +90,36 @@ def test_traversal_matches_brute_force(rng, num_tris):
     assert np.allclose(t_got[both], t_ref[both], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("num_tris", [9, 80])
+def test_wide_traversal_matches_dense_tier(rng, num_tris):
+    """Force the wide-tree path on scenes small enough for the dense tier —
+    the two tiers must agree exactly on hits."""
+    corners = random_tris(rng, num_tris)
+    bvh = build_bvh(corners, leaf_size=4)  # small leaves → deeper wide tree
+    dbvh = to_device_bvh(bvh, corners)
+    assert dbvh.tri_v0.x.shape[0] <= DENSE_MAX_SLOTS or num_tris == 80
+
+    n_rays = 512
+    origins = (rng.random((n_rays, 3)).astype(np.float32) - 0.5) * 20.0
+    dirs = rng.standard_normal((n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o, d = vec(origins), vec(dirs)
+    tmax = jnp.full((n_rays,), MISS_DIST)
+
+    wide_hit = _traverse_wide(dbvh, o, d, tmax, any_hit=False)
+    t_ref = brute_force_t(corners, origins, dirs)
+    t_got = np.asarray(wide_hit.t)
+    miss_ref = t_ref >= 1e30
+    assert np.array_equal(miss_ref, t_got >= 1e30)
+    assert np.allclose(t_got[~miss_ref], t_ref[~miss_ref], rtol=1e-4, atol=1e-5)
+
+    occ_wide = np.asarray(_traverse_wide(dbvh, o, d, tmax, any_hit=True).slot >= 0)
+    assert np.array_equal(occ_wide, ~miss_ref)
+
+
 def test_traversal_slot_maps_to_hit_triangle(rng):
-    corners = random_tris(rng, 100)
-    bvh = build_bvh(corners, leaf_size=4)
+    corners = random_tris(rng, 300)
+    bvh = build_bvh(corners, leaf_size=WIDE_LEAF)
     dbvh = to_device_bvh(bvh, corners)
     origins = np.zeros((64, 3), np.float32)
     dirs = rng.standard_normal((64, 3)).astype(np.float32)
@@ -117,7 +146,7 @@ def test_occlusion(rng):
     corners = np.array(
         [[[-10, -10, 5], [10, -10, 5], [0, 10, 5]]], dtype=np.float32
     )
-    bvh = build_bvh(corners, leaf_size=4)
+    bvh = build_bvh(corners, leaf_size=WIDE_LEAF)
     dbvh = to_device_bvh(bvh, corners)
     origins = np.zeros((4, 3), np.float32)
     dirs = np.array(
@@ -128,9 +157,27 @@ def test_occlusion(rng):
     assert occ.tolist() == [True, False, False, False]
 
 
-def test_chunked_trace_matches(rng):
-    corners = random_tris(rng, 50)
+def test_occlusion_wide_respects_tmax(rng):
+    corners = np.array(
+        [[[-10, -10, 5], [10, -10, 5], [0, 10, 5]]], dtype=np.float32
+    ).repeat(40, axis=0)
+    corners += np.arange(40, dtype=np.float32)[:, None, None] * np.array(
+        [0.0, 0.0, 1.0], np.float32
+    )
     bvh = build_bvh(corners, leaf_size=4)
+    dbvh = to_device_bvh(bvh, corners)
+    origins = np.zeros((4, 3), np.float32)
+    dirs = np.tile(np.array([[0, 0, 1.0]], np.float32), (4, 1))
+    tmax = jnp.asarray(np.array([100.0, 4.9, 5.1, 0.5], np.float32))
+    occ = np.asarray(
+        _traverse_wide(dbvh, vec(origins), vec(dirs), tmax, any_hit=True).slot >= 0
+    )
+    assert occ.tolist() == [True, False, True, False]
+
+
+def test_chunked_trace_matches(rng):
+    corners = random_tris(rng, 300)
+    bvh = build_bvh(corners, leaf_size=WIDE_LEAF)
     dbvh = to_device_bvh(bvh, corners)
     origins = (rng.random((128, 3)).astype(np.float32) - 0.5) * 20.0
     dirs = rng.standard_normal((128, 3)).astype(np.float32)
@@ -142,8 +189,8 @@ def test_chunked_trace_matches(rng):
 
 
 def test_empty_bvh():
-    bvh = build_bvh(np.zeros((0, 3, 3), np.float32), leaf_size=4)
-    dbvh = to_device_bvh(bvh, np.zeros((1, 3, 3), np.float32))
+    bvh = build_bvh(np.zeros((0, 3, 3), np.float32), leaf_size=WIDE_LEAF)
+    dbvh = to_device_bvh(bvh, np.zeros((0, 3, 3), np.float32))
     z = jnp.zeros((8,)); o = jnp.ones((8,))
     hit = trace_closest(dbvh, Vec3(z, z, z), Vec3(o, o, o))
     assert np.all(np.asarray(hit.slot) == -1)
@@ -151,12 +198,13 @@ def test_empty_bvh():
 
 
 def test_leaf_order_padding():
-    corners = random_tris(np.random.default_rng(7), 10)
-    bvh = build_bvh(corners, leaf_size=4)
-    order = bvh.tri_order
+    corners = random_tris(np.random.default_rng(7), 40)
+    bvh = build_bvh(corners, leaf_size=WIDE_LEAF)
+    wide = collapse_bvh8(bvh)
+    order = wide.tri_order
     used = order[order >= 0]
-    assert sorted(used.tolist()) == list(range(10))
-    assert len(order) % 4 == 0
+    assert sorted(used.tolist()) == list(range(40))
+    assert len(order) % WIDE_LEAF == 0
 
 
 def test_native_builder_matches_numpy(rng):
@@ -165,9 +213,9 @@ def test_native_builder_matches_numpy(rng):
     if not native_available():
         pytest.skip("no native toolchain")
     corners = random_tris(rng, 500)
-    bvh_n = build_bvh_native(corners, leaf_size=4)
+    bvh_n = build_bvh_native(corners, leaf_size=WIDE_LEAF)
     dbvh_n = to_device_bvh(bvh_n, corners)
-    bvh_p = build_bvh(corners, leaf_size=4)
+    bvh_p = build_bvh(corners, leaf_size=WIDE_LEAF)
     dbvh_p = to_device_bvh(bvh_p, corners)
 
     origins = (rng.random((256, 3)).astype(np.float32) - 0.5) * 20.0
@@ -194,9 +242,19 @@ def test_native_builder_large_scene_performance(rng):
 
     corners = random_tris(rng, 200_000, spread=100.0)
     t0 = time.monotonic()
-    bvh = build_bvh_native(corners, leaf_size=4)
+    bvh = build_bvh_native(corners, leaf_size=WIDE_LEAF)
     dt = time.monotonic() - t0
     assert bvh is not None
     assert dt < 5.0, f"native build too slow: {dt:.2f}s for 200k tris"
     used = bvh.tri_order[bvh.tri_order >= 0]
     assert len(used) == 200_000
+
+
+def test_collapse_depth_and_counts(rng):
+    corners = random_tris(rng, 5000, spread=50.0)
+    bvh = build_bvh(corners, leaf_size=WIDE_LEAF)
+    wide = collapse_bvh8(bvh)
+    assert wide.num_nodes >= 1
+    assert 1 <= wide.depth <= 24
+    used = wide.tri_order[wide.tri_order >= 0]
+    assert sorted(used.tolist()) == list(range(5000))
