@@ -36,7 +36,7 @@ def main():
 
     t0 = time.monotonic()
     scene = cornell_scene(width, height, max_depth=depth)
-    r = Renderer(scene, chunk=int(os.environ.get("BENCH_CHUNK", "65536")))
+    r = Renderer(scene, chunk=int(os.environ.get("BENCH_CHUNK", str(1 << 20))))
     log(f"bench: pack done in {time.monotonic()-t0:.1f}s")
 
     t0 = time.monotonic()

@@ -29,6 +29,11 @@ import numpy as np
 from .intersect import MISS_DIST, ray_triangle
 from .vec import Vec3
 
+import os as _os
+
+# LUM_TRACE_DEBUG=1: every tree trace prints its lockstep iteration count.
+_TRACE_DEBUG = _os.environ.get("LUM_TRACE_DEBUG") == "1"
+
 INVALID_CHILD = np.int32(0x7FFFFFFF)
 
 DENSE_MAX_SLOTS = 128  # one [T, N] tile; larger scenes take the wide tree
@@ -46,9 +51,11 @@ class DeviceBVH:
     traversal stack, so jit specializes per scene depth.
     """
 
-    def __init__(self, node_rows, leaf_rows, tri_v0, tri_e1, tri_e2, depth: int):
+    def __init__(self, node_rows, leaf_rows, tri_rows, tri_v0, tri_e1,
+                 tri_e2, depth: int):
         self.node_rows = node_rows
         self.leaf_rows = leaf_rows
+        self.tri_rows = tri_rows  # f32 [P, 16]: v0 xyz, e1 xyz, e2 xyz, pad
         self.tri_v0 = tri_v0
         self.tri_e1 = tri_e1
         self.tri_e2 = tri_e2
@@ -56,7 +63,8 @@ class DeviceBVH:
 
     def tree_flatten(self):
         return (
-            (self.node_rows, self.leaf_rows, self.tri_v0, self.tri_e1, self.tri_e2),
+            (self.node_rows, self.leaf_rows, self.tri_rows, self.tri_v0,
+             self.tri_e1, self.tri_e2),
             self.depth,
         )
 
@@ -92,9 +100,15 @@ def pack_device_bvh(wide, v0, e1, e2) -> DeviceBVH:
             np.ascontiguousarray(a[..., 2]),
         )
 
+    p = v0.shape[0]
+    tri_rows = np.zeros((p, 16), np.float32)
+    tri_rows[:, 0:3] = v0
+    tri_rows[:, 3:6] = e1
+    tri_rows[:, 6:9] = e2
     return DeviceBVH(
         node_rows=wide.node_rows,
         leaf_rows=wide.leaf_rows,
+        tri_rows=tri_rows,
         tri_v0=v3(v0),
         tri_e1=v3(e1),
         tri_e2=v3(e2),
@@ -200,66 +214,133 @@ def _select8(values, sel):
     return out
 
 
-def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
-                   any_hit: bool, t_min: float = 1e-4):
-    """8-wide BVH traversal, phase-split.
+PACKET = 8
 
-    Interior phase: one node-row gather + fused 8-child slab/select per step.
-    Leaf phase: one leaf-row gather + 14 fused Möller-Trumbore tests.
-    The short stack lives in `bvh.depth` flat [N] i32 registers packed as
-    (node << 8) | pending_mask, pushed/popped with static shifts — per-lane
-    dynamic indexing never happens.
+
+def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
+                   any_hit: bool, t_min: float = 1e-4, active=None,
+                   debug_counters: bool = False):
+    """8-wide BVH traversal over 8-ray packets, single uniform loop.
+
+    A packet is 8 consecutive rays riding the SUBLANE axis ([8, G] arrays,
+    G packets in lanes): the per-step node-row gather is per PACKET
+    ([G, 64] instead of [N, 64]) — 8x less gather traffic, the dominant
+    cost. The packet follows the union of its rays' wanted children
+    (per-ray slab tests reduced over the ray axis), so coherent packets
+    (camera/shadow wavefronts in pixel order) pay almost nothing for
+    sharing. Control state is per packet [G]; hit state per ray [8, G].
+
+    Every iteration handles BOTH cases in lockstep: packets whose selected
+    child is interior descend; packets whose selected child is a leaf
+    intersect its 14 triangles inline ([14, 8, G] Möller-Trumbore on one
+    [G, 128] leaf-row gather) and stay on the node with the child's pending
+    bit cleared. A single loop (no interior/leaf phase split) makes the
+    lockstep iteration count the max TOTAL steps over packets rather than a
+    sum of per-phase maxima.
+
+    Every unrolled per-child / per-triangle loop is a single 3D tensor op:
+    measured on v5e, each XLA op inside a while_loop body costs ~5 us fixed,
+    so the op count per body dominates below ~100 MB of traffic. The short
+    stack is a [depth, G] i32 array packed as (node << 8) | pending_mask,
+    pushed/popped with concat-shifts — per-lane dynamic indexing never
+    happens.
     """
     nodes = bvh.node_rows
     leaves = bvh.leaf_rows
     stack_depth = max(int(bvh.depth), 1)
-    n = origin.x.shape[0]
-    inv_dir = _safe_inv(direction)
+    n_in = origin.x.shape[0]
+    if active is None:
+        active = jnp.ones((n_in,), bool)
 
-    cur = jnp.zeros((n,), jnp.int32)
-    mask = jnp.full((n,), 0xFF, jnp.int32)
-    sp = jnp.zeros((n,), jnp.int32)
-    stack = [jnp.zeros((n,), jnp.int32) for _ in range(stack_depth)]
-    parked = jnp.zeros((n,), bool)
-    leaf = jnp.zeros((n,), jnp.int32)
-    done = jnp.zeros((n,), bool)
-    t_best = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
-    slot_best = jnp.full((n,), -1, jnp.int32)
-    u_best = jnp.zeros((n,), jnp.float32)
-    v_best = jnp.zeros((n,), jnp.float32)
+    # Pad the wavefront to a packet multiple with inactive rays.
+    pad = (-n_in) % PACKET
+    if pad:
+        def padv(v):
+            return Vec3(
+                jnp.concatenate([v.x, jnp.zeros((pad,), v.x.dtype)]),
+                jnp.concatenate([v.y, jnp.zeros((pad,), v.y.dtype)]),
+                jnp.concatenate([v.z, jnp.ones((pad,), v.z.dtype)]),
+            )
+        origin = padv(origin)
+        direction = padv(direction)
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
+        active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+    n = n_in + pad
+    g = n // PACKET
 
-    bits = [jnp.int32(1 << k) for k in range(8)]
+    def to_pg(x):  # [N] -> [PACKET, G]
+        return x.reshape(g, PACKET).T
 
-    def interior_cond(st):
-        return jnp.any(~st[5] & ~st[3])  # any lane neither done nor parked
+    o_pg = Vec3(to_pg(origin.x), to_pg(origin.y), to_pg(origin.z))
+    d_pg = Vec3(to_pg(direction.x), to_pg(direction.y), to_pg(direction.z))
+    inv_pg = _safe_inv(d_pg)
+    ray_on = to_pg(active)  # [8, G]
 
-    def interior_body(st):
-        (cur, mask, sp, parked, leaf, done, t_best, slot_best, u_best, v_best,
-         *stack) = st
-        act = ~done & ~parked
-        row = nodes[jnp.where(act, cur, 0)]
-        dists, hits = _wide_slab(row, origin, inv_dir, jnp.float32(t_min), t_best)
-        codes = [
-            jax.lax.bitcast_convert_type(row[:, 48 + k], jnp.int32)
-            for k in range(8)
-        ]
-        hitbits = jnp.zeros((n,), jnp.int32)
-        lives = []
-        for k in range(8):
-            lv = hits[k] & ((mask & bits[k]) != 0) & (codes[k] != INVALID_CHILD)
-            lives.append(lv)
-            hitbits = hitbits | jnp.where(lv, bits[k], 0)
+    cur = jnp.zeros((g,), jnp.int32)
+    mask = jnp.full((g,), 0xFF, jnp.int32)
+    sp = jnp.zeros((g,), jnp.int32)
+    stack = jnp.zeros((stack_depth, g), jnp.int32)
+    done = ~jnp.any(ray_on, axis=0)  # all-inactive packets are born done
+    t_best = to_pg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
+    slot_best = jnp.full((PACKET, g), -1, jnp.int32)
+    found = jnp.zeros((PACKET, g), bool)  # any-hit early-out per ray
+
+    inf = jnp.float32(np.inf)
+    child_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)  # [8, 1]
+
+    def cond(st):
+        return jnp.any(~st[3])
+
+    def body(st):
+        (cur, mask, sp, done, t_best, slot_best, found, stack) = st
+        act = ~done
+        rowT = nodes[jnp.where(act, cur, 0)].T  # [64, G]
+        lo_x, hi_x = rowT[0:8], rowT[8:16]      # [8, G] per child
+        lo_y, hi_y = rowT[16:24], rowT[24:32]
+        lo_z, hi_z = rowT[32:40], rowT[40:48]
+        codes = jax.lax.bitcast_convert_type(rowT[48:56], jnp.int32)  # [8, G]
+
+        # --- slab: [8 children, 8 rays, G] ---
+        ox, oy, oz = o_pg.x[None], o_pg.y[None], o_pg.z[None]
+        ix, iy, iz = inv_pg.x[None], inv_pg.y[None], inv_pg.z[None]
+        t1x = (lo_x[:, None, :] - ox) * ix
+        t2x = (hi_x[:, None, :] - ox) * ix
+        t1y = (lo_y[:, None, :] - oy) * iy
+        t2y = (hi_y[:, None, :] - oy) * iy
+        t1z = (lo_z[:, None, :] - oz) * iz
+        t2z = (hi_z[:, None, :] - oz) * iz
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.maximum(jnp.minimum(t1z, t2z), jnp.float32(t_min)),
+        )
+        leave = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.minimum(jnp.maximum(t1z, t2z), t_best[None]),
+        )
+        ray_live = ray_on & ~found & act[None, :]
+        ok = (enter <= leave) & ray_live[None]              # [8, 8, G]
+        hits = jnp.any(ok, axis=1)                          # [8, G]
+        dists = jnp.min(jnp.where(ok, enter, inf), axis=1)  # [8, G]
+
+        pending = ((mask[None, :] >> child_iota) & 1) == 1  # [8, G]
+        live = hits & pending & (codes != INVALID_CHILD)
         if any_hit:
-            # visitation order is irrelevant: take the lowest set bit
-            low = hitbits & -hitbits
-            sel = jnp.zeros((n,), jnp.int32)
-            for k in range(1, 8):
-                sel = jnp.where(low == bits[k], k, sel)
-            any_live = hitbits != 0
+            # visitation order irrelevant: first live child
+            sel = jnp.argmax(live, axis=0)                  # [G]
+            any_live = jnp.any(live, axis=0)
         else:
-            sel, any_live = _argmin8(dists, lives)
-        sel_code = _select8(codes, sel)
-        remaining = hitbits & ~_select8(bits, sel)
+            d_masked = jnp.where(live, dists, inf)
+            sel = jnp.argmin(d_masked, axis=0)              # [G]
+            any_live = jnp.min(d_masked, axis=0) < inf
+        # NOTE: a 7-op where-chain, NOT take_along_axis — a gather op inside
+        # the loop body costs ~11 ns PER INDEX per iteration on TPU.
+        sel_code = codes[0]
+        for k in range(1, 8):
+            sel_code = jnp.where(sel == k, codes[k], sel_code)
+        hitbits = jnp.sum(
+            jnp.where(live, jnp.int32(1) << child_iota, 0), axis=0
+        )
+        remaining = hitbits & ~(jnp.int32(1) << sel)
 
         go = act & any_live
         is_leaf = go & (sel_code < 0)
@@ -267,64 +348,89 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
         push = is_int & (remaining != 0)
         no_live = act & ~any_live
 
-        # --- push (static shift down; reg 0 is the top) ---
+        # --- leaf lanes: one [G, 128] gather + [14, 8, G] M-T, inline ---
+        leaf_id = jnp.where(is_leaf, ~sel_code, 0)
+        lrowT = leaves[leaf_id].T  # [128, G]
+        tv0 = Vec3(lrowT[0:14, None, :], lrowT[14:28, None, :],
+                   lrowT[28:42, None, :])
+        te1 = Vec3(lrowT[42:56, None, :], lrowT[56:70, None, :],
+                   lrowT[70:84, None, :])
+        te2 = Vec3(lrowT[84:98, None, :], lrowT[98:112, None, :],
+                   lrowT[112:126, None, :])
+        o3 = Vec3(ox, oy, oz)
+        d3 = Vec3(d_pg.x[None], d_pg.y[None], d_pg.z[None])
+        t, u, v, tri_hit = ray_triangle(o3, d3, tv0, te1, te2, t_min=t_min)
+        leaf_live = ray_live & is_leaf[None, :]
+        t = jnp.where(tri_hit & leaf_live[None], t, inf)    # [14, 8, G]
+        t14 = jnp.min(t, axis=0)                            # [8, G]
+        k14 = jnp.argmin(t, axis=0)                         # [8, G]
+        better = t14 < t_best
+        base = (leaf_id * WIDE_LEAF)[None, :]               # [1, G]
+        t_best = jnp.where(better, t14, t_best)
+        slot_best = jnp.where(better, base + k14, slot_best)
+        # u/v are NOT tracked in the loop (their per-ray selection would be a
+        # per-iteration gather); they are recomputed once after the loop from
+        # the winning slot.
+        if any_hit:
+            found = found | (slot_best >= 0)
+            done = done | ~jnp.any(ray_on & ~found, axis=0)
+
+        # --- push (concat-shift down; row 0 is the top) ---
         entry = (cur << 8) | remaining
-        new_stack = [jnp.where(push, entry, stack[0])]
-        for i in range(1, stack_depth):
-            new_stack.append(jnp.where(push, stack[i - 1], stack[i]))
+        pushed = jnp.concatenate([entry[None, :], stack[:-1]], axis=0)
+        stack = jnp.where(push[None, :], pushed, stack)
         sp = jnp.where(push, sp + 1, sp)
 
-        # --- pop (static shift up) ---
+        # --- pop (concat-shift up) ---
         can_pop = no_live & (sp > 0)
-        top = new_stack[0]
-        for i in range(stack_depth - 1):
-            new_stack[i] = jnp.where(can_pop, new_stack[i + 1], new_stack[i])
+        top = stack[0]
+        popped = jnp.concatenate([stack[1:], stack[-1:]], axis=0)
+        stack = jnp.where(can_pop[None, :], popped, stack)
         sp = jnp.where(can_pop, sp - 1, sp)
         done = done | (no_live & ~can_pop)
 
         cur = jnp.where(is_int, sel_code, cur)
         cur = jnp.where(can_pop, top >> 8, cur)
-        mask = jnp.where(is_leaf, remaining, mask)
+        mask = jnp.where(is_leaf, remaining, mask)  # stay on node, bit cleared
         mask = jnp.where(is_int, 0xFF, mask)
         mask = jnp.where(can_pop, top & 0xFF, mask)
-        parked = parked | is_leaf
-        leaf = jnp.where(is_leaf, ~sel_code, leaf)
-        return (cur, mask, sp, parked, leaf, done, t_best, slot_best, u_best,
-                v_best, *new_stack)
+        return (cur, mask, sp, done, t_best, slot_best, found, stack)
 
-    def outer_cond(st):
-        return ~jnp.all(st[5])
+    st = (cur, mask, sp, done, t_best, slot_best, found, stack)
+    if debug_counters:
+        def body2(cs):
+            return (cs[0] + 1, body(cs[1]))
+        counters, st = jax.lax.while_loop(
+            lambda cs: cond(cs[1]), body2, (jnp.int32(0), st)
+        )
+        counters = (counters, counters)
+    else:
+        st = jax.lax.while_loop(cond, body, st)
+    t_best, slot_best = st[4], st[5]
 
-    def outer_body(st):
-        st = jax.lax.while_loop(interior_cond, interior_body, st)
-        (cur, mask, sp, parked, leaf, done, t_best, slot_best, u_best, v_best,
-         *stack) = st
-        # --- leaf phase: one row gather + 14 fused Möller-Trumbore tests ---
-        row = leaves[jnp.where(parked, leaf, 0)]
-        base = leaf * WIDE_LEAF
-        for k in range(WIDE_LEAF):
-            v0 = Vec3(row[:, k], row[:, 14 + k], row[:, 28 + k])
-            e1 = Vec3(row[:, 42 + k], row[:, 56 + k], row[:, 70 + k])
-            e2 = Vec3(row[:, 84 + k], row[:, 98 + k], row[:, 112 + k])
-            t, u, v, tri_hit = ray_triangle(origin, direction, v0, e1, e2,
-                                            t_min=t_min)
-            better = tri_hit & parked & (t < t_best)
-            t_best = jnp.where(better, t, t_best)
-            slot_best = jnp.where(better, base + k, slot_best)
-            u_best = jnp.where(better, u, u_best)
-            v_best = jnp.where(better, v, v_best)
-        if any_hit:
-            done = done | (parked & (slot_best >= 0))
-        parked = jnp.zeros((n,), bool)
-        return (cur, mask, sp, parked, leaf, done, t_best, slot_best, u_best,
-                v_best, *stack)
+    def from_pg(x):  # [PACKET, G] -> [N_in]
+        return x.T.reshape(n)[:n_in]
 
-    st = (cur, mask, sp, parked, leaf, done, t_best, slot_best, u_best,
-          v_best, *stack)
-    st = jax.lax.while_loop(outer_cond, outer_body, st)
-    t_best, slot_best, u_best, v_best = st[6], st[7], st[8], st[9]
-    t_out = jnp.where(slot_best >= 0, t_best, MISS_DIST)
-    return Hit(t=t_out, slot=slot_best, u=u_best, v=v_best)
+    slot_out = from_pg(slot_best)
+    valid = slot_out >= 0
+    t_out = jnp.where(valid, from_pg(t_best), MISS_DIST)
+    # Recompute barycentrics once from the winning triangle (one row gather).
+    trow = bvh.tri_rows[jnp.where(valid, slot_out, 0)]  # [N, 16]
+    o1 = Vec3(origin.x[:n_in], origin.y[:n_in], origin.z[:n_in])
+    d1 = Vec3(direction.x[:n_in], direction.y[:n_in], direction.z[:n_in])
+    _, u_out, v_out, _ = ray_triangle(
+        o1, d1,
+        Vec3(trow[:, 0], trow[:, 1], trow[:, 2]),
+        Vec3(trow[:, 3], trow[:, 4], trow[:, 5]),
+        Vec3(trow[:, 6], trow[:, 7], trow[:, 8]),
+        t_min=t_min,
+    )
+    u_out = jnp.where(valid, u_out, 0.0)
+    v_out = jnp.where(valid, v_out, 0.0)
+    hit = Hit(t=t_out, slot=slot_out, u=u_out, v=v_out)
+    if debug_counters:
+        return hit, counters
+    return hit
 
 
 def _chunked(fn, n_rays: int, chunk: int | None, args):
@@ -350,19 +456,39 @@ def trace_closest(
     direction: Vec3,
     t_max=MISS_DIST,
     chunk: int | None = None,
+    active=None,
 ) -> Hit:
-    """Closest-hit query for a component-SoA ray wavefront."""
+    """Closest-hit query for a component-SoA ray wavefront.
+
+    `active` (bool [N], optional): lanes with False are skipped (they report
+    a miss) — the lockstep tree walk then only runs as long as the slowest
+    ACTIVE lane.
+    """
     n = origin.x.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     dense = bvh.tri_v0.x.shape[0] <= DENSE_MAX_SLOTS
+    if active is None:
+        active = jnp.ones((n,), bool)
 
     def run(args):
-        o, d, tm = args
+        o, d, tm, act = args
         if dense:
-            return _trace_dense(bvh, o, d, tm, any_hit=False)
-        return _traverse_wide(bvh, o, d, tm, any_hit=False)
+            hit = _trace_dense(bvh, o, d, tm, any_hit=False)
+        elif _TRACE_DEBUG:
+            hit, c = _traverse_wide(bvh, o, d, tm, any_hit=False, active=act,
+                                    debug_counters=True)
+            jax.debug.print("closest trace: {i} iters", i=c[0])
+        else:
+            hit = _traverse_wide(bvh, o, d, tm, any_hit=False, active=act)
+        slot = jnp.where(act, hit.slot, -1)
+        return Hit(
+            t=jnp.where(act, hit.t, MISS_DIST),
+            slot=slot,
+            u=hit.u,
+            v=hit.v,
+        )
 
-    return _chunked(run, n, chunk, (origin, direction, t_max))
+    return _chunked(run, n, chunk, (origin, direction, t_max, active))
 
 
 def trace_occluded(
@@ -371,18 +497,28 @@ def trace_occluded(
     direction: Vec3,
     t_max,
     chunk: int | None = None,
+    active=None,
 ) -> jnp.ndarray:
-    """Occlusion query: True where any geometry lies within t_max."""
+    """Occlusion query: True where any geometry lies within t_max.
+
+    `active` as in trace_closest; inactive lanes report unoccluded.
+    """
     n = origin.x.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     dense = bvh.tri_v0.x.shape[0] <= DENSE_MAX_SLOTS
+    if active is None:
+        active = jnp.ones((n,), bool)
 
     def run(args):
-        o, d, tm = args
+        o, d, tm, act = args
         if dense:
             hit = _trace_dense(bvh, o, d, tm, any_hit=True)
+        elif _TRACE_DEBUG:
+            hit, c = _traverse_wide(bvh, o, d, tm, any_hit=True, active=act,
+                                    debug_counters=True)
+            jax.debug.print("any-hit trace: {i} iters", i=c[0])
         else:
-            hit = _traverse_wide(bvh, o, d, tm, any_hit=True)
-        return hit.slot >= 0
+            hit = _traverse_wide(bvh, o, d, tm, any_hit=True, active=act)
+        return act & (hit.slot >= 0)
 
-    return _chunked(run, n, chunk, (origin, direction, t_max))
+    return _chunked(run, n, chunk, (origin, direction, t_max, active))

@@ -180,7 +180,11 @@ class Renderer:
     """Single-chip renderer. Multi-chip sample distribution lives in
     luminary_tpu.parallel (shard_map over this same render_sample)."""
 
-    def __init__(self, scene: Scene, chunk: int = 65536):
+    # Default trace chunk: 1M rays. The packet traversal is dispatch-bound
+    # (~30 XLA ops/step at ~5 us each regardless of width), so small chunks
+    # multiply the lockstep walk cost; the only reason to chunk at all is the
+    # [8, 8, G] slab temporaries (~33 MB per 1M rays each).
+    def __init__(self, scene: Scene, chunk: int = 1 << 20):
         self.scene = scene
         self.chunk = chunk
         self.device_scene: DeviceScene | None = None

@@ -177,7 +177,9 @@ def render_sample(
     # depth-unrolled, device_renderer.c:59-131).
     for depth in range(config.max_depth):
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
-        hit = trace_closest(geo.bvh, origin, direction, chunk=config.chunk)
+        hit = trace_closest(
+            geo.bvh, origin, direction, chunk=config.chunk, active=active
+        )
 
         # ---- volume collision sampling (analog tracking; reference
         # VOLUME_EVENTS kernel, cuda/volume.cuh) ----
@@ -307,19 +309,10 @@ def render_sample(
             & (scene.sky.mode != 2)
         )
         rays_traced = rays_traced + jnp.sum(sun_candidate.astype(jnp.float32))
-        sun_occluded = trace_occluded(
-            geo.bvh, shadow_origin, sun_dir_s, MISS_DIST, chunk=config.chunk
-        )
         t_fog_sun = fog_transmittance(fog, shadow_origin, sun_dir_s, 1e7)
         tws_r, tws_g, tws_b = water_transmittance(
             scene.water, shadow_origin, sun_dir_s, 1e7
         )
-        w_mis_sun = mis_balance(pdf_sun, pdf_b_sun)
-        sun_w = jnp.where(sun_candidate & ~sun_occluded,
-                          SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun, 0.0)
-        rad_r = rad_r + thr_r * fs_r * sun_radiance[0] * tws_r * sun_w
-        rad_g = rad_g + thr_g * fs_g * sun_radiance[1] * tws_g * sun_w
-        rad_b = rad_b + thr_b * fs_b * sun_radiance[2] * tws_b * sun_w
 
         # ---- NEE strategy 2: emissive triangles (alias table) ----
         l_slot, l_point, l_n, pdf_area, l_valid = sample_light_point(
@@ -355,9 +348,32 @@ def render_sample(
             & (dist > 1e-5)
         )
         rays_traced = rays_traced + jnp.sum(light_candidate.astype(jnp.float32))
-        l_occluded = trace_occluded(
-            geo.bvh, shadow_origin, l_dir, dist - 2.0 * _RAY_EPS, chunk=config.chunk
+        # Both NEE visibility queries ride ONE batched any-hit trace (2N rays,
+        # one lockstep walk): sun rays in the front half, light rays in the
+        # back (reference fires them from one shadow kernel too,
+        # optix_kernel_shadow.cu).
+        def _cat(a, b):
+            return jnp.concatenate([a, b])
+
+        occ = trace_occluded(
+            geo.bvh,
+            Vec3(_cat(shadow_origin.x, shadow_origin.x),
+                 _cat(shadow_origin.y, shadow_origin.y),
+                 _cat(shadow_origin.z, shadow_origin.z)),
+            Vec3(_cat(sun_dir_s.x, l_dir.x),
+                 _cat(sun_dir_s.y, l_dir.y),
+                 _cat(sun_dir_s.z, l_dir.z)),
+            _cat(jnp.full((n,), MISS_DIST), dist - 2.0 * _RAY_EPS),
+            chunk=config.chunk,
+            active=_cat(sun_candidate, light_candidate),
         )
+        sun_occluded, l_occluded = occ[:n], occ[n:]
+        w_mis_sun = mis_balance(pdf_sun, pdf_b_sun)
+        sun_w = jnp.where(sun_candidate & ~sun_occluded,
+                          SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun, 0.0)
+        rad_r = rad_r + thr_r * fs_r * sun_radiance[0] * tws_r * sun_w
+        rad_g = rad_g + thr_g * fs_g * sun_radiance[1] * tws_g * sun_w
+        rad_b = rad_b + thr_b * fs_b * sun_radiance[2] * tws_b * sun_w
         t_fog_l = fog_transmittance(fog, shadow_origin, l_dir, dist)
         twl_r, twl_g, twl_b = water_transmittance(
             scene.water, shadow_origin, l_dir, dist
