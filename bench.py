@@ -28,8 +28,10 @@ def main():
     width = int(os.environ.get("BENCH_WIDTH", "512"))
     height = int(os.environ.get("BENCH_HEIGHT", "512"))
     depth = int(os.environ.get("BENCH_DEPTH", "4"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "2"))
-    samples = int(os.environ.get("BENCH_SAMPLES", "8"))
+    # The remote executor's first ~12 invocations of a fresh executable run
+    # ~40 ms slower each; warm past that so the metric is steady-state.
+    warmup = int(os.environ.get("BENCH_WARMUP", "16"))
+    samples = int(os.environ.get("BENCH_SAMPLES", "64"))
 
     def log(msg):
         print(msg, file=sys.stderr, flush=True)

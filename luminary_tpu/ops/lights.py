@@ -115,16 +115,29 @@ def pack_lights(
 
 def sample_light_point(
     lights: DeviceLights,
-    geo,
+    shade_rows,
     pixel_id,
     sample_id,
     depth,
+    geo=None,
+    materials=None,
 ):
     """Draw one light triangle (alias table) + a uniform point on it.
 
     Returns (light_slot [N], point Vec3, normal Vec3, pdf_area [N],
-    emission_valid [N]). pdf_area is over the light surface: select_pdf/area.
+    emission (r, g, b) [N] arrays, emission_valid [N]). pdf_area is over the
+    light surface: select_pdf/area. Everything per-slot comes from ONE
+    shade-row gather (render/device_scene.py column map).
     """
+    from ..render.device_scene import (
+        SHADE_AREA,
+        SHADE_E1,
+        SHADE_E2,
+        SHADE_EMISSION,
+        SHADE_FACE_N,
+        SHADE_V0,
+    )
+
     l = lights.prob.shape[0]
     r = random_2d(RandomTarget.LIGHT_TREE, pixel_id, sample_id, depth)
     idx = jnp.minimum((r[..., 0] * l).astype(jnp.int32), l - 1)
@@ -139,15 +152,30 @@ def sample_light_point(
     su = jnp.sqrt(jnp.clip(r2[..., 0], 1e-8, 1.0))
     b1 = 1.0 - su
     b2 = r2[..., 1] * su
-    v0 = vgather(geo.bvh.tri_v0, slot)
-    e1 = vgather(geo.bvh.tri_e1, slot)
-    e2 = vgather(geo.bvh.tri_e2, slot)
+    if shade_rows is not None:
+        row = shade_rows[slot]
+        v0 = Vec3(row[:, SHADE_V0], row[:, SHADE_V0 + 1], row[:, SHADE_V0 + 2])
+        e1 = Vec3(row[:, SHADE_E1], row[:, SHADE_E1 + 1], row[:, SHADE_E1 + 2])
+        e2 = Vec3(row[:, SHADE_E2], row[:, SHADE_E2 + 1], row[:, SHADE_E2 + 2])
+        n = Vec3(row[:, SHADE_FACE_N], row[:, SHADE_FACE_N + 1],
+                 row[:, SHADE_FACE_N + 2])
+        emission = (row[:, SHADE_EMISSION], row[:, SHADE_EMISSION + 1],
+                    row[:, SHADE_EMISSION + 2])
+        area = row[:, SHADE_AREA]
+    else:
+        # small-table path: XLA lowers these gathers to cheap selects
+        v0 = vgather(geo.bvh.tri_v0, slot)
+        e1 = vgather(geo.bvh.tri_e1, slot)
+        e2 = vgather(geo.bvh.tri_e2, slot)
+        n = vgather(geo.face_normal, slot)
+        l_mat = geo.material_id[slot]
+        emission = (materials.emission_r[l_mat], materials.emission_g[l_mat],
+                    materials.emission_b[l_mat])
+        area = lights.slot_area[slot]
     point = v0 + e1 * b1 + e2 * b2
-    n = vgather(geo.face_normal, slot)
-    area = lights.slot_area[slot]
     pdf_area = pdf_select / jnp.maximum(area, 1e-12)
     has_lights = lights.num_lights > 0
-    return slot, point, n, pdf_area, has_lights & (pdf_select > 0.0)
+    return slot, point, n, pdf_area, emission, has_lights & (pdf_select > 0.0)
 
 
 def light_pdf_solid_angle(lights: DeviceLights, hit_slot, hit_t, cos_light):
@@ -156,6 +184,13 @@ def light_pdf_solid_angle(lights: DeviceLights, hit_slot, hit_t, cos_light):
     sel = lights.slot_select_pdf[hit_slot]
     area = lights.slot_area[hit_slot]
     pdf_area = sel / jnp.maximum(area, 1e-12)
+    return pdf_area * hit_t * hit_t / jnp.maximum(jnp.abs(cos_light), 1e-8)
+
+
+def light_pdf_from_row(sel_pdf, area, hit_t, cos_light):
+    """light_pdf_solid_angle when sel_pdf/area already sit in a gathered
+    shade row (no extra per-slot gathers)."""
+    pdf_area = sel_pdf / jnp.maximum(area, 1e-12)
     return pdf_area * hit_t * hit_t / jnp.maximum(jnp.abs(cos_light), 1e-8)
 
 

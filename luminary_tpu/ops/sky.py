@@ -18,7 +18,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .sh import eval_sh_components
-from .vec import Vec3, dot as vdot
+from .vec import Vec3, dot as vdot, normalize
+
+# Moon angular radius seen from earth (reference sky_defines.h: moon radius
+# 1737.4 km at 384400 km).
+MOON_ANGULAR_RADIUS = 0.00452
+MOON_COS_RADIUS = 0.999989786
+MOON_ALBEDO = 0.12
+
+STARS_GRID = 64  # reference: STARS_GRID_LD (device_utils.h:41)
 
 # Sun angular radius as seen from earth (~0.2667 deg).
 SUN_COS_RADIUS = 0.99998869
@@ -54,12 +62,116 @@ def sky_radiance(sky, direction: Vec3, include_sun=True) -> Vec3:
     g = g + disc * sky.sun_disc_radiance[1]
     b = b + disc * sky.sun_disc_radiance[2]
 
+    # moon + stars (DEFAULT mode only; occluded regions handled by the moon
+    # disc overriding stars)
+    moon, in_moon = moon_radiance(sky, d)
+    sr, sg, sb = stars_radiance(sky, d)
+    sr = jnp.where(in_moon | in_disc, 0.0, sr)
+    sg = jnp.where(in_moon | in_disc, 0.0, sg)
+    sb = jnp.where(in_moon | in_disc, 0.0, sb)
+    is_default = sky.mode == 0
+    r = r + (moon + sr) * is_default
+    g = g + (moon + sg) * is_default
+    b = b + (moon + sb) * is_default
+
     is_const = sky.mode == 2
     return Vec3(
         jnp.where(is_const, sky.constant_color[0], r),
         jnp.where(is_const, sky.constant_color[1], g),
         jnp.where(is_const, sky.constant_color[2], b),
     )
+
+
+def _hash_u32(x):
+    x = x.astype(jnp.uint32)
+    x ^= x >> 16
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> 15
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> 16
+    return x
+
+
+def _hash01(x):
+    return _hash_u32(x).astype(jnp.float32) * (1.0 / 4294967296.0)
+
+
+def stars_radiance(sky, d: Vec3):
+    """Procedural star field: a lat-long hash grid (STARS_GRID cells per
+    axis); each cell holds at most one star whose presence probability gives
+    ~stars_count stars total (reference: sky.cuh procedural stars with
+    per-cell offsets, device_utils.h STARS_GRID_LD)."""
+    u = jnp.arctan2(d.z, d.x) * (0.5 / jnp.pi) + 0.5
+    v = jnp.arccos(jnp.clip(d.y, -1.0, 1.0)) * (1.0 / jnp.pi)
+    gx = jnp.clip((u * STARS_GRID).astype(jnp.int32), 0, STARS_GRID - 1)
+    gy = jnp.clip((v * STARS_GRID).astype(jnp.int32), 0, STARS_GRID - 1)
+    cell = (gy * STARS_GRID + gx).astype(jnp.uint32)
+    seed = jnp.uint32(sky.stars_seed)
+    h0 = _hash_u32(cell * jnp.uint32(0x9E3779B9) + seed)
+    p_star = jnp.clip(
+        sky.stars_count.astype(jnp.float32) / (STARS_GRID * STARS_GRID), 0.0, 1.0
+    )
+    present = _hash01(h0) < p_star
+    # star sub-position within the cell
+    su = (gx.astype(jnp.float32) + _hash01(h0 + 1)) / STARS_GRID
+    sv = (gy.astype(jnp.float32) + _hash01(h0 + 2)) / STARS_GRID
+    phi = (su - 0.5) * (2.0 * jnp.pi)
+    theta = sv * jnp.pi
+    sd = Vec3(
+        jnp.cos(phi) * jnp.sin(theta), jnp.cos(theta), jnp.sin(phi) * jnp.sin(theta)
+    )
+    cos_d = jnp.clip(vdot(d, sd), -1.0, 1.0)
+    ang = jnp.sqrt(jnp.maximum(2.0 * (1.0 - cos_d), 0.0))  # ~ angle for small a
+    radius = 3e-4 * (0.5 + _hash01(h0 + 3))
+    glow = jnp.exp(-(ang * ang) / jnp.maximum(2.0 * radius * radius, 1e-12))
+    brightness = (0.2 + 0.8 * _hash01(h0 + 4) ** 4) * sky.stars_intensity
+    i = jnp.where(present, glow * brightness, 0.0)
+    # slight blue-white color variation
+    warm = _hash01(h0 + 5)
+    return i * (0.8 + 0.4 * warm), i, i * (1.2 - 0.4 * warm)
+
+
+def moon_radiance(sky, d: Vec3):
+    """Sun-lit moon disc: sphere normal from the disc parametrization gives
+    the phase for free; albedo gets procedural crater mottling (the reference
+    samples embedded albedo/normal textures, sky.cuh moon path)."""
+    md = Vec3(sky.moon_dir[0], sky.moon_dir[1], sky.moon_dir[2])
+    cos_m = vdot(d, md)
+    in_disc = cos_m >= MOON_COS_RADIUS
+    # tangent frame around the moon direction: cross with (0,1,0), or with
+    # (1,0,0) when the moon is near the zenith/nadir
+    up = jnp.where(jnp.abs(sky.moon_dir[1]) < 0.99, 1.0, 0.0)
+    tx = normalize(Vec3(
+        -md.z * up,
+        md.z * (1.0 - up),
+        md.x * up - md.y * (1.0 - up),
+    ))
+    ty = Vec3(
+        md.y * tx.z - md.z * tx.y,
+        md.z * tx.x - md.x * tx.z,
+        md.x * tx.y - md.y * tx.x,
+    )
+    # disc-local coordinates in units of the angular radius
+    lx = vdot(d, tx) / MOON_ANGULAR_RADIUS
+    ly = vdot(d, ty) / MOON_ANGULAR_RADIUS
+    r2 = jnp.clip(lx * lx + ly * ly, 0.0, 1.0)
+    lz = jnp.sqrt(1.0 - r2)
+    # sphere normal in world space (toward the viewer at the limb)
+    n = Vec3(
+        tx.x * lx + ty.x * ly - md.x * lz,
+        tx.y * lx + ty.y * ly - md.y * lz,
+        tx.z * lx + ty.z * ly - md.z * lz,
+    )
+    sun = sun_dir_vec(sky)
+    lambert = jnp.maximum(vdot(n, sun), 0.0)
+    # crater mottling
+    cell = ((lx * 8.0 + sky.moon_tex_offset).astype(jnp.int32) * 37
+            + (ly * 8.0).astype(jnp.int32) * 101).astype(jnp.uint32)
+    mottle = 0.7 + 0.3 * _hash01(cell)
+    radiance = jnp.where(
+        in_disc, lambert * mottle * (MOON_ALBEDO / jnp.pi) * SUN_IRRADIANCE, 0.0
+    )
+    return radiance, in_disc
 
 
 def sun_solid_angle_radiance(sky) -> jnp.ndarray:

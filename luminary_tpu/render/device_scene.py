@@ -93,6 +93,11 @@ class DeviceSky(NamedTuple):
     sh_coeffs: jnp.ndarray  # f32 [49, 3] SH-6 projection of env (shading path)
     sun_disc_radiance: jnp.ndarray  # f32 [3] transmittance-tinted disc radiance
     geometry_offset: jnp.ndarray  # f32 [3]
+    moon_dir: jnp.ndarray  # f32 [3] unit, toward moon
+    moon_tex_offset: jnp.ndarray  # f32 scalar
+    stars_seed: jnp.ndarray  # i32 scalar
+    stars_count: jnp.ndarray  # i32 scalar
+    stars_intensity: jnp.ndarray  # f32 scalar
 
 
 class DeviceSceneGeo(NamedTuple):
@@ -120,6 +125,77 @@ class DeviceScene(NamedTuple):
     water: "DeviceWater"
     textures: "DeviceTextures"
     clouds: "DeviceClouds"
+    shade_rows: jnp.ndarray  # f32 [P, 48] — see SHADE_* column map below
+
+
+# Shade-row column map: ONE gather per hit fetches everything shading needs.
+# TPU gathers cost ~11 ns PER INDEX regardless of row width, so ~25 separate
+# per-slot gathers (normals, uvs, ids, material fields, light pdf) cost ~25x
+# one 48-wide row fetch. int fields are bitcast into the f32 row.
+SHADE_N0 = 0          # 0:3   shading normal, corner 0
+SHADE_N1 = 3          # 3:6
+SHADE_N2 = 6          # 6:9
+SHADE_FACE_N = 9      # 9:12  geometric normal
+SHADE_UV_U = 12       # 12:15 texture u at corners 0,1,2
+SHADE_UV_V = 15       # 15:18
+SHADE_MAT_ID = 18     # bitcast i32
+SHADE_INST_ID = 19    # bitcast i32
+SHADE_PRIM_ID = 20    # bitcast i32
+SHADE_ALBEDO = 21     # 21:25 rgba
+SHADE_EMISSION = 25   # 25:28 rgb (pre-scaled)
+SHADE_ROUGHNESS = 28
+SHADE_METALLIC = 29
+SHADE_IOR = 30
+SHADE_FLAGS = 31      # bitcast u32
+SHADE_ALBEDO_TEX = 32  # bitcast i32
+SHADE_SEL_PDF = 33    # light selection pdf of this slot (0 = not a light)
+SHADE_AREA = 34       # triangle area
+SHADE_V0 = 35         # 35:38 triangle v0 (light point sampling)
+SHADE_E1 = 38         # 38:41
+SHADE_E2 = 41         # 41:44
+SHADE_COLS = 48
+
+
+def pack_shade_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
+                    lights) -> np.ndarray:
+    """Denormalized per-slot shade rows [P, 48] (numpy; see column map)."""
+    p = np.asarray(geo.material_id).shape[0]
+    rows = np.zeros((p, SHADE_COLS), np.float32)
+
+    def put3(col, v):
+        rows[:, col + 0] = np.asarray(v.x)
+        rows[:, col + 1] = np.asarray(v.y)
+        rows[:, col + 2] = np.asarray(v.z)
+
+    put3(SHADE_N0, geo.n0)
+    put3(SHADE_N1, geo.n1)
+    put3(SHADE_N2, geo.n2)
+    put3(SHADE_FACE_N, geo.face_normal)
+    put3(SHADE_UV_U, geo.uv_u)
+    put3(SHADE_UV_V, geo.uv_v)
+    put3(SHADE_V0, geo.bvh.tri_v0)
+    put3(SHADE_E1, geo.bvh.tri_e1)
+    put3(SHADE_E2, geo.bvh.tri_e2)
+    mat = np.asarray(geo.material_id)
+    rows[:, SHADE_MAT_ID] = mat.view(np.float32)
+    rows[:, SHADE_INST_ID] = np.asarray(geo.instance_id).view(np.float32)
+    rows[:, SHADE_PRIM_ID] = np.asarray(geo.prim_id).view(np.float32)
+    m = mat.astype(np.int64)
+    rows[:, SHADE_ALBEDO + 0] = np.asarray(materials.albedo_r)[m]
+    rows[:, SHADE_ALBEDO + 1] = np.asarray(materials.albedo_g)[m]
+    rows[:, SHADE_ALBEDO + 2] = np.asarray(materials.albedo_b)[m]
+    rows[:, SHADE_ALBEDO + 3] = np.asarray(materials.albedo_a)[m]
+    rows[:, SHADE_EMISSION + 0] = np.asarray(materials.emission_r)[m]
+    rows[:, SHADE_EMISSION + 1] = np.asarray(materials.emission_g)[m]
+    rows[:, SHADE_EMISSION + 2] = np.asarray(materials.emission_b)[m]
+    rows[:, SHADE_ROUGHNESS] = np.asarray(materials.roughness)[m]
+    rows[:, SHADE_METALLIC] = np.asarray(materials.metallic)[m]
+    rows[:, SHADE_IOR] = np.asarray(materials.ior)[m]
+    rows[:, SHADE_FLAGS] = np.asarray(materials.flags)[m].astype(np.uint32).view(np.float32)
+    rows[:, SHADE_ALBEDO_TEX] = np.asarray(materials.albedo_tex)[m].view(np.float32)
+    rows[:, SHADE_SEL_PDF] = np.asarray(lights.slot_select_pdf)
+    rows[:, SHADE_AREA] = np.asarray(lights.slot_area)
+    return rows
 
 
 def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
@@ -252,6 +328,11 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         sh_coeffs=sh,
         sun_disc_radiance=sun_disc,
         geometry_offset=np.asarray(sky.geometry_offset, np.float32),
+        moon_dir=sun_direction(sky.moon_azimuth, sky.moon_altitude),
+        moon_tex_offset=np.float32(sky.moon_tex_offset),
+        stars_seed=np.int32(sky.stars_seed),
+        stars_count=np.int32(sky.stars_count),
+        stars_intensity=np.float32(sky.stars_intensity),
     )
 
 
@@ -441,15 +522,17 @@ def pack_scene(scene: Scene) -> DeviceScene:
 
     geo = pack_geometry(scene)
     materials = pack_materials(scene)
+    lights = pack_lights_for(geo, materials)
     ds = DeviceScene(
         geo=geo,
         materials=materials,
         sky=pack_sky(scene),
-        lights=pack_lights_for(geo, materials),
+        lights=lights,
         fog=pack_fog(scene.fog),
         water=pack_water(scene.ocean),
         textures=pack_textures(scene.textures),
         clouds=pack_clouds(scene.cloud),
+        shade_rows=pack_shade_rows(geo, materials, lights),
     )
     from ..utils.fastput import fast_device_put
 

@@ -279,6 +279,15 @@ class Renderer:
             textures = self.device_scene.textures
         from ..utils.fastput import fast_device_put
 
+        if self.device_scene is None or flags & (
+            DirtyFlags.MESHES | DirtyFlags.INSTANCES | DirtyFlags.MATERIALS
+            | DirtyFlags.LIGHT_TREE
+        ):
+            from .device_scene import pack_shade_rows
+
+            shade_rows = pack_shade_rows(geo, materials, lights)
+        else:
+            shade_rows = self.device_scene.shade_rows
         self.device_scene = fast_device_put(
             DeviceScene(
                 geo=geo, materials=materials, sky=sky, lights=lights,
@@ -286,6 +295,7 @@ class Renderer:
                 water=pack_water(self.scene.ocean),
                 textures=textures,
                 clouds=pack_clouds(self.scene.cloud),
+                shade_rows=shade_rows,
             )
         )
         self.device_camera = pack_camera(self.scene.camera)

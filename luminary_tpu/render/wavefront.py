@@ -25,11 +25,12 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.camera import DeviceCamera, generate_camera_rays
 from ..ops.intersect import MISS_DIST
-from ..ops.lights import light_pdf_solid_angle, mis_balance, sample_light_point
+from ..ops.lights import light_pdf_from_row, mis_balance, sample_light_point
 from ..ops.material import (
     LaneMaterial,
     frame_eval,
@@ -58,6 +59,23 @@ from ..ops.wavefront_utils import sample_sun_direction
 from .device_scene import (
     MAT_FLAG_EMISSIVE,
     MAT_FLAG_TRANSLUCENT,
+    SHADE_ALBEDO,
+    SHADE_ALBEDO_TEX,
+    SHADE_AREA,
+    SHADE_EMISSION,
+    SHADE_FACE_N,
+    SHADE_FLAGS,
+    SHADE_INST_ID,
+    SHADE_IOR,
+    SHADE_MAT_ID,
+    SHADE_METALLIC,
+    SHADE_N0,
+    SHADE_N1,
+    SHADE_N2,
+    SHADE_ROUGHNESS,
+    SHADE_SEL_PDF,
+    SHADE_UV_U,
+    SHADE_UV_V,
     DeviceScene,
 )
 
@@ -86,6 +104,7 @@ class GBufferMeta(NamedTuple):
 
 
 _RAY_EPS = 1e-3
+SMALL_TABLE_SLOTS = 2048  # below this, per-field gathers beat a row fetch
 SUN_SOLID_ANGLE = 2.0 * jnp.pi * (1.0 - jnp.cos(SUN_ANGULAR_RADIUS))
 
 
@@ -102,6 +121,25 @@ def _shading_normal(geo, slot, direction: Vec3, u, v):
         n0.z * w + n1.z * u + n2.z * v,
     ))
     ng_raw = vgather(geo.face_normal, slot)
+    flip_in = dot(ng_raw, direction)
+    s_g = jnp.where(flip_in > 0.0, -1.0, 1.0)
+    ng = Vec3(ng_raw.x * s_g, ng_raw.y * s_g, ng_raw.z * s_g)
+    s_n = jnp.sign(dot(ns, ng))
+    s_n = jnp.where(s_n == 0.0, 1.0, s_n)
+    ns = Vec3(ns.x * s_n, ns.y * s_n, ns.z * s_n)
+    return ns, ng, ng_raw
+
+
+def _shading_normal_row(srow, direction: Vec3, u, v):
+    """_shading_normal reading a pre-gathered shade row [N, 48]."""
+    w = 1.0 - u - v
+    ns = normalize(Vec3(
+        srow[:, SHADE_N0 + 0] * w + srow[:, SHADE_N1 + 0] * u + srow[:, SHADE_N2 + 0] * v,
+        srow[:, SHADE_N0 + 1] * w + srow[:, SHADE_N1 + 1] * u + srow[:, SHADE_N2 + 1] * v,
+        srow[:, SHADE_N0 + 2] * w + srow[:, SHADE_N1 + 2] * u + srow[:, SHADE_N2 + 2] * v,
+    ))
+    ng_raw = Vec3(srow[:, SHADE_FACE_N], srow[:, SHADE_FACE_N + 1],
+                  srow[:, SHADE_FACE_N + 2])
     flip_in = dot(ng_raw, direction)
     s_g = jnp.where(flip_in > 0.0, -1.0, 1.0)
     ng = Vec3(ng_raw.x * s_g, ng_raw.y * s_g, ng_raw.z * s_g)
@@ -208,9 +246,11 @@ def render_sample(
         ever_missed = ever_missed | missed
         active = hit_lane | vol_lane
 
-        # ---- hit context ----
+        # ---- hit context. Big scenes: ONE shade-row gather per hit
+        # (device_scene.py column map; per-slot gathers cost ~11 ns per index
+        # EACH, so ~25 of them lose badly). Small scenes: XLA lowers
+        # small-table gathers to cheap selects, so per-field fetches win. ----
         slot = jnp.where(hit_lane, hit.slot, 0)
-        mat_id = geo.material_id[slot]
         t_safe = jnp.where(hit_lane, hit.t, 1.0)  # keep dead lanes finite
         hit_pos = Vec3(
             origin.x + direction.x * t_safe,
@@ -222,12 +262,58 @@ def render_sample(
             origin.y + direction.y * t_col,
             origin.z + direction.z * t_col,
         )
-        ns, ng, ng_raw = _shading_normal(geo, slot, direction, hit.u, hit.v)
-        lane_mat = _gather_material(mats, mat_id)
-        if config.use_textures:
+        use_rows = scene.shade_rows.shape[0] > SMALL_TABLE_SLOTS  # static
+        if use_rows:
+            srow = scene.shade_rows[slot]  # [N, 48]
+            mat_id = jax.lax.bitcast_convert_type(
+                srow[:, SHADE_MAT_ID], jnp.int32
+            )
+            mat_flags = jax.lax.bitcast_convert_type(
+                srow[:, SHADE_FLAGS], jnp.uint32
+            )
+            instance_id = jax.lax.bitcast_convert_type(
+                srow[:, SHADE_INST_ID], jnp.int32
+            )
+            ns, ng, ng_raw = _shading_normal_row(srow, direction, hit.u, hit.v)
+            lane_mat = LaneMaterial(
+                albedo_r=srow[:, SHADE_ALBEDO + 0],
+                albedo_g=srow[:, SHADE_ALBEDO + 1],
+                albedo_b=srow[:, SHADE_ALBEDO + 2],
+                roughness=srow[:, SHADE_ROUGHNESS],
+                metallic=srow[:, SHADE_METALLIC],
+                ior=srow[:, SHADE_IOR],
+                translucent=(mat_flags & MAT_FLAG_TRANSLUCENT) != 0,
+                opacity=srow[:, SHADE_ALBEDO + 3],
+            )
+            em_r = srow[:, SHADE_EMISSION + 0]
+            em_g = srow[:, SHADE_EMISSION + 1]
+            em_b = srow[:, SHADE_EMISSION + 2]
+            nee_sel_pdf = srow[:, SHADE_SEL_PDF]
+            nee_area = srow[:, SHADE_AREA]
+            uvs = (
+                Vec3(srow[:, SHADE_UV_U], srow[:, SHADE_UV_U + 1],
+                     srow[:, SHADE_UV_U + 2]),
+                Vec3(srow[:, SHADE_UV_V], srow[:, SHADE_UV_V + 1],
+                     srow[:, SHADE_UV_V + 2]),
+            )
+            tex_id = jax.lax.bitcast_convert_type(
+                srow[:, SHADE_ALBEDO_TEX], jnp.int32
+            )
+        else:
+            mat_id = geo.material_id[slot]
+            mat_flags = mats.flags[mat_id]
+            instance_id = geo.instance_id[slot]
+            ns, ng, ng_raw = _shading_normal(geo, slot, direction, hit.u, hit.v)
+            lane_mat = _gather_material(mats, mat_id)
+            em_r = mats.emission_r[mat_id]
+            em_g = mats.emission_g[mat_id]
+            em_b = mats.emission_b[mat_id]
+            nee_sel_pdf = lights.slot_select_pdf[slot]
+            nee_area = lights.slot_area[slot]
+            uvs = (vgather(geo.uv_u, slot), vgather(geo.uv_v, slot))
             tex_id = mats.albedo_tex[mat_id]
-            u0 = vgather(geo.uv_u, slot)
-            v0 = vgather(geo.uv_v, slot)
+        if config.use_textures:
+            u0, v0 = uvs
             w_b = 1.0 - hit.u - hit.v
             uu = u0.x * w_b + u0.y * hit.u + u0.z * hit.v
             vv = v0.x * w_b + v0.y * hit.u + v0.z * hit.v
@@ -247,7 +333,7 @@ def render_sample(
         if depth == 0:
             gbuffer = GBufferMeta(
                 depth=jnp.where(hit_lane, hit.t, MISS_DIST),
-                instance_id=jnp.where(hit_lane, geo.instance_id[slot], -1),
+                instance_id=jnp.where(hit_lane, instance_id, -1),
                 material_id=jnp.where(hit_lane, mat_id, -1),
                 rel_hit_pos=jnp.where(
                     hit_lane[..., None],
@@ -266,14 +352,11 @@ def render_sample(
                 )
 
         # ---- emission on hit (one-sided), MIS vs light NEE ----
-        em_r = mats.emission_r[mat_id]
-        em_g = mats.emission_g[mat_id]
-        em_b = mats.emission_b[mat_id]
-        emissive = (mats.flags[mat_id] & MAT_FLAG_EMISSIVE) != 0
+        emissive = (mat_flags & MAT_FLAG_EMISSIVE) != 0
         d_dot_ng = dot(ng_raw, direction)
         front_face = d_dot_ng < 0.0
         cos_light = jnp.abs(d_dot_ng)
-        pdf_nee = light_pdf_solid_angle(lights, slot, hit.t, cos_light)
+        pdf_nee = light_pdf_from_row(nee_sel_pdf, nee_area, hit.t, cos_light)
         w_emit = jnp.where(prev_delta, 1.0, mis_balance(prev_pdf, pdf_nee))
         add_emit = jnp.where(hit_lane & emissive & front_face, w_emit, 0.0)
         rad_r = rad_r + thr_r * em_r * add_emit
@@ -315,8 +398,12 @@ def render_sample(
         )
 
         # ---- NEE strategy 2: emissive triangles (alias table) ----
-        l_slot, l_point, l_n, pdf_area, l_valid = sample_light_point(
-            lights, geo, pixel_id, sample_id, depth
+        l_slot, l_point, l_n, pdf_area, (le_r, le_g, le_b), l_valid = (
+            sample_light_point(
+                lights, scene.shade_rows if use_rows else None,
+                pixel_id, sample_id, depth,
+                geo=geo, materials=mats,
+            )
         )
         to_light = l_point - shadow_origin
         dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 0.0))
@@ -327,10 +414,6 @@ def render_sample(
             Vec3.of(0.0, 0.0, 1.0, like=to_light),
         )
         cos_l = -dot(l_n, l_dir)  # one-sided emitter
-        l_mat = geo.material_id[l_slot]
-        le_r = mats.emission_r[l_mat]
-        le_g = mats.emission_g[l_mat]
-        le_b = mats.emission_b[l_mat]
         pdf_l_sa = pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8)
         (fl_r, fl_g, fl_b), pdf_b_l = frame_eval(
             lane_mat, frame, lane_mat.roughness, l_dir

@@ -172,3 +172,43 @@ def test_lum_rejects_garbage():
 
     with pytest.raises(FileIOError):
         parse_lum("not a lum file\n")
+
+
+# ---- QOI (reference: host/qoi.c vendored decoder) ----
+
+
+def test_qoi_roundtrip(tmp_path):
+    from luminary_tpu.io.qoi import read_qoi, write_qoi
+
+    rng = np.random.default_rng(3)
+    # mix of runs, small diffs, and random pixels to hit every op type
+    img = np.zeros((17, 23, 4), np.uint8)
+    img[:5] = (10, 20, 30, 255)
+    img[5:9] = rng.integers(0, 255, (4, 23, 4), dtype=np.uint8)
+    base = rng.integers(50, 200, 4, dtype=np.uint8)
+    for x in range(23):
+        img[9:, x] = ((base.astype(np.int32) + x) % 256).astype(np.uint8)
+    p = str(tmp_path / "t.qoi")
+    write_qoi(p, img)
+    back = read_qoi(p)
+    assert back.shape == img.shape
+    np.testing.assert_array_equal(back, img)
+
+
+def test_qoi_rgb_channels(tmp_path):
+    from luminary_tpu.io.qoi import decode_qoi, encode_qoi
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    back = decode_qoi(encode_qoi(img))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_qoi_rejects_garbage():
+    import pytest as _pytest
+
+    from luminary_tpu.io.qoi import decode_qoi
+    from luminary_tpu.utils.errors import FileIOError
+
+    with _pytest.raises(FileIOError):
+        decode_qoi(b"nope")
