@@ -160,6 +160,18 @@ class Host:
                 r = self.renderer
                 r.update()
                 if r.sample_count < target:
+                    # Undersampling: a strided preview frame before the first
+                    # full sample (reference: undersampling pyramid,
+                    # device.c:392-418) so interactive callers see an image
+                    # immediately.
+                    us = int(self.scene.settings.undersampling)
+                    if (
+                        r.sample_count == 0
+                        and us > 0
+                        and getattr(r, "_preview", None) is None
+                    ):
+                        self._render_task = "Undersampled preview"
+                        r.render_preview(us)
                     self._render_task = "Rendering"
                     step = min(
                         self._samples_per_step, target - r.sample_count

@@ -363,7 +363,9 @@ def parse_lum(text: str, base_dir: str = ".") -> LumFileContent:
     if version is None:
         raise FileIOError(".lum file missing VERSION line")
     if version == 5:
-        raise FileIOError(".lum v5 is not supported yet (matches reference WIP state)")
+        from .lum_v5 import parse_lum_v5
+
+        return parse_lum_v5(text, base_dir)
     if version != CURRENT_LUM_VERSION:
         warn_message(".lum version %d, expected %d — parsing best-effort", version, CURRENT_LUM_VERSION)
 

@@ -48,6 +48,12 @@ class AccumState(NamedTuple):
     sample_count: jnp.ndarray  # i32 [N] per-pixel (adaptive sampling varies it)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _preview_step(scene, cam, config, pixel_x, pixel_y):
+    """One sample on a strided preview grid (undersampling fast path)."""
+    return render_sample(scene, cam, config, pixel_x, pixel_y, jnp.uint32(0))
+
+
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("accum",))
 def _sample_step(
     scene: DeviceScene,
@@ -313,6 +319,50 @@ class Renderer:
             sample_count=jnp.zeros((n_pad,), jnp.int32),
         )
 
+    # -- undersampling preview (reference: kernels.cuh:19-43 undersampling
+    # checkerboard + device.c undersampling state machine) -------------------
+
+    def render_preview(self, level: int):
+        """Trace one sample on a 2^level-strided pixel grid and store it as
+        the preview buffer; get_image upscales it while sample_count == 0.
+        Gives sub-second first frames for interactive use."""
+        self.update()
+        level = max(int(level), 1)
+        rx, ry, rw, rh = self._region
+        step = 1 << level
+        pw, ph = max(rw // step, 1), max(rh // step, 1)
+        ux = (np.arange(pw * ph, dtype=np.int64) % pw) * step + step // 2
+        uy = (np.arange(pw * ph, dtype=np.int64) // pw) * step + step // 2
+        px = jnp.asarray((rx + np.minimum(ux, rw - 1)).astype(np.int32))
+        py = jnp.asarray((ry + np.minimum(uy, rh - 1)).astype(np.int32))
+        radiance, _, _ = _preview_step(
+            self.device_scene, self.device_camera, self.config, px, py
+        )
+        self._preview = (level, pw, ph, np.asarray(radiance))
+
+    def _preview_image_accum(self):
+        """Upscaled preview radiance as a 1-sample AccumState."""
+        level, pw, ph, rad = self._preview
+        _, _, rw, rh = self._region
+        img = rad.reshape(ph, pw, 3)
+        img = np.repeat(np.repeat(img, 1 << level, axis=0), 1 << level, axis=1)
+        img = img[:rh, :rw]
+        # pad if the strided grid under-covers the edge
+        if img.shape[0] < rh or img.shape[1] < rw:
+            img = np.pad(
+                img,
+                ((0, rh - img.shape[0]), (0, rw - img.shape[1]), (0, 0)),
+                mode="edge",
+            )
+        n_pad = int(self._px.shape[0])
+        flat = np.zeros((n_pad, 3), np.float32)
+        flat[: rw * rh] = img.reshape(-1, 3)
+        return AccumState(
+            radiance=jnp.asarray(flat),
+            lum_sq=jnp.zeros((n_pad,), jnp.float32),
+            sample_count=jnp.ones((n_pad,), jnp.int32),
+        )
+
     # -- sample loop --------------------------------------------------------
 
     @property
@@ -426,8 +476,11 @@ class Renderer:
         """uint8 [H, W, 3] final image."""
         cam = self.scene.camera
         rx, ry, rw, rh = self._region
+        accum = self.accum
+        if self.sample_count == 0 and getattr(self, "_preview", None) is not None:
+            accum = self._preview_image_accum()
         img = _generate_image(
-            self.accum,
+            accum,
             rw,
             rh,
             self._ss,

@@ -111,3 +111,24 @@ def test_debug_shading_modes(mode):
     if mode == ShadingMode.ALBEDO:
         # left wall albedo is red
         assert rad[8, 1, 0] > 0.5 and rad[8, 1, 1] < 0.2
+
+
+def test_undersampled_preview():
+    """render_preview gives a full-size image before any full sample
+    (reference: undersampling pyramid, kernels.cuh:19-43)."""
+    from luminary_tpu.render.renderer import Renderer
+    from luminary_tpu.testing import cornell_scene
+
+    scene = cornell_scene(64, 64, max_depth=2)
+    r = Renderer(scene)
+    r.render_preview(2)
+    assert r.sample_count == 0
+    img = r.get_image()
+    assert img.shape == (64, 64, 3)
+    assert img.max() > 0  # preview shows the lit box, not black
+    # 2^2 block replication: each 4x4 block is constant up to output dither
+    blk = img[0:4, 0:4].astype(int)
+    assert np.abs(blk - blk[0, 0]).max() <= 2
+    # a full sample replaces the preview
+    r.render_samples(1)
+    assert r.sample_count == 1
