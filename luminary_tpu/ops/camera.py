@@ -32,6 +32,7 @@ class DeviceCamera(NamedTuple):
     aperture_shape_bladed: jnp.ndarray  # bool scalar
     object_distance: jnp.ndarray  # f32 scalar (world units)
     camera_scale: jnp.ndarray  # f32 scalar
+    phys: object  # DevicePhysicalCamera | None (lens-stack mode)
 
 
 def pack_camera(camera) -> DeviceCamera:
@@ -56,6 +57,11 @@ def pack_camera(camera) -> DeviceCamera:
     )
     import jax
 
+    phys = None
+    if camera.use_physical_camera:
+        from .camera_physical import pack_physical_camera
+
+        phys = pack_physical_camera(camera)
     return jax.device_put(
         DeviceCamera(
             pos=np.asarray(camera.pos, np.float32),
@@ -66,6 +72,7 @@ def pack_camera(camera) -> DeviceCamera:
             aperture_shape_bladed=np.bool_(int(camera.aperture_shape) == 1),
             object_distance=np.float32(camera.object_distance),
             camera_scale=np.float32(camera.camera_scale),
+            phys=phys,
         )
     )
 

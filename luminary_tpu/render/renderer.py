@@ -244,6 +244,7 @@ class Renderer:
                 use_textures=len(self.scene.textures) > 0,
                 use_clouds=bool(self.scene.cloud.active and self.scene.cloud.low.active),
                 cloud_steps=min(max(int(self.scene.cloud.steps) // 2, 8), 64),
+                use_physical_camera=bool(self.scene.camera.use_physical_camera),
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)

@@ -91,6 +91,7 @@ class RenderConfig(NamedTuple):
     use_textures: bool = False  # static: skips atlas fetches when False
     use_clouds: bool = False  # static: skips the cloud march when False
     cloud_steps: int = 32
+    use_physical_camera: bool = False  # static: lens-stack primary rays
 
 
 class GBufferMeta(NamedTuple):
@@ -183,14 +184,26 @@ def render_sample(
         jnp.uint32
     )
 
-    origin, direction = generate_camera_rays(
-        cam, config.width, config.height, pixel_x, pixel_y, pixel_id, sample_id
-    )
+    if config.use_physical_camera and cam.phys is not None:
+        from ..ops.camera_physical import generate_physical_camera_rays
+
+        origin, direction, (cw_r, cw_g, cw_b) = generate_physical_camera_rays(
+            cam, cam.phys, config.width, config.height,
+            pixel_x, pixel_y, pixel_id, sample_id,
+        )
+    else:
+        origin, direction = generate_camera_rays(
+            cam, config.width, config.height, pixel_x, pixel_y, pixel_id,
+            sample_id,
+        )
+        cw_r = cw_g = cw_b = None
 
     zeros = jnp.zeros((n,), jnp.float32)
     ones = jnp.ones((n,), jnp.float32)
     rad_r, rad_g, rad_b = zeros, zeros, zeros
     thr_r, thr_g, thr_b = ones, ones, ones
+    if cw_r is not None:  # lens-stack throughput (vignetting + spectral)
+        thr_r, thr_g, thr_b = cw_r, cw_g, cw_b
     active = jnp.ones((n,), bool)
     rays_traced = jnp.float32(0.0)
     prev_pdf = zeros  # BSDF pdf of previous bounce
