@@ -52,19 +52,23 @@ class DeviceBVH:
     """
 
     def __init__(self, node_rows, leaf_rows, tri_rows, tri_v0, tri_e1,
-                 tri_e2, depth: int):
+                 tri_e2, dense_tris, dense_slot, depth: int):
         self.node_rows = node_rows
         self.leaf_rows = leaf_rows
         self.tri_rows = tri_rows  # f32 [P, 16]: v0 xyz, e1 xyz, e2 xyz, pad
         self.tri_v0 = tri_v0
         self.tri_e1 = tri_e1
         self.tri_e2 = tri_e2
+        # dense tier: VALID slots only, compacted (padding slots are ~60% of
+        # small scenes and would be intersected brute-force otherwise)
+        self.dense_tris = dense_tris  # f32 [T, 9] v0/e1/e2 or None
+        self.dense_slot = dense_slot  # i32 [T] compact → leaf-slot id
         self.depth = depth
 
     def tree_flatten(self):
         return (
             (self.node_rows, self.leaf_rows, self.tri_rows, self.tri_v0,
-             self.tri_e1, self.tri_e2),
+             self.tri_e1, self.tri_e2, self.dense_tris, self.dense_slot),
             self.depth,
         )
 
@@ -105,6 +109,20 @@ def pack_device_bvh(wide, v0, e1, e2) -> DeviceBVH:
     tri_rows[:, 0:3] = v0
     tri_rows[:, 3:6] = e1
     tri_rows[:, 6:9] = e2
+    dense_tris = dense_slot = None
+    if p <= 4 * DENSE_MAX_SLOTS:
+        valid = np.nonzero(
+            (np.abs(e1).sum(-1) > 0) | (np.abs(e2).sum(-1) > 0)
+        )[0].astype(np.int32)
+        t = max(int(valid.shape[0]), 1)
+        t_pad = (t + 7) // 8 * 8
+        dense_tris = np.zeros((t_pad, 9), np.float32)
+        dense_slot = np.zeros((t_pad,), np.int32)
+        if valid.shape[0]:
+            dense_tris[:t, 0:3] = v0[valid]
+            dense_tris[:t, 3:6] = e1[valid]
+            dense_tris[:t, 6:9] = e2[valid]
+            dense_slot[:t] = valid
     return DeviceBVH(
         node_rows=wide.node_rows,
         leaf_rows=wide.leaf_rows,
@@ -112,6 +130,8 @@ def pack_device_bvh(wide, v0, e1, e2) -> DeviceBVH:
         tri_v0=v3(v0),
         tri_e1=v3(e1),
         tri_e2=v3(e2),
+        dense_tris=dense_tris,
+        dense_slot=dense_slot,
         depth=int(wide.depth),
     )
 
@@ -137,9 +157,10 @@ def _trace_dense(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
     n = origin.x.shape[0]
     o2 = Vec3(origin.x[None, :], origin.y[None, :], origin.z[None, :])
     d2 = Vec3(direction.x[None, :], direction.y[None, :], direction.z[None, :])
-    tv = Vec3(bvh.tri_v0.x[:, None], bvh.tri_v0.y[:, None], bvh.tri_v0.z[:, None])
-    te1 = Vec3(bvh.tri_e1.x[:, None], bvh.tri_e1.y[:, None], bvh.tri_e1.z[:, None])
-    te2 = Vec3(bvh.tri_e2.x[:, None], bvh.tri_e2.y[:, None], bvh.tri_e2.z[:, None])
+    tris = bvh.dense_tris
+    tv = Vec3(tris[:, 0:1], tris[:, 1:2], tris[:, 2:3])
+    te1 = Vec3(tris[:, 3:4], tris[:, 4:5], tris[:, 5:6])
+    te2 = Vec3(tris[:, 6:7], tris[:, 7:8], tris[:, 8:9])
 
     t, u, v, hit = ray_triangle(o2, d2, tv, te1, te2, t_min=t_min)  # [T, N]
     t = jnp.where(hit, t, MISS_DIST)
@@ -153,8 +174,9 @@ def _trace_dense(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
         jnp.where(at_min, slots_iota, jnp.int32(0x7FFFFFFF)), axis=0
     )
     found = slot_best != 0x7FFFFFFF
-    slot_best = jnp.where(found, slot_best, -1)
-    winner = slots_iota == slot_best[None, :]
+    winner = slots_iota == jnp.where(found, slot_best, -1)[None, :]
+    # map compact index → leaf-slot id (tiny table, lowered to selects)
+    slot_best = jnp.where(found, bvh.dense_slot[jnp.where(found, slot_best, 0)], -1)
     u_best = jnp.max(jnp.where(winner, u, -MISS_DIST), axis=0)
     v_best = jnp.max(jnp.where(winner, v, -MISS_DIST), axis=0)
     t_out = jnp.where(found, t_best, MISS_DIST)
@@ -505,7 +527,8 @@ def trace_occluded(
     """
     n = origin.x.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    dense = bvh.tri_v0.x.shape[0] <= DENSE_MAX_SLOTS
+    dense = (bvh.dense_tris is not None
+             and bvh.dense_tris.shape[0] <= DENSE_MAX_SLOTS)
     if active is None:
         active = jnp.ones((n,), bool)
 
