@@ -1,8 +1,13 @@
 """Benchmark entry point — prints ONE JSON line for the driver.
 
-Metric: Mrays/sec/chip on the standard benchmark scene (BASELINE.md: target
->= 100 Mrays/s/chip). Runs on whatever platform JAX resolves (the tunneled
-TPU chip under the driver; CPU with BENCH_CPU=1 for local smoke).
+Headline metric: Mrays/sec/chip on the tree-tier benchmark scene (127k tris,
+1080p, depth 4 — BASELINE.md configs 2/4 class). The Cornell dense-tier
+number rides along in the extras. Ray accounting: every traced ray counts —
+closest-hit rays per depth plus the sun + area-light NEE occlusion rays
+(2 per shading vertex), matching how the wavefront actually traverses.
+
+Runs on whatever platform JAX resolves (the tunneled TPU chip under the
+driver; CPU with BENCH_CPU=1 for local smoke).
 """
 
 import json
@@ -13,49 +18,79 @@ import time
 BASELINE_MRAYS = 100.0
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_scene(name, scene, chunk, warmup, samples):
+    from luminary_tpu.render.renderer import Renderer
+
+    t0 = time.monotonic()
+    r = Renderer(scene, chunk=chunk)
+    log(f"bench[{name}]: pack done in {time.monotonic()-t0:.1f}s")
+
+    t0 = time.monotonic()
+    # The remote executor's first ~12 invocations of a fresh executable run
+    # ~40 ms slower each; warm past that so the metric is steady-state.
+    r.render_samples(warmup)
+    log(f"bench[{name}]: warmup ({warmup} samples incl. compile) "
+        f"{time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
+    r.render_samples(samples)
+    dt = time.monotonic() - t0
+    log(f"bench[{name}]: {samples} samples in {dt:.2f}s")
+
+    rays_per_sample = r._last_rays_per_sample
+    mrays = rays_per_sample * samples / dt / 1e6
+    spp_per_s = samples / dt
+    return mrays, spp_per_s
+
+
 def main():
     if os.environ.get("BENCH_CPU") == "1":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    import jax
-    import jax.numpy as jnp
+    from luminary_tpu.testing import benchmark_scene, cornell_scene
+    from luminary_tpu.utils.compile_cache import enable_persistent_cache
 
-    from luminary_tpu.render.renderer import Renderer
-    from luminary_tpu.testing import cornell_scene
+    enable_persistent_cache()
 
-    width = int(os.environ.get("BENCH_WIDTH", "512"))
-    height = int(os.environ.get("BENCH_HEIGHT", "512"))
     depth = int(os.environ.get("BENCH_DEPTH", "4"))
-    # The remote executor's first ~12 invocations of a fresh executable run
-    # ~40 ms slower each; warm past that so the metric is steady-state.
-    warmup = int(os.environ.get("BENCH_WARMUP", "16"))
-    samples = int(os.environ.get("BENCH_SAMPLES", "64"))
+    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 20)))
+    smoke = os.environ.get("BENCH_CPU") == "1"
 
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
+    # Tree-tier headline: 127k tris at 1080p (tiny on CPU smoke).
+    tw, th = (128, 72) if smoke else (1920, 1080)
+    t_warm, t_samp = (1, 2) if smoke else (13, 24)
+    tree_mrays, tree_spp = run_scene(
+        "tree-1080p",
+        benchmark_scene(tw, th, max_depth=depth),
+        chunk, t_warm, t_samp,
+    )
 
-    t0 = time.monotonic()
-    scene = cornell_scene(width, height, max_depth=depth)
-    r = Renderer(scene, chunk=int(os.environ.get("BENCH_CHUNK", str(1 << 20))))
-    log(f"bench: pack done in {time.monotonic()-t0:.1f}s")
+    # Dense-tier companion: the Cornell box at 512^2.
+    cw = 64 if smoke else 512
+    c_warm, c_samp = (1, 2) if smoke else (16, 64)
+    cornell_mrays, cornell_spp = run_scene(
+        "cornell-512",
+        cornell_scene(cw, cw, max_depth=depth),
+        chunk, c_warm, c_samp,
+    )
 
-    t0 = time.monotonic()
-    r.render_samples(warmup)  # compile + warm caches
-    log(f"bench: warmup ({warmup} samples incl. compile) {time.monotonic()-t0:.1f}s")
-    t0 = time.monotonic()
-    r.render_samples(samples)
-    dt = time.monotonic() - t0
-    log(f"bench: {samples} samples in {dt:.2f}s")
-
-    rays_per_sample = r._last_rays_per_sample
-    mrays = rays_per_sample * samples / dt / 1e6
     result = {
-        "metric": "Mrays/sec/chip (cornell %dx%d depth %d)" % (width, height, depth),
-        "value": round(mrays, 3),
+        "metric": "Mrays/sec/chip (tree-tier 127k tris %dx%d depth %d)"
+                  % (tw, th, depth),
+        "value": round(tree_mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "vs_baseline": round(tree_mrays / BASELINE_MRAYS, 4),
+        "extras": {
+            "tree_spp_per_s_1080p": round(tree_spp, 3),
+            "cornell_mrays": round(cornell_mrays, 3),
+            "cornell_spp_per_s_512": round(cornell_spp, 3),
+            "ray_accounting": "closest rays/depth + 2 NEE shadow rays/vertex",
+        },
     }
     print(json.dumps(result))
 

@@ -1,21 +1,26 @@
-"""BVH2 → 8-wide BVH collapse (host side, numpy).
+"""BVH2 → 16-wide BVH collapse (host side, numpy).
 
 The reference's dormant CWBVH (reference: src/luminary/device/bvh.c — 8-wide
 compressed nodes, disabled behind ``#if 0``) is the inspiration, but the TPU
-layout is its own: every node is a single f32 row of 64 columns so the device
-traversal fetches one node with ONE row-gather (the measured cost model on
-v5e: each gather of [N] rows runs at memory speed ~0.1 ms for N=262k, while
-every extra kernel launch costs ~0.1 ms — so the design minimizes *ops per
-step*, not bytes).
+layout is its own. The driving measurement (v5e): a row gather costs ~11 ns
+PER INDEX with the row width nearly free up to 128 floats — so the traversal
+must fetch at most ONE 128-wide row per step. That fixes the format:
 
-Node row layout (f32 [M, 64]):
-  cols  0: 8   min_x of children 0..7     cols 24:32  max_y
-  cols  8:16   max_x                      cols 32:40  min_z
-  cols 16:24   min_y                      cols 40:48  max_z
-  cols 48:56   child codes (int32 bitcast to f32)
-  cols 56:64   zero padding
+  * nodes are 16-wide (16 children × 6 bounds = 96 floats + 16 codes = 112
+    ≤ 128 — the widest branching factor a single row can carry). Wider nodes
+    mean shallower trees → fewer row fetches per ray; the extra slab lanes
+    are VPU work, which is nearly free relative to the gather.
+  * node rows and leaf rows share ONE unified table (ops/traverse.py
+    concatenates them) so every traversal step is exactly one row gather.
+
+Node row layout (f32 [M, 128]):
+  cols   0:16   min_x of children 0..15    cols 48:64   max_y
+  cols  16:32   max_x                      cols 64:80   min_z
+  cols  32:48   min_y                      cols 80:96   max_z
+  cols  96:112  child codes (int32 bitcast to f32)
+  cols 112:128  zero padding
 Child code: >= 0 interior node id; < 0 leaf (~code = block id);
-INVALID_CHILD (0x7FFFFFFF) = absent (its AABB is +inf/-inf so slabs miss).
+INVALID_CHILD (0x7FFFFFFF) = absent (its AABB is +inf/+inf so slabs miss).
 
 Leaf row layout (f32 [B, 128]): WIDE_LEAF=14 triangles interleaved by field:
   cols 0:14 v0x, 14:28 v0y, 28:42 v0z, 42:56 e1x, 56:70 e1y, 70:84 e1z,
@@ -34,13 +39,14 @@ from .builder import BVH2
 
 INVALID_CHILD = np.int32(0x7FFFFFFF)
 WIDE_LEAF = 14  # triangles per leaf row (14*9 floats = 126 <= 128 cols)
-BRANCH = 8
+BRANCH = 16
+NODE_COLS = 128
 
 
 class WideBVH(NamedTuple):
-    """Host-side 8-wide BVH (numpy; shipped to device by fast_device_put)."""
+    """Host-side 16-wide BVH (numpy; shipped to device by fast_device_put)."""
 
-    node_rows: np.ndarray  # f32 [M, 64] — see module docstring
+    node_rows: np.ndarray  # f32 [M, 128] — see module docstring
     leaf_rows: np.ndarray  # f32 [B, 128]
     tri_order: np.ndarray  # i32 [B * WIDE_LEAF] original tri id per slot, -1 pad
     depth: int  # max interior depth (static: sizes the traversal stack)
@@ -49,9 +55,9 @@ class WideBVH(NamedTuple):
 
 
 def _collapse_children(bvh: BVH2, node: int):
-    """Expand a BVH2 node's two children into up to 8 (code, min, max) by
-    repeatedly replacing the largest-surface-area interior entry with its two
-    children (standard SAH-greedy wide collapse)."""
+    """Expand a BVH2 node's two children into up to BRANCH (code, min, max)
+    by repeatedly replacing the largest-surface-area interior entry with its
+    two children (standard SAH-greedy wide collapse)."""
     entries = []  # (code, lo, hi)
     for side in range(2):
         code = int(bvh.child[node, side])
@@ -81,8 +87,8 @@ def _collapse_children(bvh: BVH2, node: int):
     return entries
 
 
-def collapse_bvh8(bvh: BVH2) -> WideBVH:
-    """Collapse a BVH2 into the 8-wide device format.
+def collapse_wide(bvh: BVH2) -> WideBVH:
+    """Collapse a BVH2 into the 16-wide device format.
 
     Leaf blocks are re-packed from ``bvh.leaf_size`` to WIDE_LEAF slots:
     BVH2 leaves reachable from one collapsed child entry always form one new
@@ -95,12 +101,12 @@ def collapse_bvh8(bvh: BVH2) -> WideBVH:
         f"BVH2 leaf_size {src_leaf} exceeds wide leaf capacity {WIDE_LEAF}"
     )
 
-    # Wide node emission: BFS from BVH2 root.
+    # Wide node emission: DFS from BVH2 root.
     node_rows: list[np.ndarray] = []
     blocks: list[np.ndarray] = []  # original tri ids per wide block
     # (wide_node_id, bvh2_node_id) pending interior conversions
     pending = [(0, 0)]
-    node_rows.append(np.zeros(64, np.float32))
+    node_rows.append(np.zeros(NODE_COLS, np.float32))
     depth_of = {0: 1}
     max_depth = 1
 
@@ -114,30 +120,30 @@ def collapse_bvh8(bvh: BVH2) -> WideBVH:
     while pending:
         wide_id, node2 = pending.pop()
         entries = _collapse_children(bvh, node2)
-        row = np.zeros(64, np.float32)
+        row = np.zeros(NODE_COLS, np.float32)
         # Absent children: a degenerate box at +inf. With lo == hi == +inf the
         # slab test misses for EVERY ray-direction sign pattern (a +inf/-inf
         # pair would pass when inv_dir > 0: t1=+inf, t2=-inf straddle the
         # interval). The traversal additionally masks on code != INVALID.
-        row[0:48] = np.inf
-        codes = np.full(8, INVALID_CHILD, np.int32)
+        row[0 : 6 * BRANCH] = np.inf
+        codes = np.full(BRANCH, INVALID_CHILD, np.int32)
         for k, (code, lo, hi) in enumerate(entries):
-            row[0 + k] = lo[0]
-            row[8 + k] = hi[0]
-            row[16 + k] = lo[1]
-            row[24 + k] = hi[1]
-            row[32 + k] = lo[2]
-            row[40 + k] = hi[2]
+            row[0 * BRANCH + k] = lo[0]
+            row[1 * BRANCH + k] = hi[0]
+            row[2 * BRANCH + k] = lo[1]
+            row[3 * BRANCH + k] = hi[1]
+            row[4 * BRANCH + k] = lo[2]
+            row[5 * BRANCH + k] = hi[2]
             if code < 0:
                 codes[k] = emit_leaf(code)
             else:
                 child_wide = len(node_rows)
-                node_rows.append(np.zeros(64, np.float32))
+                node_rows.append(np.zeros(NODE_COLS, np.float32))
                 pending.append((child_wide, code))
                 codes[k] = child_wide
                 depth_of[child_wide] = depth_of[wide_id] + 1
                 max_depth = max(max_depth, depth_of[child_wide])
-        row[48:56] = codes.view(np.float32)
+        row[6 * BRANCH : 7 * BRANCH] = codes.view(np.float32)
         node_rows[wide_id] = row
 
     num_blocks = max(len(blocks), 1)
@@ -153,6 +159,10 @@ def collapse_bvh8(bvh: BVH2) -> WideBVH:
         num_nodes=len(node_rows),
         num_blocks=num_blocks,
     )
+
+
+# Backward-compatible alias (the 8-wide format this replaced).
+collapse_bvh8 = collapse_wide
 
 
 def pack_leaf_rows(wide: WideBVH, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> WideBVH:

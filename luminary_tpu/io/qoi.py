@@ -56,7 +56,8 @@ def decode_qoi(data: bytes) -> np.ndarray:
         else:
             tag = op & 0xC0
             if tag == _OP_INDEX:
-                r, g, b, a = index[op & 0x3F]
+                # plain ints: numpy uint8 scalars overflow in the hash below
+                r, g, b, a = (int(v) for v in index[op & 0x3F])
             elif tag == _OP_DIFF:
                 r = (r + ((op >> 4) & 0x03) - 2) & 0xFF
                 g = (g + ((op >> 2) & 0x03) - 2) & 0xFF

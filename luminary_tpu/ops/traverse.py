@@ -2,15 +2,19 @@
 
 TPU-native replacement for the reference's OptiX RT-core traversal (reference:
 src/luminary/device/optix/optix_kernel_raytrace.cu) and its dormant custom
-CWBVH (src/luminary/device/bvh.c, compiled out — 8-wide nodes, the design this
-module revives in TPU form).
+CWBVH (src/luminary/device/bvh.c, compiled out — wide compressed nodes, the
+design this module revives in TPU form).
 
 Layout rules that shaped this design (all measured on v5e):
-  * each extra kernel launch costs ~0.1 ms at N=262k while row-gathers run at
-    memory speed → traversal steps must be FEW and FAT: one 8-wide node per
-    step fetched as a single [N, 64] row-gather (bvh/wide.py layout);
+  * a row gather costs ~3 ns PER INDEX (measured in-loop at [32k, 128]) with
+    row width nearly free up to 128 floats → traversal steps fetch exactly
+    ONE 128-wide row from ONE unified node+leaf table per step (bvh/wide.py
+    layout; 16-wide nodes); the body is DISPATCH-bound (~5 us per XLA op in a
+    while_loop body), so per-step op count is the scarce resource;
+  * the children of the current node live in [16, G] REGISTER arrays, so
+    visiting a node's several leaf children re-fetches nothing;
   * per-ray dynamic ROW indexing (real stacks) is unusable → the short stack
-    lives in `depth` flat [N] registers pushed/popped with static shifts;
+    lives in [depth, G] arrays pushed/popped with static concat-shifts;
   * [N, k] arrays pad their minor axis to 128 lanes → per-ray state is flat
     [N] per component (ops/vec.py), and the dense tier is oriented [T, N]
     (triangles in sublanes, rays in lanes) for full lane utilization;
@@ -38,23 +42,25 @@ INVALID_CHILD = np.int32(0x7FFFFFFF)
 
 DENSE_MAX_SLOTS = 128  # one [T, N] tile; larger scenes take the wide tree
 WIDE_LEAF = 14
+BRANCH = 16
 
 
 @jax.tree_util.register_pytree_node_class
 class DeviceBVH:
-    """8-wide BVH + leaf-slot-ordered triangle geometry.
+    """Unified 16-wide BVH table + leaf-slot-ordered triangle geometry.
 
-    node_rows f32 [M, 64] and leaf_rows f32 [B, 128] follow the layout in
-    bvh/wide.py. tri_v0/e1/e2 are per-component [P] slot tables (P = B * 14)
-    shared with shading-attribute indexing: a hit's slot id indexes everything
-    with no indirection. `depth` is STATIC (pytree aux data): it sizes the
-    traversal stack, so jit specializes per scene depth.
+    rows f32 [M + B, 128]: node rows (ids 0..M-1, bvh/wide.py node layout)
+    followed by leaf rows (ids M..M+B-1, 14-triangle layout). tri_v0/e1/e2
+    are per-component [P] slot tables (P = B * 14) shared with
+    shading-attribute indexing: a hit's slot id indexes everything with no
+    indirection. `depth` and `num_nodes` are STATIC (pytree aux data): depth
+    sizes the traversal stack and num_nodes maps leaf codes to unified row
+    ids, so jit specializes per scene shape.
     """
 
-    def __init__(self, node_rows, leaf_rows, tri_rows, tri_v0, tri_e1,
-                 tri_e2, dense_tris, dense_slot, depth: int):
-        self.node_rows = node_rows
-        self.leaf_rows = leaf_rows
+    def __init__(self, rows, tri_rows, tri_v0, tri_e1,
+                 tri_e2, dense_tris, dense_slot, depth: int, num_nodes: int):
+        self.rows = rows
         self.tri_rows = tri_rows  # f32 [P, 16]: v0 xyz, e1 xyz, e2 xyz, pad
         self.tri_v0 = tri_v0
         self.tri_e1 = tri_e1
@@ -64,17 +70,18 @@ class DeviceBVH:
         self.dense_tris = dense_tris  # f32 [T, 9] v0/e1/e2 or None
         self.dense_slot = dense_slot  # i32 [T] compact → leaf-slot id
         self.depth = depth
+        self.num_nodes = num_nodes
 
     def tree_flatten(self):
         return (
-            (self.node_rows, self.leaf_rows, self.tri_rows, self.tri_v0,
+            (self.rows, self.tri_rows, self.tri_v0,
              self.tri_e1, self.tri_e2, self.dense_tris, self.dense_slot),
-            self.depth,
+            (self.depth, self.num_nodes),
         )
 
     @classmethod
-    def tree_unflatten(cls, depth, leaves):
-        return cls(*leaves, depth)
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, aux[0], aux[1])
 
 
 class Hit(NamedTuple):
@@ -123,9 +130,9 @@ def pack_device_bvh(wide, v0, e1, e2) -> DeviceBVH:
             dense_tris[:t, 3:6] = e1[valid]
             dense_tris[:t, 6:9] = e2[valid]
             dense_slot[:t] = valid
+    rows = np.concatenate([wide.node_rows, wide.leaf_rows], axis=0)
     return DeviceBVH(
-        node_rows=wide.node_rows,
-        leaf_rows=wide.leaf_rows,
+        rows=rows,
         tri_rows=tri_rows,
         tri_v0=v3(v0),
         tri_e1=v3(e1),
@@ -133,6 +140,7 @@ def pack_device_bvh(wide, v0, e1, e2) -> DeviceBVH:
         dense_tris=dense_tris,
         dense_slot=dense_slot,
         depth=int(wide.depth),
+        num_nodes=int(wide.num_nodes),
     )
 
 
@@ -185,97 +193,57 @@ def _trace_dense(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
     return Hit(t=t_out, slot=slot_best, u=u_best, v=v_best)
 
 
-def _wide_slab(row, origin: Vec3, inv_dir: Vec3, t_lo, t_hi):
-    """Slab-test the 8 children packed in a gathered node row [N, 64].
-
-    Returns (dist list[8], hit list[8]) of [N] arrays. Absent children carry
-    +inf/-inf bounds so they always miss.
-    """
-    dists, hits = [], []
-    for k in range(8):
-        t1x = (row[:, 0 + k] - origin.x) * inv_dir.x
-        t2x = (row[:, 8 + k] - origin.x) * inv_dir.x
-        t1y = (row[:, 16 + k] - origin.y) * inv_dir.y
-        t2y = (row[:, 24 + k] - origin.y) * inv_dir.y
-        t1z = (row[:, 32 + k] - origin.z) * inv_dir.z
-        t2z = (row[:, 40 + k] - origin.z) * inv_dir.z
-        enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.maximum(jnp.minimum(t1z, t2z), t_lo),
-        )
-        leave = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.minimum(jnp.maximum(t1z, t2z), t_hi),
-        )
-        dists.append(enter)
-        hits.append(enter <= leave)
-    return dists, hits
-
-
-def _argmin8(dists, lives):
-    """Tournament argmin over 8 masked [N] lanes → (index i32 [N], any bool)."""
-    inf = jnp.float32(np.inf)
-    d = [jnp.where(lv, dv, inf) for dv, lv in zip(dists, lives)]
-    idx = [jnp.full(d[0].shape, k, jnp.int32) for k in range(8)]
-    while len(d) > 1:
-        nd, ni = [], []
-        for a in range(0, len(d), 2):
-            take_b = d[a + 1] < d[a]
-            nd.append(jnp.where(take_b, d[a + 1], d[a]))
-            ni.append(jnp.where(take_b, idx[a + 1], idx[a]))
-        d, idx = nd, ni
-    any_live = d[0] < inf
-    return idx[0], any_live
-
-
-def _select8(values, sel):
-    """values: list of 8 [N] arrays; sel: i32 [N] → per-lane pick."""
-    out = values[0]
-    for k in range(1, 8):
-        out = jnp.where(sel == k, values[k], out)
-    return out
-
-
-PACKET = 8
+# Packet-size sweep on v5e (127k-tri scene, 262k rays): 16 is the joint
+# optimum (incoherent 42 ms/118 it, coherent 19 ms/50 it; 8 ray/packet is
+# 1.5x slower incoherent, 32 is equal, <8 pads the sublane axis). Bigger
+# packets cut gather indices; iterations (path-union divergence) grow slower
+# than 1/G until ~32.
+PACKET = 16
 
 
 def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
                    any_hit: bool, t_min: float = 1e-4, active=None,
-                   debug_counters: bool = False):
-    """8-wide BVH traversal over 8-ray packets, single uniform loop.
+                   debug_counters: bool = False, packet: int = PACKET):
+    """16-wide BVH traversal over 8-ray packets, single uniform loop, ONE
+    unified row gather per step.
 
     A packet is 8 consecutive rays riding the SUBLANE axis ([8, G] arrays,
-    G packets in lanes): the per-step node-row gather is per PACKET
-    ([G, 64] instead of [N, 64]) — 8x less gather traffic, the dominant
+    G packets in lanes): the per-step row gather is per PACKET
+    ([G, 128] instead of [N, 128]) — 8x less gather traffic, the dominant
     cost. The packet follows the union of its rays' wanted children
     (per-ray slab tests reduced over the ray axis), so coherent packets
     (camera/shadow wavefronts in pixel order) pay almost nothing for
     sharing. Control state is per packet [G]; hit state per ray [8, G].
 
-    Every iteration handles BOTH cases in lockstep: packets whose selected
-    child is interior descend; packets whose selected child is a leaf
-    intersect its 14 triangles inline ([14, 8, G] Möller-Trumbore on one
-    [G, 128] leaf-row gather) and stay on the node with the child's pending
-    bit cleared. A single loop (no interior/leaf phase split) makes the
-    lockstep iteration count the max TOTAL steps over packets rather than a
-    sum of per-phase maxima.
+    State machine: `fetch` names the unified-table row gathered this step.
+    A NODE row is slab-tested ([16 children, 8 rays, G]) and its children's
+    entry distances + codes REPLACE the pending registers
+    (pend_dist/pend_code [16, G]); a LEAF row is intersected inline
+    ([14, 8, G] Möller-Trumbore) while the registers persist. Selection then
+    picks the nearest pending child: interior → fetch it next (pushing the
+    current node + remaining-children bitmask), leaf → fetch its row with the
+    registers kept (the selected bit cleared) — so a node with several leaf
+    children costs ONE fetch per child and zero re-fetches of the node
+    itself. An empty pending set pops the stack, re-fetching the popped node
+    with its saved bitmask as `restore` (re-slab next step). Pending children
+    whose entry distance exceeds every live ray's current t_best are pruned
+    each step (ordered descent makes this effective for closest-hit).
 
     Every unrolled per-child / per-triangle loop is a single 3D tensor op:
     measured on v5e, each XLA op inside a while_loop body costs ~5 us fixed,
-    so the op count per body dominates below ~100 MB of traffic. The short
-    stack is a [depth, G] i32 array packed as (node << 8) | pending_mask,
-    pushed/popped with concat-shifts — per-lane dynamic indexing never
-    happens.
+    so the op count per body dominates below ~100 MB of traffic. Per-lane
+    dynamic indexing never happens: selection uses one-hot sums over the
+    [16, G] register arrays, the stack uses concat-shifts.
     """
-    nodes = bvh.node_rows
-    leaves = bvh.leaf_rows
+    rows = bvh.rows
+    m_nodes = int(bvh.num_nodes)  # static
     stack_depth = max(int(bvh.depth), 1)
     n_in = origin.x.shape[0]
     if active is None:
         active = jnp.ones((n_in,), bool)
 
     # Pad the wavefront to a packet multiple with inactive rays.
-    pad = (-n_in) % PACKET
+    pad = (-n_in) % packet
     if pad:
         def padv(v):
             return Vec3(
@@ -288,44 +256,55 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
         active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
     n = n_in + pad
-    g = n // PACKET
+    g = n // packet
 
-    def to_pg(x):  # [N] -> [PACKET, G]
-        return x.reshape(g, PACKET).T
+    def to_pg(x):  # [N] -> [packet, G]
+        return x.reshape(g, packet).T
 
     o_pg = Vec3(to_pg(origin.x), to_pg(origin.y), to_pg(origin.z))
     d_pg = Vec3(to_pg(direction.x), to_pg(direction.y), to_pg(direction.z))
     inv_pg = _safe_inv(d_pg)
     ray_on = to_pg(active)  # [8, G]
 
-    cur = jnp.zeros((g,), jnp.int32)
-    mask = jnp.full((g,), 0xFF, jnp.int32)
+    inf = jnp.float32(np.inf)
+    kid_iota = jax.lax.broadcasted_iota(jnp.int32, (BRANCH, 1), 0)  # [16, 1]
+    full_mask = jnp.int32((1 << BRANCH) - 1)
+
+    fetch = jnp.zeros((g,), jnp.int32)  # root
+    fetch_leaf = jnp.zeros((g,), bool)
+    restore = jnp.full((g,), full_mask, jnp.int32)
+    cur_node = jnp.zeros((g,), jnp.int32)
+    pend_dist = jnp.full((BRANCH, g), inf, jnp.float32)
+    pend_code = jnp.zeros((BRANCH, g), jnp.int32)
     sp = jnp.zeros((g,), jnp.int32)
-    stack = jnp.zeros((stack_depth, g), jnp.int32)
+    stack_node = jnp.zeros((stack_depth, g), jnp.int32)
+    stack_mask = jnp.zeros((stack_depth, g), jnp.int32)
     done = ~jnp.any(ray_on, axis=0)  # all-inactive packets are born done
     t_best = to_pg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
-    slot_best = jnp.full((PACKET, g), -1, jnp.int32)
-    found = jnp.zeros((PACKET, g), bool)  # any-hit early-out per ray
-
-    inf = jnp.float32(np.inf)
-    child_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)  # [8, 1]
+    slot_best = jnp.full((packet, g), -1, jnp.int32)
+    found = jnp.zeros((packet, g), bool)  # any-hit early-out per ray
 
     def cond(st):
-        return jnp.any(~st[3])
+        return jnp.any(~st[8])
 
     def body(st):
-        (cur, mask, sp, done, t_best, slot_best, found, stack) = st
+        (fetch, fetch_leaf, restore, cur_node, pend_dist, pend_code,
+         sp, stack_node, stack_mask, done, t_best, slot_best, found) = (
+            st[0], st[1], st[2], st[3], st[4], st[5], st[6], st[7][0],
+            st[7][1], st[8], st[9], st[10], st[11])
         act = ~done
-        rowT = nodes[jnp.where(act, cur, 0)].T  # [64, G]
-        lo_x, hi_x = rowT[0:8], rowT[8:16]      # [8, G] per child
-        lo_y, hi_y = rowT[16:24], rowT[24:32]
-        lo_z, hi_z = rowT[32:40], rowT[40:48]
-        codes = jax.lax.bitcast_convert_type(rowT[48:56], jnp.int32)  # [8, G]
+        rowT = rows[jnp.where(act, fetch, 0)].T  # [128, G] — THE gather
 
-        # --- slab: [8 children, 8 rays, G] ---
+        ray_live = ray_on & ~found & act[None, :]  # [8, G]
+
+        # --- node interpretation: slab 16 children x 8 rays ---
+        lo_x, hi_x = rowT[0:16], rowT[16:32]      # [16, G] per child
+        lo_y, hi_y = rowT[32:48], rowT[48:64]
+        lo_z, hi_z = rowT[64:80], rowT[80:96]
+        codes = jax.lax.bitcast_convert_type(rowT[96:112], jnp.int32)
         ox, oy, oz = o_pg.x[None], o_pg.y[None], o_pg.z[None]
         ix, iy, iz = inv_pg.x[None], inv_pg.y[None], inv_pg.z[None]
-        t1x = (lo_x[:, None, :] - ox) * ix
+        t1x = (lo_x[:, None, :] - ox) * ix        # [16, 8, G]
         t2x = (hi_x[:, None, :] - ox) * ix
         t1y = (lo_y[:, None, :] - oy) * iy
         t2y = (hi_y[:, None, :] - oy) * iy
@@ -339,55 +318,34 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
             jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
             jnp.minimum(jnp.maximum(t1z, t2z), t_best[None]),
         )
-        ray_live = ray_on & ~found & act[None, :]
-        ok = (enter <= leave) & ray_live[None]              # [8, 8, G]
-        hits = jnp.any(ok, axis=1)                          # [8, G]
-        dists = jnp.min(jnp.where(ok, enter, inf), axis=1)  # [8, G]
-
-        pending = ((mask[None, :] >> child_iota) & 1) == 1  # [8, G]
-        live = hits & pending & (codes != INVALID_CHILD)
-        if any_hit:
-            # visitation order irrelevant: first live child
-            sel = jnp.argmax(live, axis=0)                  # [G]
-            any_live = jnp.any(live, axis=0)
-        else:
-            d_masked = jnp.where(live, dists, inf)
-            sel = jnp.argmin(d_masked, axis=0)              # [G]
-            any_live = jnp.min(d_masked, axis=0) < inf
-        # NOTE: a 7-op where-chain, NOT take_along_axis — a gather op inside
-        # the loop body costs ~11 ns PER INDEX per iteration on TPU.
-        sel_code = codes[0]
-        for k in range(1, 8):
-            sel_code = jnp.where(sel == k, codes[k], sel_code)
-        hitbits = jnp.sum(
-            jnp.where(live, jnp.int32(1) << child_iota, 0), axis=0
+        ok = (enter <= leave) & ray_live[None]              # [16, 8, G]
+        dist16 = jnp.min(jnp.where(ok, enter, inf), axis=1)  # [16, G]
+        in_restore = ((restore[None, :] >> kid_iota) & 1) == 1
+        new_dist = jnp.where(
+            in_restore & (codes != INVALID_CHILD), dist16, inf
         )
-        remaining = hitbits & ~(jnp.int32(1) << sel)
 
-        go = act & any_live
-        is_leaf = go & (sel_code < 0)
-        is_int = go & (sel_code >= 0)
-        push = is_int & (remaining != 0)
-        no_live = act & ~any_live
+        is_node_step = act & ~fetch_leaf
+        pend_dist = jnp.where(is_node_step[None, :], new_dist, pend_dist)
+        pend_code = jnp.where(is_node_step[None, :], codes, pend_code)
+        cur_node = jnp.where(is_node_step, fetch, cur_node)
 
-        # --- leaf lanes: one [G, 128] gather + [14, 8, G] M-T, inline ---
-        leaf_id = jnp.where(is_leaf, ~sel_code, 0)
-        lrowT = leaves[leaf_id].T  # [128, G]
-        tv0 = Vec3(lrowT[0:14, None, :], lrowT[14:28, None, :],
-                   lrowT[28:42, None, :])
-        te1 = Vec3(lrowT[42:56, None, :], lrowT[56:70, None, :],
-                   lrowT[70:84, None, :])
-        te2 = Vec3(lrowT[84:98, None, :], lrowT[98:112, None, :],
-                   lrowT[112:126, None, :])
+        # --- leaf interpretation: [14, 8, G] M-T on the same row ---
+        tv0 = Vec3(rowT[0:14, None, :], rowT[14:28, None, :],
+                   rowT[28:42, None, :])
+        te1 = Vec3(rowT[42:56, None, :], rowT[56:70, None, :],
+                   rowT[70:84, None, :])
+        te2 = Vec3(rowT[84:98, None, :], rowT[98:112, None, :],
+                   rowT[112:126, None, :])
         o3 = Vec3(ox, oy, oz)
         d3 = Vec3(d_pg.x[None], d_pg.y[None], d_pg.z[None])
         t, u, v, tri_hit = ray_triangle(o3, d3, tv0, te1, te2, t_min=t_min)
-        leaf_live = ray_live & is_leaf[None, :]
+        leaf_live = ray_live & (act & fetch_leaf)[None, :]
         t = jnp.where(tri_hit & leaf_live[None], t, inf)    # [14, 8, G]
         t14 = jnp.min(t, axis=0)                            # [8, G]
         k14 = jnp.argmin(t, axis=0)                         # [8, G]
         better = t14 < t_best
-        base = (leaf_id * WIDE_LEAF)[None, :]               # [1, G]
+        base = ((fetch - m_nodes) * WIDE_LEAF)[None, :]     # [1, G]
         t_best = jnp.where(better, t14, t_best)
         slot_best = jnp.where(better, base + k14, slot_best)
         # u/v are NOT tracked in the loop (their per-ray selection would be a
@@ -395,42 +353,82 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
         # the winning slot.
         if any_hit:
             found = found | (slot_best >= 0)
+            ray_live = ray_live & ~found
             done = done | ~jnp.any(ray_on & ~found, axis=0)
 
+        # --- prune pending vs the packet's live-ray t_best ceiling ---
+        t_pack = jnp.max(jnp.where(ray_live, t_best, -inf), axis=0)  # [G]
+        pend_dist = jnp.where(pend_dist > t_pack[None, :], inf, pend_dist)
+
+        # --- select the nearest pending child ---
+        sel_dist = jnp.min(pend_dist, axis=0)               # [G]
+        sel = jnp.argmin(pend_dist, axis=0).astype(jnp.int32)
+        any_pend = sel_dist < inf
+        onehot = kid_iota == sel[None, :]                   # [16, G]
+        sel_code = jnp.sum(jnp.where(onehot, pend_code, 0), axis=0)
+        go = act & any_pend
+        pend_dist = jnp.where(onehot & go[None, :], inf, pend_dist)
+
+        is_leaf_next = sel_code < 0
+        fetch_n = jnp.where(is_leaf_next, m_nodes + ~sel_code, sel_code)
+        remaining = jnp.sum(
+            jnp.where(pend_dist < inf, jnp.int32(1) << kid_iota, 0), axis=0
+        )
+        push = go & ~is_leaf_next & (remaining != 0)
+
         # --- push (concat-shift down; row 0 is the top) ---
-        entry = (cur << 8) | remaining
-        pushed = jnp.concatenate([entry[None, :], stack[:-1]], axis=0)
-        stack = jnp.where(push[None, :], pushed, stack)
+        stack_node = jnp.where(
+            push[None, :],
+            jnp.concatenate([cur_node[None, :], stack_node[:-1]], axis=0),
+            stack_node,
+        )
+        stack_mask = jnp.where(
+            push[None, :],
+            jnp.concatenate([remaining[None, :], stack_mask[:-1]], axis=0),
+            stack_mask,
+        )
         sp = jnp.where(push, sp + 1, sp)
 
         # --- pop (concat-shift up) ---
-        can_pop = no_live & (sp > 0)
-        top = stack[0]
-        popped = jnp.concatenate([stack[1:], stack[-1:]], axis=0)
-        stack = jnp.where(can_pop[None, :], popped, stack)
+        can_pop = act & ~any_pend & (sp > 0)
+        top_node = stack_node[0]
+        top_mask = stack_mask[0]
+        stack_node = jnp.where(
+            can_pop[None, :],
+            jnp.concatenate([stack_node[1:], stack_node[-1:]], axis=0),
+            stack_node,
+        )
+        stack_mask = jnp.where(
+            can_pop[None, :],
+            jnp.concatenate([stack_mask[1:], stack_mask[-1:]], axis=0),
+            stack_mask,
+        )
         sp = jnp.where(can_pop, sp - 1, sp)
-        done = done | (no_live & ~can_pop)
+        done = done | (act & ~any_pend & ~can_pop)
 
-        cur = jnp.where(is_int, sel_code, cur)
-        cur = jnp.where(can_pop, top >> 8, cur)
-        mask = jnp.where(is_leaf, remaining, mask)  # stay on node, bit cleared
-        mask = jnp.where(is_int, 0xFF, mask)
-        mask = jnp.where(can_pop, top & 0xFF, mask)
-        return (cur, mask, sp, done, t_best, slot_best, found, stack)
+        fetch = jnp.where(go, fetch_n, fetch)
+        fetch = jnp.where(can_pop, top_node, fetch)
+        fetch_leaf = jnp.where(act, go & is_leaf_next, fetch_leaf)
+        restore = jnp.where(can_pop, top_mask, full_mask)
+        return (fetch, fetch_leaf, restore, cur_node, pend_dist, pend_code,
+                sp, (stack_node, stack_mask), done, t_best, slot_best, found)
 
-    st = (cur, mask, sp, done, t_best, slot_best, found, stack)
+    st = (fetch, fetch_leaf, restore, cur_node, pend_dist, pend_code,
+          sp, (stack_node, stack_mask), done, t_best, slot_best, found)
     if debug_counters:
         def body2(cs):
-            return (cs[0] + 1, body(cs[1]))
+            c, s = cs
+            leaf_steps = jnp.sum((s[1] & ~s[8]).astype(jnp.int32))
+            return ((c[0] + 1, c[1] + (leaf_steps > 0).astype(jnp.int32)),
+                    body(s))
         counters, st = jax.lax.while_loop(
-            lambda cs: cond(cs[1]), body2, (jnp.int32(0), st)
+            lambda cs: cond(cs[1]), body2, ((jnp.int32(0), jnp.int32(0)), st)
         )
-        counters = (counters, counters)
     else:
         st = jax.lax.while_loop(cond, body, st)
-    t_best, slot_best = st[4], st[5]
+    t_best, slot_best = st[9], st[10]
 
-    def from_pg(x):  # [PACKET, G] -> [N_in]
+    def from_pg(x):  # [packet, G] -> [N_in]
         return x.T.reshape(n)[:n_in]
 
     slot_out = from_pg(slot_best)

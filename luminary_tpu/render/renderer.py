@@ -28,7 +28,10 @@ from ..ops.tonemap import (
     linear_to_srgb,
 )
 from ..scene.scene import DirtyFlags, Scene
+from ..utils.compile_cache import enable_persistent_cache
 from ..utils.log import info_message
+
+enable_persistent_cache()
 from .device_scene import (
     DeviceScene,
     pack_geometry,

@@ -102,7 +102,7 @@ def main():
     bvh = ds.geo.bvh
     print(
         f"pack {time.monotonic()-t0:.1f}s | slots {bvh.tri_v0.x.shape[0]} "
-        f"nodes {bvh.node_rows.shape[0]} depth {bvh.depth}"
+        f"rows {bvh.rows.shape[0]} depth {bvh.depth}"
     )
     o, d = random_rays(n)
 
