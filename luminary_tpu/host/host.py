@@ -300,6 +300,18 @@ class Host:
     def set_sky(self, v):
         self.scene.set_entity("sky", v)
 
+    def set_sky_hdri(self, image) -> None:
+        """Install a user lat-long HDRI for SkyMode.HDRI (numpy [H, W, >=3]
+        linear radiance, or a path to a PNG to load and linearize)."""
+        if isinstance(image, (str, bytes)):
+            import numpy as np
+
+            from ..io.png import read_png
+
+            img = read_png(image).astype(np.float32) / 255.0
+            image = img[..., :3] ** 2.2  # sRGB → linear
+        self.scene.set_sky_hdri(image)
+
     def get_cloud(self):
         return self.scene.get_entity("cloud")
 

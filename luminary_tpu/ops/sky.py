@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .sh import eval_sh_components
 from .vec import Vec3, dot as vdot, normalize
 
 # Moon angular radius seen from earth (reference sky_defines.h: moon radius
@@ -41,6 +40,36 @@ def sun_dir_vec(sky) -> Vec3:
     return Vec3(sky.sun_dir[0], sky.sun_dir[1], sky.sun_dir[2])
 
 
+def sample_env_rows(sky, d: Vec3):
+    """Bilinear lat-long fetch from the paired-row env layout (DeviceSky):
+    TWO row gathers (y0/y1 rows carry the +phi neighbor inline) instead of
+    four — gathers cost per-index on TPU, row width is nearly free.
+    Returns (r, g, b) channel arrays."""
+    h = sky.env_h.astype(jnp.float32)
+    w = sky.env_w.astype(jnp.float32)
+    wi = sky.env_w
+    theta = jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
+    phi = jnp.arctan2(d.z, d.x) % (2.0 * jnp.pi)
+    fy = jnp.clip(theta * (1.0 / jnp.pi) * h - 0.5, 0.0, h - 1.001)
+    fx = phi * (0.5 / jnp.pi) * w - 0.5
+    x0f = jnp.floor(fx)
+    x0 = x0f.astype(jnp.int32) % wi
+    y0 = jnp.clip(fy.astype(jnp.int32), 0, sky.env_h - 2)
+    wy = fy - y0.astype(jnp.float32)
+    wx = fx - x0f
+    r0 = sky.env_rows[y0 * wi + x0]        # [N, 8]
+    r1 = sky.env_rows[(y0 + 1) * wi + x0]  # [N, 8]
+    one_wx = 1.0 - wx
+    one_wy = 1.0 - wy
+
+    def lerp(c):
+        top = r0[:, c] * one_wx + r0[:, c + 4] * wx
+        bot = r1[:, c] * one_wx + r1[:, c + 4] * wx
+        return top * one_wy + bot * wy
+
+    return lerp(0), lerp(1), lerp(2)
+
+
 def sky_radiance(sky, direction: Vec3, include_sun=True) -> Vec3:
     """Environment radiance for escaping rays → RGB Vec3 of [N] channels.
 
@@ -48,9 +77,10 @@ def sky_radiance(sky, direction: Vec3, include_sun=True) -> Vec3:
     disc MIS itself and passes False, adding the disc explicitly).
     """
     d = direction
-    # SH-6 evaluation: gather-free sky (an env-map fetch is an O(N·texels)
-    # table scan on TPU; the smooth, disc-free sky fits SH well).
-    r, g, b = eval_sh_components(sky.sh_coeffs, d.x, d.y, d.z, jnp)
+    # Bilinear fetch of the baked environment (reference: sky_hdri.cuh
+    # sampling; DEFAULT mode's per-miss LUT raymarch becomes a pack-time
+    # bake + cheap fetch on TPU).
+    r, g, b = sample_env_rows(sky, d)
 
     cos_sun = vdot(d, sun_dir_vec(sky))
     in_disc = cos_sun >= SUN_COS_RADIUS

@@ -83,14 +83,20 @@ MAT_FLAG_THIN_WALLED = 4
 
 class DeviceSky(NamedTuple):
     """Packed sky: baked environment + analytic sun (reference: device_sky.c
-    LUT/HDRI machinery — see ops/atmosphere.py for the TPU design)."""
+    LUT/HDRI machinery — see ops/atmosphere.py for the TPU design).
+
+    The environment is stored as paired rows for the wavefront fetch: row i
+    holds texel i's rgb in cols 0:3 and its +x (phi) neighbor's rgb in cols
+    4:7, so a bilinear sample needs TWO row gathers (y0 and y1) instead of
+    four (gathers cost per-INDEX on TPU; row width is nearly free)."""
 
     mode: jnp.ndarray  # i32 scalar
     constant_color: jnp.ndarray  # f32 [3]
     sun_dir: jnp.ndarray  # f32 [3] unit, toward sun
     sun_strength: jnp.ndarray  # f32 scalar
-    env: jnp.ndarray  # f32 [He, We, 3] lat-long radiance (no sun disc)
-    sh_coeffs: jnp.ndarray  # f32 [49, 3] SH-6 projection of env (shading path)
+    env_rows: jnp.ndarray  # f32 [He*We, 8] — see class docstring
+    env_h: jnp.ndarray  # i32 scalar
+    env_w: jnp.ndarray  # i32 scalar
     sun_disc_radiance: jnp.ndarray  # f32 [3] transmittance-tinted disc radiance
     geometry_offset: jnp.ndarray  # f32 [3]
     moon_dir: jnp.ndarray  # f32 [3] unit, toward moon
@@ -276,9 +282,98 @@ def pack_materials(scene: Scene) -> DeviceMaterials:
     )
 
 
+def env_to_rows(env: np.ndarray) -> np.ndarray:
+    """Lat-long env [H, W, 3] → paired rows [H*W, 8] (texel + phi-neighbor),
+    the device fetch layout (see DeviceSky)."""
+    h, w = env.shape[:2]
+    rows = np.zeros((h * w, 8), np.float32)
+    rows[:, 0:3] = env.reshape(-1, 3)
+    rows[:, 4:7] = np.roll(env, -1, axis=1).reshape(-1, 3)
+    return rows
+
+
+def _latlong_dirs(height: int, width: int) -> np.ndarray:
+    """Unit direction per lat-long texel center → f32 [H*W, 3] (y up)."""
+    v = (np.arange(height) + 0.5) / height
+    u = (np.arange(width) + 0.5) / width
+    theta = v * np.pi
+    phi = u * 2.0 * np.pi
+    st = np.sin(theta)[:, None]
+    d = np.stack(
+        [
+            np.broadcast_to(st * np.cos(phi)[None, :], (height, width)),
+            np.broadcast_to(np.cos(theta)[:, None], (height, width)),
+            np.broadcast_to(st * np.sin(phi)[None, :], (height, width)),
+        ],
+        axis=-1,
+    )
+    return d.reshape(-1, 3).astype(np.float32)
+
+
+def _bake_hdri_extras(scene: Scene, env: np.ndarray, sun_dir, sun_disc):
+    """HDRI mode folds clouds + moon + stars into the baked map (reference:
+    SKY_COMPUTE_HDRI path-traces the full sky, device_sky.c:660); only the
+    solar disc stays analytic at runtime."""
+    from types import SimpleNamespace
+
+    from ..ops.clouds import pack_clouds
+    from ..ops.sky import moon_radiance, stars_radiance
+    from ..ops.vec import Vec3
+
+    h, w = env.shape[:2]
+    dirs = _latlong_dirs(h, w)
+    d = Vec3(jnp.asarray(dirs[:, 0]), jnp.asarray(dirs[:, 1]), jnp.asarray(dirs[:, 2]))
+    sky = scene.sky
+    dsky = SimpleNamespace(
+        sun_dir=jnp.asarray(sun_dir),
+        moon_dir=jnp.asarray(sun_direction(sky.moon_azimuth, sky.moon_altitude)),
+        moon_tex_offset=jnp.float32(sky.moon_tex_offset),
+        stars_seed=jnp.int32(sky.stars_seed),
+        stars_count=jnp.int32(sky.stars_count),
+        stars_intensity=jnp.float32(sky.stars_intensity),
+    )
+    moon, in_moon = moon_radiance(dsky, d)
+    sr, sg, sb = stars_radiance(dsky, d)
+    er = env[:, :, 0].reshape(-1) + np.asarray(moon + jnp.where(in_moon, 0.0, sr))
+    eg = env[:, :, 1].reshape(-1) + np.asarray(moon + jnp.where(in_moon, 0.0, sg))
+    eb = env[:, :, 2].reshape(-1) + np.asarray(moon + jnp.where(in_moon, 0.0, sb))
+
+    if scene.cloud.active and scene.cloud.low.active:
+        from ..ops.clouds import cloud_march
+
+        cl = pack_clouds(scene.cloud)
+        origin = Vec3(
+            jnp.full((h * w,), float(scene.camera.pos[0]), jnp.float32),
+            jnp.full((h * w,), max(float(scene.camera.pos[1]), 0.1), jnp.float32),
+            jnp.full((h * w,), float(scene.camera.pos[2]), jnp.float32),
+        )
+        sun_v = Vec3(
+            jnp.float32(sun_dir[0]), jnp.float32(sun_dir[1]), jnp.float32(sun_dir[2])
+        )
+        (cr, cg, cb), ct = jax.jit(
+            lambda o, dd: cloud_march(
+                cl, o, dd, sun_v, jnp.asarray(sun_disc),
+                (jnp.asarray(er), jnp.asarray(eg), jnp.asarray(eb)),
+                steps=int(min(max(scene.cloud.steps, 16), 96)),
+            )
+        )(origin, d)
+        er = np.asarray(cr + jnp.asarray(er) * ct)
+        eg = np.asarray(cg + jnp.asarray(eg) * ct)
+        eb = np.asarray(cb + jnp.asarray(eb) * ct)
+    return np.stack([er, eg, eb], axis=-1).reshape(h, w, 3).astype(np.float32)
+
+
 def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
     """Build atmosphere LUTs and bake the sky environment (reference: the
-    sky LUT + HDRI build stages of device_manager.c:334-366)."""
+    sky LUT + HDRI build stages of device_manager.c:334-366).
+
+    DEFAULT mode bakes the atmosphere to a screen-resolution-matched env map
+    that misses sample bilinearly (the TPU answer to the reference's per-ray
+    LUT raymarch). HDRI mode (reference: device_sky.c:660 sky-to-HDRI bake,
+    cuda/sky_hdri.cuh) bakes at ``sky.hdri_dim`` and additionally folds in
+    the cloud layer, moon, and stars — or uses a user-supplied lat-long
+    image (``scene.sky_hdri``) verbatim. The solar disc stays analytic in
+    all modes so it is pixel-sharp at any env resolution."""
     from ..ops.atmosphere import (
         atmo_params_from_sky,
         bake_sky_envmap,
@@ -291,17 +386,25 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
     sky = scene.sky
     sun_dir = sun_direction(sky.azimuth, sky.altitude)
     is_constant = int(sky.mode) == 2
+    is_hdri = int(sky.mode) == 1
+    user_env = getattr(scene, "sky_hdri", None)
 
     if env_res is None:
-        w = max(128, min(1024, 2 * scene.settings.width))
+        if is_hdri:
+            w = max(256, min(2048, int(sky.hdri_dim)))
+        else:
+            w = max(128, min(1024, 2 * scene.settings.width))
         env_res = (w // 2, w)
-
-    from ..ops.sh import project_envmap_sh
 
     if is_constant:
         env = np.zeros((4, 8, 3), np.float32)
         sun_disc = np.zeros((3,), np.float32)
-        sh = np.zeros((49, 3), np.float32)
+    elif is_hdri and user_env is not None:
+        env = np.asarray(user_env, np.float32)
+        if env.ndim != 3 or env.shape[-1] < 3:
+            raise ValueError("sky_hdri must be a [H, W, >=3] lat-long image")
+        env = env[..., :3]
+        sun_disc = np.zeros((3,), np.float32)  # lighting comes from the map
     else:
         p = atmo_params_from_sky(sky)
         sun_dir_j = jnp.asarray(sun_dir)
@@ -316,16 +419,18 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         )
         sun_t = sample_transmittance_lut(t_lut, h_obs, sun_dir_j[1])
         sun_disc = sun_t * jnp.float32(SUN_RADIANCE * sky.sun_strength)
+        if is_hdri:
+            env = _bake_hdri_extras(scene, np.asarray(env), sun_dir, sun_disc)
         env = np.asarray(env)
-        sh = project_envmap_sh(env)
 
     return DeviceSky(
         mode=np.int32(int(sky.mode)),
         constant_color=np.asarray(sky.constant_color, np.float32),
         sun_dir=sun_dir,
         sun_strength=np.float32(sky.sun_strength),
-        env=env,
-        sh_coeffs=sh,
+        env_rows=env_to_rows(np.asarray(env)),
+        env_h=np.int32(env.shape[0]),
+        env_w=np.int32(env.shape[1]),
         sun_disc_radiance=sun_disc,
         geometry_offset=np.asarray(sky.geometry_offset, np.float32),
         moon_dir=sun_direction(sky.moon_azimuth, sky.moon_altitude),

@@ -245,7 +245,13 @@ class Renderer:
                 chunk=chunk,
                 shading_mode=int(s.shading_mode),
                 use_textures=len(self.scene.textures) > 0,
-                use_clouds=bool(self.scene.cloud.active and self.scene.cloud.low.active),
+                # HDRI mode folds the cloud layer into the baked env map
+                # (pack_sky), so the per-sample march is skipped.
+                use_clouds=bool(
+                    self.scene.cloud.active
+                    and self.scene.cloud.low.active
+                    and int(self.scene.sky.mode) != 1
+                ),
                 cloud_steps=min(max(int(self.scene.cloud.steps) // 2, 8), 64),
                 use_physical_camera=bool(self.scene.camera.use_physical_camera),
             )

@@ -128,7 +128,15 @@ class Scene:
         self.instances: List[Instance] = []
         self.meshes: List[Mesh] = []
         self.textures: List[Texture] = []
+        self.sky_hdri = None  # user lat-long [H, W, 3] float (SkyMode.HDRI)
         self._dirty = DirtyFlags.ALL
+
+    def set_sky_hdri(self, image) -> None:
+        """Install a user lat-long HDRI (numpy [H, W, >=3], linear radiance);
+        None reverts HDRI mode to baking the procedural sky."""
+        with self._lock:
+            self.sky_hdri = image
+            self._dirty |= DirtyFlags.HDRI | DirtyFlags.INTEGRATION | DirtyFlags.OUTPUT
 
     # -- entity access ------------------------------------------------------
 
