@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +33,11 @@ class DeviceLights(NamedTuple):
     alias: jnp.ndarray  # i32 [L] alias target
     slot: jnp.ndarray  # i32 [L] leaf-slot id of each light triangle
     select_pdf: jnp.ndarray  # f32 [L] probability of selecting each light
+    # Denormalized alias rows [L, 8]: prob, own slot (bitcast i32), own
+    # select_pdf, alias slot (bitcast), alias select_pdf, pad ×3. One draw =
+    # ONE row gather (gathers cost per INDEX on TPU; the alias redirect
+    # would otherwise be a second dependent gather).
+    light_rows: jnp.ndarray  # f32 [L, 8]
     # Per-slot data for MIS on BSDF-sampled emissive hits
     slot_select_pdf: jnp.ndarray  # f32 [P] selection pdf by slot (0 = not a light)
     slot_area: jnp.ndarray  # f32 [P] triangle area by slot
@@ -96,6 +102,7 @@ def pack_lights(
             alias=alias,
             slot=slots,
             select_pdf=sel,
+            light_rows=_pack_light_rows(prob, alias, slots, sel),
             slot_select_pdf=slot_select_pdf,
             slot_area=area,
             num_lights=np.int32(len(slots)),
@@ -106,11 +113,26 @@ def pack_lights(
         alias=np.zeros((1,), np.int32),
         slot=np.zeros((1,), np.int32),
         select_pdf=np.zeros((1,), np.float32),
+        light_rows=_pack_light_rows(
+            np.ones((1,), np.float32), np.zeros((1,), np.int32),
+            np.zeros((1,), np.int32), np.zeros((1,), np.float32),
+        ),
         slot_select_pdf=slot_select_pdf,
         slot_area=area,
         num_lights=np.int32(0),
         total_power=np.float32(0.0),
     )
+
+
+def _pack_light_rows(prob, alias, slots, sel) -> np.ndarray:
+    l = prob.shape[0]
+    rows = np.zeros((l, 8), np.float32)
+    rows[:, 0] = prob
+    rows[:, 1] = slots.astype(np.int32).view(np.float32)
+    rows[:, 2] = sel
+    rows[:, 3] = slots[alias].astype(np.int32).view(np.float32)
+    rows[:, 4] = sel[alias]
+    return rows
 
 
 def sample_light_point(
@@ -141,11 +163,20 @@ def sample_light_point(
     l = lights.prob.shape[0]
     r = random_2d(RandomTarget.LIGHT_TREE, pixel_id, sample_id, depth)
     idx = jnp.minimum((r[..., 0] * l).astype(jnp.int32), l - 1)
-    take_alias = r[..., 1] >= lights.prob[idx]
-    idx = jnp.where(take_alias, lights.alias[idx], idx)
-
-    slot = lights.slot[idx]
-    pdf_select = lights.select_pdf[idx]
+    if shade_rows is not None:
+        # big-scene path: ONE light-row gather resolves the alias redirect
+        lrow = lights.light_rows[idx]
+        take_alias = r[..., 1] >= lrow[:, 0]
+        slot = jax.lax.bitcast_convert_type(
+            jnp.where(take_alias, lrow[:, 3], lrow[:, 1]), jnp.int32
+        )
+        pdf_select = jnp.where(take_alias, lrow[:, 4], lrow[:, 2])
+    else:
+        # small-table path: XLA lowers these gathers to cheap selects
+        take_alias = r[..., 1] >= lights.prob[idx]
+        idx = jnp.where(take_alias, lights.alias[idx], idx)
+        slot = lights.slot[idx]
+        pdf_select = lights.select_pdf[idx]
 
     # Uniform barycentric point (sqrt warp)
     r2 = random_2d(RandomTarget.LIGHT_TRIANGLE, pixel_id, sample_id, depth)

@@ -244,6 +244,7 @@ class Renderer:
                 max_depth=max(int(s.max_ray_depth), 1),
                 chunk=chunk,
                 shading_mode=int(s.shading_mode),
+                ris_candidates=max(int(s.light_ris_candidates), 1),
                 use_textures=len(self.scene.textures) > 0,
                 # HDRI mode folds the cloud layer into the baked env map
                 # (pack_sky), so the per-sample march is skipped.

@@ -88,6 +88,7 @@ class RenderConfig(NamedTuple):
     max_depth: int
     chunk: int | None = 65536
     shading_mode: int = 0  # ShadingMode enum
+    ris_candidates: int = 4  # K alias-drawn NEE candidates per vertex (RIS)
     use_textures: bool = False  # static: skips atlas fetches when False
     use_clouds: bool = False  # static: skips the cloud march when False
     cloud_steps: int = 32
@@ -410,39 +411,91 @@ def render_sample(
             scene.water, shadow_origin, sun_dir_s, 1e7
         )
 
-        # ---- NEE strategy 2: emissive triangles (alias table) ----
-        l_slot, l_point, l_n, pdf_area, (le_r, le_g, le_b), l_valid = (
-            sample_light_point(
-                lights, scene.shade_rows if use_rows else None,
-                pixel_id, sample_id, depth,
-                geo=geo, materials=mats,
+        # ---- NEE strategy 2: emissive triangles — RIS over K alias-drawn
+        # candidates, reservoir-resampled by unshadowed target contribution
+        # (reference: cuda/ris.cuh:9-16 standard reservoir, light.cuh:27-60
+        # resampled candidates). The nominal MIS pdf stays the 1-candidate
+        # alias pdf on BOTH strategies (any pdf function shared by the two
+        # sides keeps the weights summing to 1, so this is bias-free); RIS
+        # only reshapes variance. Only the reservoir WINNER traces a shadow
+        # ray, so the ray budget is unchanged vs. 1-candidate NEE. ----
+        k_ris = max(int(config.ris_candidates), 1)
+        wsum = zeros
+        sel_phat = zeros
+        sel_f = (zeros, zeros, zeros)
+        sel_le = (zeros, zeros, zeros)
+        sel_w_mis = zeros
+        sel_dir = Vec3(zeros, zeros, ones)
+        sel_dist = ones
+        for k in range(k_ris):
+            dk = depth * 8 + k  # decorrelated sub-stream per candidate
+            l_slot, l_point, l_n, pdf_area, (le_r, le_g, le_b), l_valid = (
+                sample_light_point(
+                    lights, scene.shade_rows if use_rows else None,
+                    pixel_id, sample_id, dk,
+                    geo=geo, materials=mats,
+                )
             )
+            to_light = l_point - shadow_origin
+            dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 0.0))
+            inv_dist = jnp.reciprocal(jnp.maximum(dist, 1e-8))
+            l_dir = vwhere(
+                dist > 1e-6,
+                Vec3(to_light.x * inv_dist, to_light.y * inv_dist,
+                     to_light.z * inv_dist),
+                Vec3.of(0.0, 0.0, 1.0, like=to_light),
+            )
+            cos_l = -dot(l_n, l_dir)  # one-sided emitter
+            pdf_l_sa = pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8)
+            (fl_r, fl_g, fl_b), pdf_b_l = frame_eval(
+                lane_mat, frame, lane_mat.roughness, l_dir
+            )
+            phase_l = hg_phase(dot(direction, l_dir), fog.g)
+            fl_r = jnp.where(vol_lane, phase_l, fl_r)
+            fl_g = jnp.where(vol_lane, phase_l, fl_g)
+            fl_b = jnp.where(vol_lane, phase_l, fl_b)
+            pdf_b_l = jnp.where(vol_lane, phase_l, pdf_b_l)
+            cand_ok = (
+                nee_lane
+                & l_valid
+                & (cos_l > 1e-6)
+                & (vol_lane | (dot(l_dir, ns) > 0.0))
+                & (dist > 1e-5)
+            )
+            # target p-hat: luminance of the MIS-weighted unshadowed
+            # contribution (what the winner will actually add)
+            w_mis_l = mis_balance(pdf_l_sa, pdf_b_l)
+            phat = (
+                0.2126 * fl_r * le_r + 0.7152 * fl_g * le_g
+                + 0.0722 * fl_b * le_b
+            ) * w_mis_l
+            w_k = jnp.where(
+                cand_ok & (pdf_l_sa > 1e-12) & (phat > 0.0),
+                phat / jnp.maximum(pdf_l_sa, 1e-12),
+                0.0,
+            )
+            wsum = wsum + w_k
+            if k == 0:
+                take = w_k > 0.0
+            else:
+                r_k = random_1d(RandomTarget.LIGHT_RIS, pixel_id, sample_id, dk)
+                take = (r_k * wsum < w_k) & (w_k > 0.0)
+            sel_phat = jnp.where(take, phat, sel_phat)
+            sel_f = tuple(jnp.where(take, c, s) for c, s in zip(
+                (fl_r, fl_g, fl_b), sel_f))
+            sel_le = tuple(jnp.where(take, c, s) for c, s in zip(
+                (le_r, le_g, le_b), sel_le))
+            sel_w_mis = jnp.where(take, w_mis_l, sel_w_mis)
+            sel_dir = vwhere(take, l_dir, sel_dir)
+            sel_dist = jnp.where(take, dist, sel_dist)
+        # unbiased contribution weight W = wsum / (K * p-hat(winner))
+        ris_w = jnp.where(
+            sel_phat > 0.0, wsum / (k_ris * jnp.maximum(sel_phat, 1e-20)), 0.0
         )
-        to_light = l_point - shadow_origin
-        dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 0.0))
-        inv_dist = jnp.reciprocal(jnp.maximum(dist, 1e-8))
-        l_dir = vwhere(
-            dist > 1e-6,
-            Vec3(to_light.x * inv_dist, to_light.y * inv_dist, to_light.z * inv_dist),
-            Vec3.of(0.0, 0.0, 1.0, like=to_light),
-        )
-        cos_l = -dot(l_n, l_dir)  # one-sided emitter
-        pdf_l_sa = pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8)
-        (fl_r, fl_g, fl_b), pdf_b_l = frame_eval(
-            lane_mat, frame, lane_mat.roughness, l_dir
-        )
-        phase_l = hg_phase(dot(direction, l_dir), fog.g)
-        fl_r = jnp.where(vol_lane, phase_l, fl_r)
-        fl_g = jnp.where(vol_lane, phase_l, fl_g)
-        fl_b = jnp.where(vol_lane, phase_l, fl_b)
-        pdf_b_l = jnp.where(vol_lane, phase_l, pdf_b_l)
-        light_candidate = (
-            nee_lane
-            & l_valid
-            & (cos_l > 1e-6)
-            & (vol_lane | (dot(l_dir, ns) > 0.0))
-            & (dist > 1e-5)
-        )
+        fl_r, fl_g, fl_b = sel_f
+        le_r, le_g, le_b = sel_le
+        l_dir, dist = sel_dir, sel_dist
+        light_candidate = wsum > 0.0
         rays_traced = rays_traced + jnp.sum(light_candidate.astype(jnp.float32))
         # Both NEE visibility queries ride ONE batched any-hit trace (2N rays,
         # one lockstep walk): sun rays in the front half, light rays in the
@@ -474,10 +527,9 @@ def render_sample(
         twl_r, twl_g, twl_b = water_transmittance(
             scene.water, shadow_origin, l_dir, dist
         )
-        w_mis_l = mis_balance(pdf_l_sa, pdf_b_l)
         l_w = jnp.where(
             light_candidate & ~l_occluded,
-            w_mis_l * t_fog_l / jnp.maximum(pdf_l_sa, 1e-12),
+            sel_w_mis * t_fog_l * ris_w,
             0.0,
         )
         rad_r = rad_r + thr_r * fl_r * le_r * twl_r * l_w

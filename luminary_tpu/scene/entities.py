@@ -104,6 +104,8 @@ class RendererSettings:
     height: int = 1080
     max_ray_depth: int = 8
     bridge_max_num_vertices: int = 1
+    # K resampled NEE candidates per path vertex (RIS; reference ris.cuh).
+    light_ris_candidates: int = 4
     undersampling: int = 3
     supersampling: int = 1
     enable_adaptive_sampling: bool = False
