@@ -77,6 +77,46 @@ def sample_vndf_bounded(wo_l: Vec3, alpha: jnp.ndarray, r2: jnp.ndarray) -> Vec3
     return normalize(Vec3(cx * alpha, cy * alpha, jnp.maximum(cz, 0.0)))
 
 
+def sample_vndf(wo_l: Vec3, alpha: jnp.ndarray, r2: jnp.ndarray) -> Vec3:
+    """Standard Smith-VNDF half-vector sampling (Heitz 2018) — valid for
+    transmission too, unlike the bounded variant (the reference's refraction
+    sampler is the spherical-caps formulation of the same distribution,
+    bsdf_utils.cuh:269). Local frame, wo_l.z > 0 expected."""
+    v = normalize(Vec3(wo_l.x * alpha, wo_l.y * alpha, wo_l.z))
+    # orthonormal basis around v
+    lensq = v.x * v.x + v.y * v.y
+    inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    t1 = vwhere_scalar(
+        lensq > 1e-12,
+        Vec3(-v.y * inv, v.x * inv, jnp.zeros_like(v.x)),
+        Vec3(jnp.ones_like(v.x), jnp.zeros_like(v.x), jnp.zeros_like(v.x)),
+    )
+    t2 = Vec3(
+        v.y * t1.z - v.z * t1.y,
+        v.z * t1.x - v.x * t1.z,
+        v.x * t1.y - v.y * t1.x,
+    )
+    r = jnp.sqrt(jnp.clip(r2[..., 0], 0.0, 1.0))
+    phi = 2.0 * jnp.pi * r2[..., 1]
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + v.z)
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    pz = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = Vec3(
+        p1 * t1.x + p2 * t2.x + pz * v.x,
+        p1 * t1.y + p2 * t2.y + pz * v.y,
+        p1 * t1.z + p2 * t2.z + pz * v.z,
+    )
+    return normalize(Vec3(nh.x * alpha, nh.y * alpha, jnp.maximum(nh.z, 1e-6)))
+
+
+def vwhere_scalar(c, a: Vec3, b: Vec3) -> Vec3:
+    return Vec3(
+        jnp.where(c, a.x, b.x), jnp.where(c, a.y, b.y), jnp.where(c, a.z, b.z)
+    )
+
+
 def vndf_bounded_pdf(wo_l: Vec3, wi_l: Vec3, alpha):
     """PDF of sample_vndf_bounded over wi (reflected solid angle)."""
     h = normalize(wo_l + wi_l)

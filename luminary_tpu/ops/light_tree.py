@@ -1,0 +1,276 @@
+"""Many-light hierarchy: host-built 16-wide light tree + stochastic descent.
+
+TPU re-design of the reference's Estevez-Kulla light tree (reference:
+src/luminary/device/device_light.c:270,1155 — binary SAH over light
+fragments collapsed to 8-wide quantized nodes; traversal
+cuda/light_tree.cuh:10-33). Differences, by design:
+
+  * Same unified-table discipline as the geometry BVH (bvh/wide.py): node
+    rows and leaf rows share one [M+B, 128] table so every descent level is
+    exactly ONE row gather per lane.
+  * The descent draws ONE light per call (product of stochastic branch
+    probabilities = selection pdf); K RIS candidates = K descents. The
+    reference instead extracts up to 8 candidates per traversal with a
+    continuation stack — on TPU, per-index gather cost makes K independent
+    shallow descents the same price and much simpler.
+  * No quantization yet (f32 rows); nodes carry (center, radius, power),
+    importance = power / max(d^2, r^2) — the Kulla distance-clamped form
+    without orientation cones. The RIS target re-weights candidates by the
+    true BSDF-weighted contribution afterwards, which recovers most of what
+    cones would add.
+  * MIS against BSDF sampling keeps the power-only alias pdf as the nominal
+    NEE pdf on both sides (see render/wavefront.py RIS note): the tree then
+    only shapes candidate *quality*, never bias.
+
+Node row [128]: cols 0:16 child center x | 16:32 y | 32:48 z | 48:64 radius
+| 64:80 subtree power | 80:96 child code (bitcast i32; >=0 node, <0 leaf
+block = ~code, INVALID absent) | 96:128 zero.
+Leaf row [128]: 14 lights: 0:14 slot (bitcast i32, -1 pad) | 14:28 power |
+28:42 centroid x | 42:56 y | 56:70 z | 70:128 zero.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bvh.builder import build_bvh
+from ..bvh.wide import _collapse_children
+from .random import RandomTarget, random_1d
+from .vec import Vec3
+
+INVALID = np.int32(0x7FFFFFFF)
+TREE_LEAF = 14
+BRANCH = 16
+# Below this many lights the alias table alone is fine (selection quality
+# barely matters; RIS does the spatial work).
+LIGHT_TREE_MIN_LIGHTS = 64
+
+
+class LightTree(NamedTuple):
+    rows: np.ndarray  # f32 [M+B, 128]
+    num_nodes: int  # static
+    levels: int  # static: max node depth (descent unrolls levels+1 steps)
+
+
+def build_light_tree(
+    centroid: np.ndarray,  # [L, 3] light centroids
+    corners: np.ndarray,  # [L, 3, 3] triangle corners (for SAH bounds)
+    power: np.ndarray,  # [L] emitted power (> 0)
+    slots: np.ndarray,  # [L] leaf-slot id of each light
+) -> LightTree:
+    """SAH build (reuses the geometry BVH2 builder over light bounds) +
+    16-wide collapse with per-subtree power aggregation."""
+    bvh2 = build_bvh(corners, leaf_size=TREE_LEAF)
+
+    # --- subtree power, bottom-up over the BVH2 ---
+    n_blocks = bvh2.num_blocks
+
+    def block_lights(b: int) -> np.ndarray:
+        ids = bvh2.tri_order[b * TREE_LEAF : (b + 1) * TREE_LEAF]
+        return ids[ids >= 0]
+
+    block_power = np.zeros(n_blocks, np.float64)
+    for b in range(n_blocks):
+        block_power[b] = power[block_lights(b)].sum()
+
+    node_power = np.zeros(bvh2.num_nodes, np.float64)
+
+    def subtree_power(code: int) -> float:
+        if code == int(INVALID):
+            return 0.0
+        if code < 0:
+            return float(block_power[~code])
+        if node_power[code] == 0.0:
+            node_power[code] = subtree_power(int(bvh2.child[code, 0])) + subtree_power(
+                int(bvh2.child[code, 1])
+            )
+        return float(node_power[code])
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 100000))
+    try:
+        subtree_power(0)
+    finally:
+        sys.setrecursionlimit(old)
+
+    # --- 16-wide collapse (same shape as bvh/wide.collapse_wide) ---
+    node_rows: list[np.ndarray] = []
+    leaf_rows: list[np.ndarray] = []
+    pending = [(0, 0)]
+    node_rows.append(np.zeros(128, np.float32))
+    depth_of = {0: 1}
+    max_depth = 1
+
+    def emit_leaf(code2: int) -> int:
+        ids = block_lights(~code2)
+        row = np.zeros(128, np.float32)
+        srow = np.full(TREE_LEAF, -1, np.int32)
+        srow[: len(ids)] = slots[ids]
+        row[0:14] = srow.view(np.float32)
+        row[14 : 14 + len(ids)] = power[ids]
+        row[28 : 28 + len(ids)] = centroid[ids, 0]
+        row[42 : 42 + len(ids)] = centroid[ids, 1]
+        row[56 : 56 + len(ids)] = centroid[ids, 2]
+        leaf_rows.append(row)
+        return ~(len(leaf_rows) - 1)
+
+    while pending:
+        wide_id, node2 = pending.pop()
+        entries = _collapse_children(bvh2, node2)
+        row = np.zeros(128, np.float32)
+        codes = np.full(BRANCH, INVALID, np.int32)
+        for k, (code, lo, hi) in enumerate(entries):
+            c = 0.5 * (lo + hi)
+            row[0 * 16 + k] = c[0]
+            row[1 * 16 + k] = c[1]
+            row[2 * 16 + k] = c[2]
+            row[3 * 16 + k] = 0.5 * float(np.linalg.norm(hi - lo))
+            row[4 * 16 + k] = subtree_power(int(code))
+            if code < 0:
+                codes[k] = emit_leaf(int(code))
+            else:
+                child_wide = len(node_rows)
+                node_rows.append(np.zeros(128, np.float32))
+                pending.append((child_wide, int(code)))
+                codes[k] = child_wide
+                depth_of[child_wide] = depth_of[wide_id] + 1
+                max_depth = max(max_depth, depth_of[child_wide])
+        row[5 * 16 : 6 * 16] = codes.view(np.float32)
+        node_rows[wide_id] = row
+
+    if not leaf_rows:  # degenerate: no lights
+        leaf_rows.append(np.zeros(128, np.float32))
+        empty = np.full(TREE_LEAF, -1, np.int32)
+        leaf_rows[0][0:14] = empty.view(np.float32)
+
+    rows = np.concatenate(
+        [np.stack(node_rows), np.stack(leaf_rows)], axis=0
+    ).astype(np.float32)
+    return LightTree(rows=rows, num_nodes=len(node_rows), levels=max_depth)
+
+
+def sample_light_tree(
+    tree_rows: jnp.ndarray,
+    num_nodes: int,
+    levels: int,
+    pos: Vec3,
+    pixel_id,
+    sample_id,
+    dk: int,
+    chunk: int = 1 << 18,
+):
+    """One stochastic descent per lane from the shading point `pos`.
+
+    Returns (slot i32 [N], pdf_select f32 [N], valid bool [N]). pdf_select is
+    the exact probability this descent selected that light (product of
+    branch probabilities), usable directly as the RIS candidate pdf.
+
+    Layout: all per-child math runs TRANSPOSED [16, n] / [14, n] — [n, 16]
+    would pad its minor axis 16 → 128 (9x memory blowup, measured OOM at 2M
+    lanes). Big wavefronts run in lax.map chunks to bound the transposed
+    row buffer ([128, chunk]).
+    """
+    n = pos.x.shape[0]
+    pixel_id = jnp.broadcast_to(jnp.asarray(pixel_id, jnp.uint32), (n,))
+    sample_id = jnp.broadcast_to(jnp.asarray(sample_id, jnp.uint32), (n,))
+
+    def run(args):
+        px, py, pz, pid, sid = args
+        m = px.shape[0]
+        node = jnp.zeros((m,), jnp.int32)
+        pdf = jnp.ones((m,), jnp.float32)
+        slot = jnp.full((m,), -1, jnp.int32)
+        at_leaf = jnp.zeros((m,), bool)
+        done = jnp.zeros((m,), bool)
+        kid16 = jnp.arange(BRANCH, dtype=jnp.int32)[:, None]
+        kid14 = jnp.arange(TREE_LEAF, dtype=jnp.int32)[:, None]
+
+        for lvl in range(levels + 1):
+            rowT = tree_rows[node].T  # [128, m] — THE gather
+            r = random_1d(
+                RandomTarget.LIGHT_TREE_LEVEL, pid, sid, dk * 8 + lvl
+            )
+
+            # --- node interpretation: child by clamped-distance power ---
+            dx = rowT[0:16] - px[None]
+            dy = rowT[16:32] - py[None]
+            dz = rowT[32:48] - pz[None]
+            rad = rowT[48:64]
+            pw = rowT[64:80]
+            code16 = jax.lax.bitcast_convert_type(rowT[80:96], jnp.int32)
+            d2 = dx * dx + dy * dy + dz * dz
+            imp = pw / jnp.maximum(d2, jnp.maximum(rad * rad, 1e-8))
+            imp = jnp.where(code16 == INVALID, 0.0, imp)  # [16, m]
+            tot = jnp.sum(imp, axis=0)
+            cum = jnp.cumsum(imp, axis=0)
+            rt = r * tot
+            pick = jnp.minimum(
+                jnp.sum((cum <= rt[None]).astype(jnp.int32), axis=0),
+                BRANCH - 1,
+            )
+            oh = kid16 == pick[None]
+            p_c = jnp.sum(jnp.where(oh, imp, 0.0), axis=0) / jnp.maximum(
+                tot, 1e-30
+            )
+            c_sel = jnp.sum(jnp.where(oh, code16, 0), axis=0)
+
+            # --- leaf interpretation: light by power / distance^2 ---
+            lslot = jax.lax.bitcast_convert_type(rowT[0:14], jnp.int32)
+            lpw = rowT[14:28]
+            ldx = rowT[28:42] - px[None]
+            ldy = rowT[42:56] - py[None]
+            ldz = rowT[56:70] - pz[None]
+            ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+            limp = jnp.where(lslot >= 0, lpw / jnp.maximum(ld2, 1e-8), 0.0)
+            ltot = jnp.sum(limp, axis=0)
+            lcum = jnp.cumsum(limp, axis=0)
+            lrt = r * ltot
+            lpick = jnp.minimum(
+                jnp.sum((lcum <= lrt[None]).astype(jnp.int32), axis=0),
+                TREE_LEAF - 1,
+            )
+            loh = kid14 == lpick[None]
+            p_l = jnp.sum(jnp.where(loh, limp, 0.0), axis=0) / jnp.maximum(
+                ltot, 1e-30
+            )
+            s_sel = jnp.sum(jnp.where(loh, lslot, 0), axis=0)
+
+            # --- merge the two interpretations ---
+            step_node = ~done & ~at_leaf
+            step_leaf = ~done & at_leaf
+            ok_node = step_node & (tot > 0.0)
+            ok_leaf = step_leaf & (ltot > 0.0)
+            pdf = jnp.where(ok_node, pdf * p_c, pdf)
+            pdf = jnp.where(ok_leaf, pdf * p_l, pdf)
+            slot = jnp.where(ok_leaf, s_sel, slot)
+            done = done | step_leaf | (step_node & ~ok_node)
+            next_leaf = c_sel < 0
+            node = jnp.where(
+                ok_node,
+                jnp.where(next_leaf, num_nodes + ~c_sel, c_sel),
+                node,
+            )
+            at_leaf = jnp.where(ok_node, next_leaf, at_leaf)
+
+        valid = (slot >= 0) & (pdf > 0.0)
+        return slot, pdf, valid
+
+    args = (pos.x, pos.y, pos.z, pixel_id, sample_id)
+    if n <= chunk:
+        return run(args)
+    pad = (-n) % chunk
+    if pad:
+        args = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]), args
+        )
+    reshaped = jax.tree_util.tree_map(
+        lambda x: x.reshape(-1, chunk), args
+    )
+    out = jax.lax.map(run, reshaped)
+    return jax.tree_util.tree_map(lambda x: x.reshape(-1)[:n], out)

@@ -17,8 +17,6 @@ NEE selection pdf for MIS.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,22 +25,53 @@ from .random import RandomTarget, random_2d
 from .vec import Vec3, gather as vgather
 
 
-class DeviceLights(NamedTuple):
-    # Alias table over emissive triangles (L entries, padded to >=1)
-    prob: jnp.ndarray  # f32 [L] alias acceptance probability
-    alias: jnp.ndarray  # i32 [L] alias target
-    slot: jnp.ndarray  # i32 [L] leaf-slot id of each light triangle
-    select_pdf: jnp.ndarray  # f32 [L] probability of selecting each light
-    # Denormalized alias rows [L, 8]: prob, own slot (bitcast i32), own
-    # select_pdf, alias slot (bitcast), alias select_pdf, pad ×3. One draw =
-    # ONE row gather (gathers cost per INDEX on TPU; the alias redirect
-    # would otherwise be a second dependent gather).
-    light_rows: jnp.ndarray  # f32 [L, 8]
-    # Per-slot data for MIS on BSDF-sampled emissive hits
-    slot_select_pdf: jnp.ndarray  # f32 [P] selection pdf by slot (0 = not a light)
-    slot_area: jnp.ndarray  # f32 [P] triangle area by slot
-    num_lights: jnp.ndarray  # i32 scalar
-    total_power: jnp.ndarray  # f32 scalar
+@jax.tree_util.register_pytree_node_class
+class DeviceLights:
+    """Packed light set: alias table + (for many-light scenes) the 16-wide
+    light tree (ops/light_tree.py). tree_num_nodes/tree_levels are STATIC
+    aux data: the stochastic descent unrolls `levels + 1` steps under jit.
+
+    Array fields:
+      prob/alias/slot/select_pdf: alias table over L emissive triangles.
+      light_rows [L, 8]: denormalized alias rows — prob, own slot (bitcast
+        i32), own select_pdf, alias slot (bitcast), alias select_pdf, pad.
+        One draw = ONE row gather (gathers cost per INDEX on TPU; the alias
+        redirect would otherwise be a second dependent gather).
+      slot_select_pdf/slot_area [P]: per-slot MIS data for BSDF-sampled hits.
+      tree_rows: unified light-tree table (dummy [1, 128] when absent).
+    """
+
+    def __init__(self, prob, alias, slot, select_pdf, light_rows,
+                 slot_select_pdf, slot_area, num_lights, total_power,
+                 tree_rows, tree_num_nodes: int = 0, tree_levels: int = 0):
+        self.prob = prob
+        self.alias = alias
+        self.slot = slot
+        self.select_pdf = select_pdf
+        self.light_rows = light_rows
+        self.slot_select_pdf = slot_select_pdf
+        self.slot_area = slot_area
+        self.num_lights = num_lights
+        self.total_power = total_power
+        self.tree_rows = tree_rows
+        self.tree_num_nodes = tree_num_nodes
+        self.tree_levels = tree_levels
+
+    @property
+    def has_tree(self) -> bool:
+        return self.tree_levels > 0
+
+    def tree_flatten(self):
+        return (
+            (self.prob, self.alias, self.slot, self.select_pdf,
+             self.light_rows, self.slot_select_pdf, self.slot_area,
+             self.num_lights, self.total_power, self.tree_rows),
+            (self.tree_num_nodes, self.tree_levels),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, aux[0], aux[1])
 
 
 def build_alias_table(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -93,10 +122,31 @@ def pack_lights(
     slot_select_pdf = np.zeros(p, np.float32)
     if len(slots):
         w = power[slots]
+        keep = w > 0.0  # zero-power "emitters" would break tree importance
+        slots = slots[keep]
+    if len(slots):
+        w = power[slots]
         total = float(w.sum())
         sel = (w / max(total, 1e-20)).astype(np.float32)
         prob, alias = build_alias_table(w.astype(np.float64))
         slot_select_pdf[slots] = sel
+
+        from .light_tree import LIGHT_TREE_MIN_LIGHTS, build_light_tree
+
+        tree_rows = np.zeros((1, 128), np.float32)
+        tree_nodes = tree_levels = 0
+        if len(slots) >= LIGHT_TREE_MIN_LIGHTS:
+            v0s, e1s, e2s = tri_v0[slots], tri_e1[slots], tri_e2[slots]
+            tree = build_light_tree(
+                centroid=(v0s + (e1s + e2s) / 3.0).astype(np.float32),
+                corners=np.stack(
+                    [v0s, v0s + e1s, v0s + e2s], axis=1
+                ).astype(np.float32),
+                power=w.astype(np.float32),
+                slots=slots,
+            )
+            tree_rows = tree.rows
+            tree_nodes, tree_levels = tree.num_nodes, tree.levels
         return DeviceLights(
             prob=prob,
             alias=alias,
@@ -107,6 +157,9 @@ def pack_lights(
             slot_area=area,
             num_lights=np.int32(len(slots)),
             total_power=np.float32(total),
+            tree_rows=tree_rows,
+            tree_num_nodes=tree_nodes,
+            tree_levels=tree_levels,
         )
     return DeviceLights(
         prob=np.ones((1,), np.float32),
@@ -121,6 +174,7 @@ def pack_lights(
         slot_area=area,
         num_lights=np.int32(0),
         total_power=np.float32(0.0),
+        tree_rows=np.zeros((1, 128), np.float32),
     )
 
 
@@ -143,40 +197,49 @@ def sample_light_point(
     depth,
     geo=None,
     materials=None,
+    slot=None,
+    pdf_select=None,
+    sel_valid=None,
 ):
-    """Draw one light triangle (alias table) + a uniform point on it.
+    """Draw one light triangle + a uniform point on it.
 
-    Returns (light_slot [N], point Vec3, normal Vec3, pdf_area [N],
-    emission (r, g, b) [N] arrays, emission_valid [N]). pdf_area is over the
-    light surface: select_pdf/area. Everything per-slot comes from ONE
-    shade-row gather (render/device_scene.py column map).
+    Selection comes from the alias table by default, or from a caller-drawn
+    candidate (`slot`/`pdf_select`/`sel_valid` — e.g. a light-tree descent,
+    ops/light_tree.py). Returns (light_slot [N], point Vec3, normal Vec3,
+    pdf_area [N], emission (r, g, b) [N] arrays, emission_valid [N]).
+    pdf_area is over the light surface: select_pdf/area. Everything per-slot
+    comes from ONE slim light-row gather (`shade_rows` here is the [P, 16]
+    light_slot_rows table — LSR_* column map, render/device_scene.py).
     """
     from ..render.device_scene import (
-        SHADE_AREA,
-        SHADE_E1,
-        SHADE_E2,
-        SHADE_EMISSION,
-        SHADE_FACE_N,
-        SHADE_V0,
+        LSR_AREA,
+        LSR_E1,
+        LSR_E2,
+        LSR_EMISSION,
+        LSR_FACE_N,
+        LSR_V0,
     )
 
-    l = lights.prob.shape[0]
-    r = random_2d(RandomTarget.LIGHT_TREE, pixel_id, sample_id, depth)
-    idx = jnp.minimum((r[..., 0] * l).astype(jnp.int32), l - 1)
-    if shade_rows is not None:
-        # big-scene path: ONE light-row gather resolves the alias redirect
-        lrow = lights.light_rows[idx]
-        take_alias = r[..., 1] >= lrow[:, 0]
-        slot = jax.lax.bitcast_convert_type(
-            jnp.where(take_alias, lrow[:, 3], lrow[:, 1]), jnp.int32
-        )
-        pdf_select = jnp.where(take_alias, lrow[:, 4], lrow[:, 2])
+    if slot is None:
+        l = lights.prob.shape[0]
+        r = random_2d(RandomTarget.LIGHT_TREE, pixel_id, sample_id, depth)
+        idx = jnp.minimum((r[..., 0] * l).astype(jnp.int32), l - 1)
+        if shade_rows is not None:
+            # big-scene path: ONE light-row gather resolves the alias redirect
+            lrow = lights.light_rows[idx]
+            take_alias = r[..., 1] >= lrow[:, 0]
+            slot = jax.lax.bitcast_convert_type(
+                jnp.where(take_alias, lrow[:, 3], lrow[:, 1]), jnp.int32
+            )
+            pdf_select = jnp.where(take_alias, lrow[:, 4], lrow[:, 2])
+        else:
+            # small-table path: XLA lowers these gathers to cheap selects
+            take_alias = r[..., 1] >= lights.prob[idx]
+            idx = jnp.where(take_alias, lights.alias[idx], idx)
+            slot = lights.slot[idx]
+            pdf_select = lights.select_pdf[idx]
     else:
-        # small-table path: XLA lowers these gathers to cheap selects
-        take_alias = r[..., 1] >= lights.prob[idx]
-        idx = jnp.where(take_alias, lights.alias[idx], idx)
-        slot = lights.slot[idx]
-        pdf_select = lights.select_pdf[idx]
+        slot = jnp.maximum(slot, 0)  # invalid lanes masked via sel_valid
 
     # Uniform barycentric point (sqrt warp)
     r2 = random_2d(RandomTarget.LIGHT_TRIANGLE, pixel_id, sample_id, depth)
@@ -185,14 +248,14 @@ def sample_light_point(
     b2 = r2[..., 1] * su
     if shade_rows is not None:
         row = shade_rows[slot]
-        v0 = Vec3(row[:, SHADE_V0], row[:, SHADE_V0 + 1], row[:, SHADE_V0 + 2])
-        e1 = Vec3(row[:, SHADE_E1], row[:, SHADE_E1 + 1], row[:, SHADE_E1 + 2])
-        e2 = Vec3(row[:, SHADE_E2], row[:, SHADE_E2 + 1], row[:, SHADE_E2 + 2])
-        n = Vec3(row[:, SHADE_FACE_N], row[:, SHADE_FACE_N + 1],
-                 row[:, SHADE_FACE_N + 2])
-        emission = (row[:, SHADE_EMISSION], row[:, SHADE_EMISSION + 1],
-                    row[:, SHADE_EMISSION + 2])
-        area = row[:, SHADE_AREA]
+        v0 = Vec3(row[:, LSR_V0], row[:, LSR_V0 + 1], row[:, LSR_V0 + 2])
+        e1 = Vec3(row[:, LSR_E1], row[:, LSR_E1 + 1], row[:, LSR_E1 + 2])
+        e2 = Vec3(row[:, LSR_E2], row[:, LSR_E2 + 1], row[:, LSR_E2 + 2])
+        n = Vec3(row[:, LSR_FACE_N], row[:, LSR_FACE_N + 1],
+                 row[:, LSR_FACE_N + 2])
+        emission = (row[:, LSR_EMISSION], row[:, LSR_EMISSION + 1],
+                    row[:, LSR_EMISSION + 2])
+        area = row[:, LSR_AREA]
     else:
         # small-table path: XLA lowers these gathers to cheap selects
         v0 = vgather(geo.bvh.tri_v0, slot)
@@ -205,8 +268,9 @@ def sample_light_point(
         area = lights.slot_area[slot]
     point = v0 + e1 * b1 + e2 * b2
     pdf_area = pdf_select / jnp.maximum(area, 1e-12)
-    has_lights = lights.num_lights > 0
-    return slot, point, n, pdf_area, emission, has_lights & (pdf_select > 0.0)
+    ok = lights.num_lights > 0
+    ok = (ok & sel_valid) if sel_valid is not None else (ok & (pdf_select > 0.0))
+    return slot, point, n, pdf_area, emission, ok, (b1, b2)
 
 
 def light_pdf_solid_angle(lights: DeviceLights, hit_slot, hit_t, cos_light):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .ggx import (
@@ -24,7 +25,10 @@ from .ggx import (
     fresnel_dielectric,
     ggx_reflect_eval,
     roughness_to_alpha,
+    sample_vndf,
     sample_vndf_bounded,
+    smith_g1,
+    smith_g2,
 )
 from .random import RandomTarget, random_1d, random_2d
 from .vec import Vec3, dot, normalize, orthonormal_basis, reflect, vwhere
@@ -41,6 +45,46 @@ class LaneMaterial(NamedTuple):
     ior: jnp.ndarray
     translucent: jnp.ndarray  # bool
     opacity: jnp.ndarray
+    thin_walled: jnp.ndarray  # bool
+
+
+# ---------------------------------------------------------------------------
+# Medium stack: per-lane 2-deep IOR stack in one u32 (two f16 payloads).
+# Reference: cuda/medium_stack.cuh (4-deep, 16 B) — two levels cover
+# glass-in-water; the stack stores the IOR itself (not a material id) so no
+# material-table gather is needed at pop time.
+# ---------------------------------------------------------------------------
+
+
+def medium_encode_ior(ior: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(
+        ior.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+
+
+def _medium_decode(bits16: jnp.ndarray) -> jnp.ndarray:
+    ior = jax.lax.bitcast_convert_type(
+        bits16.astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    return jnp.where(bits16 == 0, 1.0, ior)  # empty slot = vacuum
+
+
+def medium_top_ior(medium: jnp.ndarray) -> jnp.ndarray:
+    """IOR of the medium the ray currently travels in."""
+    return _medium_decode(medium & jnp.uint32(0xFFFF))
+
+
+def medium_below_ior(medium: jnp.ndarray) -> jnp.ndarray:
+    """IOR of the medium that becomes current after exiting the top one."""
+    return _medium_decode((medium >> 16) & jnp.uint32(0xFFFF))
+
+
+def medium_push(medium: jnp.ndarray, ior: jnp.ndarray) -> jnp.ndarray:
+    return ((medium << 16) | medium_encode_ior(ior)).astype(jnp.uint32)
+
+
+def medium_pop(medium: jnp.ndarray) -> jnp.ndarray:
+    return (medium >> 16).astype(jnp.uint32)
 
 
 class ShadingFrame(NamedTuple):
@@ -125,8 +169,12 @@ def material_eval(mat: LaneMaterial, ns: Vec3, wo: Vec3, wi: Vec3):
 
 
 def material_sample(mat: LaneMaterial, fr: ShadingFrame, ns: Vec3, wo: Vec3,
-                    pixel_id, sample_id, depth):
+                    pixel_id, sample_id, depth, eta_rel=None):
     """Sample an outgoing direction.
+
+    eta_rel: per-lane n_transmitted / n_incident for the translucent lobe,
+    supplied by the integrator's medium stack (entering: ior_mat / ior_cur,
+    exiting: ior_below / ior_cur). None falls back to ior-vs-vacuum.
 
     Returns (wi Vec3, weight (r,g,b) = f·cos/pdf, pdf, is_delta, transmitted).
     """
@@ -155,24 +203,43 @@ def material_sample(mat: LaneMaterial, fr: ShadingFrame, ns: Vec3, wo: Vec3,
     inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(pdf, 1e-10), 0.0)
     w_opaque = tuple((s + d) * inv_pdf for s, d in zip(spec, diff))
 
-    # --- translucent path: smooth dielectric ---
-    cos_o = wo_l.z
-    entering = cos_o > 0.0
-    eta = jnp.where(entering, mat.ior, 1.0 / mat.ior)  # n_t / n_i
-    fres = fresnel_dielectric(jnp.abs(cos_o), eta)
+    # --- translucent path: ROUGH dielectric (GGX VNDF half-vector +
+    # Fresnel-split reflect/refract; reference bsdf_utils.cuh:269 spherical-
+    # caps VNDF refraction). The shading frame is flipped toward the ray, so
+    # wo_l.z > 0 and the transmission side is -z; eta_rel carries the real
+    # medium transition from the integrator's stack. ---
+    eta = eta_rel if eta_rel is not None else mat.ior
+    ht = sample_vndf(wo_l, fr.alpha, r2)
+    cos_oh = jnp.clip(dot(wo_l, ht), 1e-6, 1.0)
+    fres = fresnel_dielectric(cos_oh, eta)
+    # thin-walled: both interfaces collapse; net reflectance 2F/(1+F)
+    fres = jnp.where(mat.thin_walled, 2.0 * fres / (1.0 + fres), fres)
     choose_reflect = r_choice < fres
-    n_sign = jnp.where(entering, 1.0, -1.0)
-    wi_refl_l = Vec3(-wo_l.x, -wo_l.y, wo_l.z)
-    inv_eta = 1.0 / eta
-    sin2_t = inv_eta * inv_eta * jnp.maximum(1.0 - cos_o * cos_o, 0.0)
+    wi_refl_l = reflect(-wo_l, ht)
+    inv_eta = 1.0 / jnp.maximum(eta, 1e-6)
+    sin2_t = inv_eta * inv_eta * jnp.maximum(1.0 - cos_oh * cos_oh, 0.0)
+    tir = sin2_t >= 1.0
     cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 0.0, 1.0))
-    wi_refr_l = Vec3(-wo_l.x * inv_eta, -wo_l.y * inv_eta, -cos_t * n_sign)
+    # refract about the sampled half-vector
+    wi_refr_l = Vec3(
+        -wo_l.x * inv_eta + (inv_eta * cos_oh - cos_t) * ht.x,
+        -wo_l.y * inv_eta + (inv_eta * cos_oh - cos_t) * ht.y,
+        -wo_l.z * inv_eta + (inv_eta * cos_oh - cos_t) * ht.z,
+    )
+    # thin-walled transmission: straight through, no bend
+    wi_thin_l = Vec3(-wo_l.x, -wo_l.y, -wo_l.z)
+    wi_refr_l = vwhere(mat.thin_walled, wi_thin_l, wi_refr_l)
+    choose_reflect = choose_reflect | (tir & ~mat.thin_walled)
     wi_trans_l = vwhere(choose_reflect, wi_refl_l, wi_refr_l)
+    # single-scatter Smith weight G2/G1 (VNDF sampling); refraction tints
+    g_ratio = smith_g2(
+        fr.alpha, jnp.abs(wo_l.z), jnp.abs(wi_trans_l.z)
+    ) / jnp.maximum(smith_g1(fr.alpha, jnp.abs(wo_l.z)), 1e-6)
     w_trans = tuple(
-        jnp.where(choose_reflect, 1.0, a)
+        jnp.where(choose_reflect, g_ratio, a * g_ratio)
         for a in (mat.albedo_r, mat.albedo_g, mat.albedo_b)
     )
-    transmitted = mat.translucent & ~choose_reflect
+    transmitted = mat.translucent & ~choose_reflect & ~mat.thin_walled
 
     is_trans = mat.translucent
     wi_l = vwhere(is_trans, wi_trans_l, wi_l)

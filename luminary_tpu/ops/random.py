@@ -56,8 +56,10 @@ class RandomTarget(IntEnum):
     ADAPTIVE = 21
     MICROTRIANGLE = 22
     EMISSION_INDEX = 23
+    LIGHT_TREE_LEVEL = 24
+    ALPHA_TEST = 25
 
-    NUM_TARGETS = 24
+    NUM_TARGETS = 26
 
 
 # numpy (not jnp): a device constant here would force jax backend init at

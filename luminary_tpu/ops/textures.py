@@ -1,11 +1,21 @@
-"""Texture atlas + shading-time fetch.
+"""Texture atlas: mip pyramid + bilinear fetch in two row gathers.
 
-The reference binds per-texture CUDA texture objects with hardware bilinear
-fetch (reference: device_texture.c, cuda/texture_utils.cuh). On TPU a texel
-fetch is an O(N·table) select-scan, so the atlas is aggressively sized: every
-texture is box-resampled to a fixed ATLAS_RES² page at pack time and fetches
-are nearest-tap by default (bilinear = 4x cost, enabled per call). Full-res
-texturing via MXU one-hot tiles is the planned upgrade path.
+The reference binds per-texture CUDA texture objects with hardware
+bilinear/mipmap fetch (reference: device_texture.c, cuda/texture_utils.cuh,
+cuda/mipmap.cuh). The TPU equivalents:
+
+  * every texture becomes a PAGE_RES² page plus a full mip pyramid (box
+    downsample at pack time — the role of the reference's mip kernels);
+  * texels are stored as PAIRED rows [texel, x-neighbor] so one bilinear
+    tap = TWO row gathers (y0 row, y1 row), not four (gathers cost per
+    INDEX on TPU, row width is nearly free — same trick as the sky env);
+  * mip level is nearest-level (no trilinear blend), selected by the caller
+    from a ray-footprint LOD estimate.
+
+Layout: all pages and their mips live in one flat row table
+`rows [total_texels, 8]` (rgba + x-neighbor rgba). A page occupies
+PAGE_STRIDE consecutive rows: level l starts at LEVEL_OFFSET[l] with
+resolution PAGE_RES >> l.
 """
 
 from __future__ import annotations
@@ -15,14 +25,18 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-ATLAS_RES = 64  # pages are ATLAS_RES x ATLAS_RES RGBA
+PAGE_RES = 256
+NUM_LEVELS = 9  # 256 ... 1
+LEVEL_OFFSET = []
+_off = 0
+for _l in range(NUM_LEVELS):
+    LEVEL_OFFSET.append(_off)
+    _off += (PAGE_RES >> _l) ** 2
+PAGE_STRIDE = _off  # 87381
 
 
 class DeviceTextures(NamedTuple):
-    atlas_r: jnp.ndarray  # f32 [num_pages * R * R], linear color
-    atlas_g: jnp.ndarray
-    atlas_b: jnp.ndarray
-    atlas_a: jnp.ndarray
+    rows: jnp.ndarray  # f32 [num_pages * PAGE_STRIDE, 8] (or [1, 8] dummy)
     num_pages: jnp.ndarray  # i32 scalar
 
 
@@ -44,8 +58,27 @@ def _resize_area(img: np.ndarray, res: int) -> np.ndarray:
     return a + b + c + d
 
 
+def _page_rows(img: np.ndarray) -> np.ndarray:
+    """One page: mip pyramid (box halving) → paired rows [PAGE_STRIDE, 8]."""
+    rows = np.zeros((PAGE_STRIDE, 8), np.float32)
+    level = _resize_area(img, PAGE_RES).astype(np.float32)
+    for l in range(NUM_LEVELS):
+        r = PAGE_RES >> l
+        flat = level.reshape(r * r, 4)
+        neigh = np.roll(level, -1, axis=1).reshape(r * r, 4)  # repeat wrap
+        rows[LEVEL_OFFSET[l] : LEVEL_OFFSET[l] + r * r, 0:4] = flat
+        rows[LEVEL_OFFSET[l] : LEVEL_OFFSET[l] + r * r, 4:8] = neigh
+        if r > 1:  # 2x2 box for the next level
+            level = 0.25 * (
+                level[0::2, 0::2] + level[1::2, 0::2]
+                + level[0::2, 1::2] + level[1::2, 1::2]
+            )
+    return rows
+
+
 def pack_textures(textures) -> DeviceTextures:
-    """Scene texture list → flat atlas (numpy; device_put by the caller)."""
+    """Scene texture list → mip-pyramid row atlas (numpy; device_put by the
+    caller)."""
     pages = []
     for tex in textures:
         f = tex.as_float()
@@ -55,33 +88,47 @@ def pack_textures(textures) -> DeviceTextures:
             f = np.concatenate([f, np.ones_like(f[..., :1])], axis=-1)
         elif f.shape[-1] == 1:
             f = np.concatenate([f.repeat(3, -1), np.ones_like(f)], axis=-1)
-        pages.append(_resize_area(f[..., :4], ATLAS_RES).astype(np.float32))
+        pages.append(_page_rows(f[..., :4]))
     if not pages:
-        atlas = np.ones((1 * ATLAS_RES * ATLAS_RES, 4), np.float32)
+        rows = np.ones((1, 8), np.float32)
     else:
-        atlas = np.stack(pages).reshape(-1, 4)
-    return DeviceTextures(
-        atlas_r=np.ascontiguousarray(atlas[:, 0]),
-        atlas_g=np.ascontiguousarray(atlas[:, 1]),
-        atlas_b=np.ascontiguousarray(atlas[:, 2]),
-        atlas_a=np.ascontiguousarray(atlas[:, 3]),
-        num_pages=np.int32(len(pages)),
-    )
+        rows = np.concatenate(pages, axis=0)
+    return DeviceTextures(rows=rows, num_pages=np.int32(len(pages)))
 
 
-def sample_atlas(tex: DeviceTextures, tex_id, u, v):
-    """Nearest-tap fetch: [N] page ids (+ids < 0 → white), [N] uv (repeat
-    wrap). Returns (r, g, b, a) channel arrays."""
+def sample_atlas(tex: DeviceTextures, tex_id, u, v, lod=None):
+    """Bilinear (optionally mipmapped) fetch. tex_id < 0 → white.
+
+    lod: per-lane mip level (float, clamped); None = level 0.
+    Two row gathers total: row(y0) and row(y1), each pairing (x, x+1).
+    """
+    present = tex_id >= 0
+    page = jnp.where(present, tex_id, 0)
+    if lod is None:
+        level = jnp.zeros_like(u, dtype=jnp.int32)
+    else:
+        level = jnp.clip(lod, 0.0, NUM_LEVELS - 1.0).astype(jnp.int32)
+    res = (PAGE_RES >> level).astype(jnp.float32)
+    lvl_off = jnp.asarray(np.asarray(LEVEL_OFFSET, np.int32))[level]
+
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
-    x = jnp.clip((uu * ATLAS_RES).astype(jnp.int32), 0, ATLAS_RES - 1)
-    y = jnp.clip((vv * ATLAS_RES).astype(jnp.int32), 0, ATLAS_RES - 1)
-    page = jnp.maximum(tex_id, 0)
-    idx = page * (ATLAS_RES * ATLAS_RES) + y * ATLAS_RES + x
-    present = tex_id >= 0
-    return (
-        jnp.where(present, tex.atlas_r[idx], 1.0),
-        jnp.where(present, tex.atlas_g[idx], 1.0),
-        jnp.where(present, tex.atlas_b[idx], 1.0),
-        jnp.where(present, tex.atlas_a[idx], 1.0),
-    )
+    x = uu * res - 0.5
+    y = vv * res - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    resi = res.astype(jnp.int32)
+    x0i = jnp.mod(x0.astype(jnp.int32), resi)  # repeat wrap
+    y0i = jnp.mod(y0.astype(jnp.int32), resi)
+    y1i = jnp.mod(y0i + 1, resi)
+    base = page * PAGE_STRIDE + lvl_off
+    r0 = tex.rows[base + y0i * resi + x0i]  # [N, 8]: (x0, x0+1) at y0
+    r1 = tex.rows[base + y1i * resi + x0i]
+    top = r0[:, 0:4] * (1.0 - fx) + r0[:, 4:8] * fx
+    bot = r1[:, 0:4] * (1.0 - fx) + r1[:, 4:8] * fx
+    out = top * (1.0 - fy) + bot * fy
+    w = present[..., None]
+    out = jnp.where(w, out, 1.0)
+    return out[..., 0], out[..., 1], out[..., 2], out[..., 3]

@@ -44,6 +44,12 @@ DENSE_MAX_SLOTS = 128  # one [T, N] tile; larger scenes take the wide tree
 WIDE_LEAF = 14
 BRANCH = 16
 
+# Internal lax.map chunk for tree walks. Measured on-chip (127k-tri scene,
+# 1M incoherent rays): whole-wave while_loop 288 ms vs 159 ms at 64k chunks —
+# the loop runs to the slowest packet of the WHOLE chunk, so smaller chunks
+# bound the lockstep tail. Below ~16k the fixed per-iteration cost dominates.
+TRACE_CHUNK = 1 << 17
+
 
 @jax.tree_util.register_pytree_node_class
 class DeviceBVH:
@@ -59,7 +65,8 @@ class DeviceBVH:
     """
 
     def __init__(self, rows, tri_rows, tri_v0, tri_e1,
-                 tri_e2, dense_tris, dense_slot, depth: int, num_nodes: int):
+                 tri_e2, dense_tris, dense_slot, bounds, rows_shadow,
+                 cut_tris, depth: int, num_nodes: int):
         self.rows = rows
         self.tri_rows = tri_rows  # f32 [P, 16]: v0 xyz, e1 xyz, e2 xyz, pad
         self.tri_v0 = tri_v0
@@ -69,13 +76,27 @@ class DeviceBVH:
         # small scenes and would be intersected brute-force otherwise)
         self.dense_tris = dense_tris  # f32 [T, 9] v0/e1/e2 or None
         self.dense_slot = dense_slot  # i32 [T] compact → leaf-slot id
+        self.bounds = bounds  # f32 [6] scene lo/hi (wavefront sort keys)
+        # Alpha-cutout support (reference: optix_anyhit.cuh + device_omm.c).
+        # rows_shadow: leaf rows with cutout triangles degenerated — the
+        # any-hit walk sees opaque geometry only (None = no cutouts).
+        # cut_tris: f32 [Tc, 12] v0/e1/e2/alpha/pad of the cutout triangles,
+        # for the dense transmission pass (None = no cutouts).
+        self.rows_shadow = rows_shadow
+        self.cut_tris = cut_tris
+        # dense_tris rides an extra alpha column: [T, 12] v0/e1/e2/alpha/pad
         self.depth = depth
         self.num_nodes = num_nodes
+
+    @property
+    def has_cutouts(self) -> bool:
+        return self.cut_tris is not None
 
     def tree_flatten(self):
         return (
             (self.rows, self.tri_rows, self.tri_v0,
-             self.tri_e1, self.tri_e2, self.dense_tris, self.dense_slot),
+             self.tri_e1, self.tri_e2, self.dense_tris, self.dense_slot,
+             self.bounds, self.rows_shadow, self.cut_tris),
             (self.depth, self.num_nodes),
         )
 
@@ -95,14 +116,37 @@ class Hit(NamedTuple):
         return self.slot >= 0
 
 
-def pack_device_bvh(wide, v0, e1, e2) -> DeviceBVH:
+def pack_device_bvh(wide, v0, e1, e2, slot_alpha=None) -> DeviceBVH:
     """WideBVH (bvh/wide.py) + slot triangles [P, 3] → DeviceBVH.
+
+    slot_alpha (f32 [P], optional): per-slot opacity (material base alpha ×
+    mean albedo-texture alpha). Slots with alpha < 1 are CUTOUT triangles:
+    they are degenerated out of the shadow leaf rows (binary occlusion sees
+    opaque geometry only) and collected into `cut_tris` for the dense
+    transmission pass (reference: optix_anyhit transparency accumulation;
+    the per-triangle mean alpha plays the role of the reference's opacity
+    micromap states, device_omm.c).
 
     All leaves stay numpy; the caller ships them via fast_device_put.
     """
     from ..bvh.wide import pack_leaf_rows
 
     wide = pack_leaf_rows(wide, v0, e1, e2)
+    rows_shadow = cut_tris = None
+    if slot_alpha is not None and (slot_alpha < 1.0).any():
+        cut = slot_alpha < 1.0
+        keep = (~cut).astype(np.float32)[:, None]
+        shadow = pack_leaf_rows(wide, v0, e1 * keep, e2 * keep)
+        rows_shadow = np.concatenate(
+            [wide.node_rows, shadow.leaf_rows], axis=0
+        )
+        ids = np.nonzero(cut)[0]
+        tc = (len(ids) + 7) // 8 * 8
+        cut_tris = np.zeros((tc, 12), np.float32)
+        cut_tris[: len(ids), 0:3] = v0[ids]
+        cut_tris[: len(ids), 3:6] = e1[ids]
+        cut_tris[: len(ids), 6:9] = e2[ids]
+        cut_tris[: len(ids), 9] = slot_alpha[ids]
 
     def v3(a):
         return Vec3(
@@ -123,14 +167,23 @@ def pack_device_bvh(wide, v0, e1, e2) -> DeviceBVH:
         )[0].astype(np.int32)
         t = max(int(valid.shape[0]), 1)
         t_pad = (t + 7) // 8 * 8
-        dense_tris = np.zeros((t_pad, 9), np.float32)
+        dense_tris = np.zeros((t_pad, 12), np.float32)
+        dense_tris[:, 9] = 1.0  # padding slots are opaque (and unhittable)
         dense_slot = np.zeros((t_pad,), np.int32)
         if valid.shape[0]:
             dense_tris[:t, 0:3] = v0[valid]
             dense_tris[:t, 3:6] = e1[valid]
             dense_tris[:t, 6:9] = e2[valid]
+            dense_tris[:t, 9] = (
+                slot_alpha[valid] if slot_alpha is not None else 1.0
+            )
             dense_slot[:t] = valid
     rows = np.concatenate([wide.node_rows, wide.leaf_rows], axis=0)
+    corners = np.stack([v0, v0 + e1, v0 + e2], axis=1).reshape(-1, 3)
+    bounds = np.concatenate([
+        corners.min(axis=0) if p else np.zeros(3, np.float32),
+        corners.max(axis=0) if p else np.ones(3, np.float32),
+    ]).astype(np.float32)
     return DeviceBVH(
         rows=rows,
         tri_rows=tri_rows,
@@ -139,6 +192,9 @@ def pack_device_bvh(wide, v0, e1, e2) -> DeviceBVH:
         tri_e2=v3(e2),
         dense_tris=dense_tris,
         dense_slot=dense_slot,
+        bounds=bounds,
+        rows_shadow=rows_shadow,
+        cut_tris=cut_tris,
         depth=int(wide.depth),
         num_nodes=int(wide.num_nodes),
     )
@@ -171,6 +227,10 @@ def _trace_dense(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
     te2 = Vec3(tris[:, 6:7], tris[:, 7:8], tris[:, 8:9])
 
     t, u, v, hit = ray_triangle(o2, d2, tv, te1, te2, t_min=t_min)  # [T, N]
+    if any_hit:
+        # binary occlusion sees opaque triangles only; cutout triangles are
+        # handled by trace_transmission (reference: optix_anyhit.cuh)
+        hit = hit & (tris[:, 9:10] >= 1.0)
     t = jnp.where(hit, t, MISS_DIST)
     within = t <= t_max[None, :]
     t = jnp.where(within, t, MISS_DIST)
@@ -203,7 +263,8 @@ PACKET = 16
 
 def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
                    any_hit: bool, t_min: float = 1e-4, active=None,
-                   debug_counters: bool = False, packet: int = PACKET):
+                   debug_counters: bool = False, packet: int = PACKET,
+                   shadow: bool = False):
     """16-wide BVH traversal over 8-ray packets, single uniform loop, ONE
     unified row gather per step.
 
@@ -235,7 +296,11 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
     dynamic indexing never happens: selection uses one-hot sums over the
     [16, G] register arrays, the stack uses concat-shifts.
     """
-    rows = bvh.rows
+    rows = (
+        bvh.rows_shadow
+        if (shadow and bvh.rows_shadow is not None)
+        else bvh.rows
+    )
     m_nodes = int(bvh.num_nodes)  # static
     stack_depth = max(int(bvh.depth), 1)
     n_in = origin.x.shape[0]
@@ -319,8 +384,14 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
             jnp.minimum(jnp.maximum(t1z, t2z), t_best[None]),
         )
         ok = (enter <= leave) & ray_live[None]              # [16, 8, G]
-        dist16 = jnp.min(jnp.where(ok, enter, inf), axis=1)  # [16, G]
         in_restore = ((restore[None, :] >> kid_iota) & 1) == 1
+        if any_hit:
+            # unordered walk: no entry distances needed, any hit child gets
+            # dist 0 — selection degenerates to "first pending" and the
+            # t_best pruning below is skipped (shadow rays have no ordering)
+            dist16 = jnp.where(jnp.any(ok, axis=1), 0.0, inf)  # [16, G]
+        else:
+            dist16 = jnp.min(jnp.where(ok, enter, inf), axis=1)  # [16, G]
         new_dist = jnp.where(
             in_restore & (codes != INVALID_CHILD), dist16, inf
         )
@@ -355,10 +426,10 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
             found = found | (slot_best >= 0)
             ray_live = ray_live & ~found
             done = done | ~jnp.any(ray_on & ~found, axis=0)
-
-        # --- prune pending vs the packet's live-ray t_best ceiling ---
-        t_pack = jnp.max(jnp.where(ray_live, t_best, -inf), axis=0)  # [G]
-        pend_dist = jnp.where(pend_dist > t_pack[None, :], inf, pend_dist)
+        else:
+            # --- prune pending vs the packet's live-ray t_best ceiling ---
+            t_pack = jnp.max(jnp.where(ray_live, t_best, -inf), axis=0)  # [G]
+            pend_dist = jnp.where(pend_dist > t_pack[None, :], inf, pend_dist)
 
         # --- select the nearest pending child ---
         sel_dist = jnp.min(pend_dist, axis=0)               # [G]
@@ -416,13 +487,18 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
     st = (fetch, fetch_leaf, restore, cur_node, pend_dist, pend_code,
           sp, (stack_node, stack_mask), done, t_best, slot_best, found)
     if debug_counters:
+        # counters: (iterations, packet-active steps, leaf steps) — the
+        # utilization diagnosis: avg visits/packet = active/G, lockstep
+        # waste = 1 - active/(iters*G).
         def body2(cs):
             c, s = cs
+            act_packets = jnp.sum((~s[8]).astype(jnp.int32))
             leaf_steps = jnp.sum((s[1] & ~s[8]).astype(jnp.int32))
-            return ((c[0] + 1, c[1] + (leaf_steps > 0).astype(jnp.int32)),
+            return ((c[0] + 1, c[1] + act_packets, c[2] + leaf_steps),
                     body(s))
         counters, st = jax.lax.while_loop(
-            lambda cs: cond(cs[1]), body2, ((jnp.int32(0), jnp.int32(0)), st)
+            lambda cs: cond(cs[1]), body2,
+            ((jnp.int32(0), jnp.int32(0), jnp.int32(0)), st)
         )
     else:
         st = jax.lax.while_loop(cond, body, st)
@@ -434,6 +510,10 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
     slot_out = from_pg(slot_best)
     valid = slot_out >= 0
     t_out = jnp.where(valid, from_pg(t_best), MISS_DIST)
+    if any_hit:  # occlusion callers never read t/u/v
+        if debug_counters:
+            return Hit(t=t_out, slot=slot_out, u=t_out * 0, v=t_out * 0), counters
+        return Hit(t=t_out, slot=slot_out, u=t_out * 0, v=t_out * 0)
     # Recompute barycentrics once from the winning triangle (one row gather).
     trow = bvh.tri_rows[jnp.where(valid, slot_out, 0)]  # [N, 16]
     o1 = Vec3(origin.x[:n_in], origin.y[:n_in], origin.z[:n_in])
@@ -454,19 +534,30 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
 
 
 def _chunked(fn, n_rays: int, chunk: int | None, args):
-    """Run fn over rays in fixed-size chunks via lax.map, flattening back."""
-    if chunk is None or n_rays <= chunk:
+    """Run fn over rays in fixed-size chunks via lax.map, flattening back.
+
+    The chunk is capped at TRACE_CHUNK: the while_loop runs to the slowest
+    packet of its chunk, so bounded chunks bound the lockstep tail (measured
+    1.8x on 1M incoherent rays). Ray counts that don't divide evenly are
+    padded with inactive lanes.
+    """
+    chunk = min(chunk if chunk is not None else n_rays, TRACE_CHUNK)
+    if n_rays <= chunk:
         return fn(args)
-    assert n_rays % chunk == 0, (
-        f"ray count {n_rays} must be a multiple of chunk {chunk} "
-        "(pad the wavefront)"
-    )
+    pad = (-n_rays) % chunk
+    if pad:
+        def padx(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+            )
+        args = jax.tree_util.tree_map(padx, args)
+    n_pad = n_rays + pad
     reshaped = jax.tree_util.tree_map(
-        lambda x: x.reshape((n_rays // chunk, chunk) + x.shape[1:]), args
+        lambda x: x.reshape((n_pad // chunk, chunk) + x.shape[1:]), args
     )
     out = jax.lax.map(fn, reshaped)
     return jax.tree_util.tree_map(
-        lambda x: x.reshape((n_rays,) + x.shape[2:]), out
+        lambda x: x.reshape((n_pad,) + x.shape[2:])[:n_rays], out
     )
 
 
@@ -536,10 +627,52 @@ def trace_occluded(
             hit = _trace_dense(bvh, o, d, tm, any_hit=True)
         elif _TRACE_DEBUG:
             hit, c = _traverse_wide(bvh, o, d, tm, any_hit=True, active=act,
-                                    debug_counters=True)
+                                    debug_counters=True, shadow=True)
             jax.debug.print("any-hit trace: {i} iters", i=c[0])
         else:
-            hit = _traverse_wide(bvh, o, d, tm, any_hit=True, active=act)
+            hit = _traverse_wide(bvh, o, d, tm, any_hit=True, active=act,
+                                 shadow=True)
         return act & (hit.slot >= 0)
+
+    return _chunked(run, n, chunk, (origin, direction, t_max, active))
+
+
+def trace_transmission(
+    bvh: DeviceBVH,
+    origin: Vec3,
+    direction: Vec3,
+    t_max,
+    chunk: int | None = None,
+    active=None,
+) -> jnp.ndarray:
+    """Transparency factor through CUTOUT geometry: prod(1 - alpha) over all
+    cutout triangles crossed within t_max (1.0 = clear path).
+
+    Combined with trace_occluded (which sees opaque geometry only) this
+    reproduces the reference's any-hit transparency accumulation
+    (optix_anyhit.cuh) with the per-triangle mean alpha standing in for the
+    opacity-micromap states (device_omm.c). Cutout sets are small (foliage
+    cards), so a dense [Tc, N] pass beats a tree walk.
+    """
+    n = origin.x.shape[0]
+    if bvh.cut_tris is None:
+        return jnp.ones((n,), jnp.float32)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if active is None:
+        active = jnp.ones((n,), bool)
+
+    def run(args):
+        o, d, tm, act = args
+        tris = bvh.cut_tris
+        o2 = Vec3(o.x[None, :], o.y[None, :], o.z[None, :])
+        d2 = Vec3(d.x[None, :], d.y[None, :], d.z[None, :])
+        tv = Vec3(tris[:, 0:1], tris[:, 1:2], tris[:, 2:3])
+        te1 = Vec3(tris[:, 3:4], tris[:, 4:5], tris[:, 5:6])
+        te2 = Vec3(tris[:, 6:7], tris[:, 7:8], tris[:, 8:9])
+        t, _, _, hit = ray_triangle(o2, d2, tv, te1, te2, t_min=1e-4)
+        within = hit & (t <= tm[None, :]) & act[None, :]
+        return jnp.prod(
+            jnp.where(within, 1.0 - tris[:, 9:10], 1.0), axis=0
+        )
 
     return _chunked(run, n, chunk, (origin, direction, t_max, active))

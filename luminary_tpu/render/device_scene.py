@@ -132,6 +132,9 @@ class DeviceScene(NamedTuple):
     textures: "DeviceTextures"
     clouds: "DeviceClouds"
     shade_rows: jnp.ndarray  # f32 [P, 48] — see SHADE_* column map below
+    # Slim per-slot rows for NEE candidate evaluation (LSR_* columns): RIS
+    # gathers one of these per candidate, 3x less traffic than a shade row.
+    light_slot_rows: jnp.ndarray  # f32 [P, 16]
 
 
 # Shade-row column map: ONE gather per hit fetches everything shading needs.
@@ -159,7 +162,44 @@ SHADE_AREA = 34       # triangle area
 SHADE_V0 = 35         # 35:38 triangle v0 (light point sampling)
 SHADE_E1 = 38         # 38:41
 SHADE_E2 = 41         # 41:44
-SHADE_COLS = 48
+SHADE_ROUGH_TEX = 44   # bitcast i32 (-1 = none)
+SHADE_METAL_TEX = 45   # bitcast i32
+SHADE_NORMAL_TEX = 46  # bitcast i32
+SHADE_LUM_TEX = 47     # bitcast i32
+SHADE_LOD_BASE = 48    # log2(PAGE_RES * sqrt(uv_area / world_area))
+SHADE_COLS = 56
+
+# light-sample row columns (light_slot_rows [P, 16])
+LSR_V0 = 0
+LSR_E1 = 3
+LSR_E2 = 6
+LSR_FACE_N = 9
+LSR_EMISSION = 12
+LSR_AREA = 15
+LSR_COLS = 16
+
+
+def pack_light_slot_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
+                         lights) -> np.ndarray:
+    """Slim [P, 16] rows with exactly what a NEE candidate needs."""
+    p = np.asarray(geo.material_id).shape[0]
+    rows = np.zeros((p, LSR_COLS), np.float32)
+
+    def put3(col, v):
+        rows[:, col + 0] = np.asarray(v.x)
+        rows[:, col + 1] = np.asarray(v.y)
+        rows[:, col + 2] = np.asarray(v.z)
+
+    put3(LSR_V0, geo.bvh.tri_v0)
+    put3(LSR_E1, geo.bvh.tri_e1)
+    put3(LSR_E2, geo.bvh.tri_e2)
+    put3(LSR_FACE_N, geo.face_normal)
+    m = np.asarray(geo.material_id).astype(np.int64)
+    rows[:, LSR_EMISSION + 0] = np.asarray(materials.emission_r)[m]
+    rows[:, LSR_EMISSION + 1] = np.asarray(materials.emission_g)[m]
+    rows[:, LSR_EMISSION + 2] = np.asarray(materials.emission_b)[m]
+    rows[:, LSR_AREA] = np.asarray(lights.slot_area)
+    return rows
 
 
 def pack_shade_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
@@ -201,6 +241,34 @@ def pack_shade_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
     rows[:, SHADE_ALBEDO_TEX] = np.asarray(materials.albedo_tex)[m].view(np.float32)
     rows[:, SHADE_SEL_PDF] = np.asarray(lights.slot_select_pdf)
     rows[:, SHADE_AREA] = np.asarray(lights.slot_area)
+    rows[:, SHADE_ROUGH_TEX] = np.asarray(materials.roughness_tex)[m].view(np.float32)
+    rows[:, SHADE_METAL_TEX] = np.asarray(materials.metallic_tex)[m].view(np.float32)
+    rows[:, SHADE_NORMAL_TEX] = np.asarray(materials.normal_tex)[m].view(np.float32)
+    rows[:, SHADE_LUM_TEX] = np.asarray(materials.luminance_tex)[m].view(np.float32)
+
+    # mip LOD base: log2(PAGE_RES * sqrt(uv_area / world_area)) per slot
+    from ..ops.textures import PAGE_RES
+
+    e1 = np.stack([np.asarray(geo.bvh.tri_e1.x), np.asarray(geo.bvh.tri_e1.y),
+                   np.asarray(geo.bvh.tri_e1.z)], -1)
+    e2 = np.stack([np.asarray(geo.bvh.tri_e2.x), np.asarray(geo.bvh.tri_e2.y),
+                   np.asarray(geo.bvh.tri_e2.z)], -1)
+    world_area2 = np.maximum(
+        np.linalg.norm(np.cross(e1, e2), axis=-1), 1e-20
+    )
+    uu = np.stack([np.asarray(geo.uv_u.x), np.asarray(geo.uv_u.y),
+                   np.asarray(geo.uv_u.z)], -1)
+    vv = np.stack([np.asarray(geo.uv_v.x), np.asarray(geo.uv_v.y),
+                   np.asarray(geo.uv_v.z)], -1)
+    du1, dv1 = uu[:, 1] - uu[:, 0], vv[:, 1] - vv[:, 0]
+    du2, dv2 = uu[:, 2] - uu[:, 0], vv[:, 2] - vv[:, 0]
+    uv_area2 = np.abs(du1 * dv2 - du2 * dv1)
+    rows[:, SHADE_LOD_BASE] = np.where(
+        uv_area2 > 1e-20,
+        np.log2(PAGE_RES * np.sqrt(uv_area2 / world_area2) + 1e-20),
+        0.0,
+    ).astype(np.float32)
+
     return rows
 
 
@@ -572,10 +640,32 @@ def pack_geometry(scene: Scene) -> DeviceSceneGeo:
             np.ascontiguousarray(a[..., 2]),
         )
 
+    # Per-slot opacity: material base alpha × mean albedo-texture alpha.
+    # Slots below 1.0 are cutout triangles (alpha-test shadows; reference:
+    # optix_anyhit.cuh / device_omm.c — see pack_device_bvh).
+    mat_list = (scene.materials or []) + procedural_materials(scene)
+    slot_alpha = None
+    if mat_list:
+        base_a = np.asarray([m.albedo[3] for m in mat_list], np.float32)
+        tex_a = np.ones(len(mat_list), np.float32)
+        for i, m in enumerate(mat_list):
+            tid = m.albedo_tex
+            if tid != TEXTURE_NONE and 0 <= int(tid) < len(scene.textures):
+                img = scene.textures[int(tid)].as_float()
+                if img.ndim == 3 and img.shape[-1] == 4:
+                    tex_a[i] = float(img[..., 3].mean())
+        alpha_per_mat = np.clip(base_a * tex_a, 0.0, 1.0)
+        if (alpha_per_mat < 1.0).any():
+            mat_slot = np.where(valid, mats[safe] if t else 0, 0).astype(np.int64)
+            slot_alpha = alpha_per_mat[
+                np.clip(mat_slot, 0, len(mat_list) - 1)
+            ].astype(np.float32)
+            slot_alpha[~valid] = 1.0
+
     # numpy leaves: the caller ships the whole pytree to the device with a
     # single blob transfer (utils/fastput.py).
     return DeviceSceneGeo(
-        bvh=pack_device_bvh(wide, v0, e1, e2),
+        bvh=pack_device_bvh(wide, v0, e1, e2, slot_alpha=slot_alpha),
         n0=v3(slot_n[:, 0]),
         n1=v3(slot_n[:, 1]),
         n2=v3(slot_n[:, 2]),
@@ -638,6 +728,7 @@ def pack_scene(scene: Scene) -> DeviceScene:
         textures=pack_textures(scene.textures),
         clouds=pack_clouds(scene.cloud),
         shade_rows=pack_shade_rows(geo, materials, lights),
+        light_slot_rows=pack_light_slot_rows(geo, materials, lights),
     )
     from ..utils.fastput import fast_device_put
 

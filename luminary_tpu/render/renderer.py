@@ -27,6 +27,7 @@ from ..ops.tonemap import (
     dither_and_quantize,
     linear_to_srgb,
 )
+from ..scene.entities import TEXTURE_NONE
 from ..scene.scene import DirtyFlags, Scene
 from ..utils.compile_cache import enable_persistent_cache
 from ..utils.log import info_message
@@ -186,16 +187,26 @@ def _round_up(x: int, m: int) -> int:
 
 
 class Renderer:
-    """Single-chip renderer. Multi-chip sample distribution lives in
-    luminary_tpu.parallel (shard_map over this same render_sample)."""
+    """Renderer over one chip or a device mesh.
+
+    mesh: optional jax.sharding.Mesh with a "samples" axis (and optionally
+    "pixels") — samples are distributed across devices and the moment
+    accumulators reduced with one psum over ICI, the TPU translation of the
+    reference's multi-GPU result interface (device_result_interface.c,
+    device.c:1587-1624). Each render_samples budget is rounded up to a
+    multiple of the sample-axis size.
+    """
 
     # Default trace chunk: 1M rays. The packet traversal is dispatch-bound
     # (~30 XLA ops/step at ~5 us each regardless of width), so small chunks
     # multiply the lockstep walk cost; the only reason to chunk at all is the
     # [8, 8, G] slab temporaries (~33 MB per 1M rays each).
-    def __init__(self, scene: Scene, chunk: int = 1 << 20):
+    def __init__(self, scene: Scene, chunk: int = 1 << 20, mesh=None):
         self.scene = scene
         self.chunk = chunk
+        self.mesh = mesh
+        self._dist_step = None
+        self._dist_config = None
         self.device_scene: DeviceScene | None = None
         self.device_camera: DeviceCamera | None = None
         self.config: RenderConfig | None = None
@@ -246,6 +257,13 @@ class Renderer:
                 shading_mode=int(s.shading_mode),
                 ris_candidates=max(int(s.light_ris_candidates), 1),
                 use_textures=len(self.scene.textures) > 0,
+                use_aux_textures=any(
+                    m.roughness_tex != TEXTURE_NONE
+                    or m.metallic_tex != TEXTURE_NONE
+                    or m.normal_tex != TEXTURE_NONE
+                    or m.luminance_tex != TEXTURE_NONE
+                    for m in self.scene.materials
+                ),
                 # HDRI mode folds the cloud layer into the baked env map
                 # (pack_sky), so the per-sample march is skipped.
                 use_clouds=bool(
@@ -272,6 +290,13 @@ class Renderer:
             geo = pack_geometry(self.scene)
         else:
             geo = self.device_scene.geo
+        # Wavefront sorting (tasks_sort analog) is OFF by default: measured
+        # on-chip at 1080p/127k tris it costs ~260 ms/sample and the capped
+        # trace chunk already bounds the lockstep tail it was meant to cut.
+        # settings.wavefront_sorting forces it on for sort-friendly loads.
+        want_sort = bool(getattr(s, "wavefront_sorting", False))
+        if self.config.sort_wavefront != want_sort:
+            self.config = self.config._replace(sort_wavefront=want_sort)
         if self.device_scene is None or flags & DirtyFlags.MATERIALS:
             materials = pack_materials(self.scene)
         else:
@@ -300,11 +325,13 @@ class Renderer:
             DirtyFlags.MESHES | DirtyFlags.INSTANCES | DirtyFlags.MATERIALS
             | DirtyFlags.LIGHT_TREE
         ):
-            from .device_scene import pack_shade_rows
+            from .device_scene import pack_light_slot_rows, pack_shade_rows
 
             shade_rows = pack_shade_rows(geo, materials, lights)
+            light_slot_rows = pack_light_slot_rows(geo, materials, lights)
         else:
             shade_rows = self.device_scene.shade_rows
+            light_slot_rows = self.device_scene.light_slot_rows
         self.device_scene = fast_device_put(
             DeviceScene(
                 geo=geo, materials=materials, sky=sky, lights=lights,
@@ -313,6 +340,7 @@ class Renderer:
                 textures=textures,
                 clouds=pack_clouds(self.scene.cloud),
                 shade_rows=shade_rows,
+                light_slot_rows=light_slot_rows,
             )
         )
         self.device_camera = pack_camera(self.scene.camera)
@@ -390,7 +418,9 @@ class Renderer:
         self.update()
         t0 = time.monotonic()
         s = self.scene.settings
-        if s.enable_adaptive_sampling:
+        if self.mesh is not None and self.mesh.size > 1:
+            self._render_mesh(num_samples)
+        elif s.enable_adaptive_sampling:
             self._render_adaptive(num_samples)
         else:
             start = self.sample_count
@@ -407,6 +437,35 @@ class Renderer:
             self._last_rays_per_sample = float(rays)
         jax.block_until_ready(self.accum.radiance)
         self._last_sample_time = (time.monotonic() - t0) / max(num_samples, 1)
+
+    def _render_mesh(self, num_samples: int):
+        """Distribute whole samples across the mesh's "samples" axis and
+        reduce moments with a psum (reference result-interface equivalent)."""
+        from ..parallel.mesh import distributed_sample_step, shard_pixels
+
+        if self._dist_step is None or self._dist_config != self.config:
+            self._dist_step, self._n_axis = distributed_sample_step(
+                self.mesh, self.config
+            )
+            self._dist_config = self.config
+        n_axis = self._n_axis
+        rad = self.accum.radiance
+        lsq = self.accum.lum_sq
+        px, py, rad, lsq = shard_pixels(self.mesh, self._px, self._py, rad, lsq)
+        count = self.accum.sample_count
+        base = self.sample_count
+        steps = max((num_samples + n_axis - 1) // n_axis, 1)
+        for k in range(steps):
+            rad, lsq = self._dist_step(
+                self.device_scene, self.device_camera, px, py,
+                rad, lsq, jnp.uint32(base + k * n_axis),
+            )
+            count = count + n_axis
+        self.accum = AccumState(
+            radiance=jax.device_put(rad, jax.devices()[0]),
+            lum_sq=jax.device_put(lsq, jax.devices()[0]),
+            sample_count=count,
+        )
 
     def _render_adaptive(self, num_samples: int):
         from .adaptive import (

@@ -46,7 +46,7 @@ from ..ops.sky import (
     sun_solid_angle_radiance,
 )
 from ..ops.textures import sample_atlas
-from ..ops.traverse import trace_closest, trace_occluded
+from ..ops.traverse import trace_closest, trace_occluded, trace_transmission
 from ..ops.vec import Vec3, dot, gather as vgather, normalize, vwhere
 from ..ops.volume import (
     fog_transmittance,
@@ -55,23 +55,31 @@ from ..ops.volume import (
     sample_hg_direction,
     water_transmittance,
 )
-from ..ops.wavefront_utils import sample_sun_direction
+from ..ops.wavefront_utils import ray_sort_key, sample_sun_direction
 from .device_scene import (
     MAT_FLAG_EMISSIVE,
+    MAT_FLAG_THIN_WALLED,
     MAT_FLAG_TRANSLUCENT,
     SHADE_ALBEDO,
     SHADE_ALBEDO_TEX,
     SHADE_AREA,
+    SHADE_E1,
+    SHADE_E2,
     SHADE_EMISSION,
     SHADE_FACE_N,
     SHADE_FLAGS,
     SHADE_INST_ID,
     SHADE_IOR,
+    SHADE_LOD_BASE,
+    SHADE_LUM_TEX,
     SHADE_MAT_ID,
+    SHADE_METAL_TEX,
     SHADE_METALLIC,
     SHADE_N0,
     SHADE_N1,
     SHADE_N2,
+    SHADE_NORMAL_TEX,
+    SHADE_ROUGH_TEX,
     SHADE_ROUGHNESS,
     SHADE_SEL_PDF,
     SHADE_UV_U,
@@ -89,7 +97,14 @@ class RenderConfig(NamedTuple):
     chunk: int | None = 65536
     shading_mode: int = 0  # ShadingMode enum
     ris_candidates: int = 4  # K alias-drawn NEE candidates per vertex (RIS)
+    # Re-sort the wavefront by (liveness, direction octant, origin morton)
+    # between depths — the reference's tasks_sort (kernels.cuh:394-484)
+    # re-cast for TPU: the win is traversal-packet coherence + dead-lane
+    # compaction into all-dead trailing chunks. Costs one argsort + one
+    # packed-row gather per depth (~1 ms per Mray, measured).
+    sort_wavefront: bool = False
     use_textures: bool = False  # static: skips atlas fetches when False
+    use_aux_textures: bool = False  # roughness/metallic/normal/luminance maps
     use_clouds: bool = False  # static: skips the cloud march when False
     cloud_steps: int = 32
     use_physical_camera: bool = False  # static: lens-stack primary rays
@@ -152,6 +167,7 @@ def _shading_normal_row(srow, direction: Vec3, u, v):
 
 
 def _gather_material(mats, mat_id) -> LaneMaterial:
+    flags = mats.flags[mat_id]
     return LaneMaterial(
         albedo_r=mats.albedo_r[mat_id],
         albedo_g=mats.albedo_g[mat_id],
@@ -159,8 +175,9 @@ def _gather_material(mats, mat_id) -> LaneMaterial:
         roughness=mats.roughness[mat_id],
         metallic=mats.metallic[mat_id],
         ior=mats.ior[mat_id],
-        translucent=(mats.flags[mat_id] & MAT_FLAG_TRANSLUCENT) != 0,
+        translucent=(flags & MAT_FLAG_TRANSLUCENT) != 0,
         opacity=mats.albedo_a[mat_id],
+        thin_walled=(flags & MAT_FLAG_THIN_WALLED) != 0,
     )
 
 
@@ -209,6 +226,13 @@ def render_sample(
     rays_traced = jnp.float32(0.0)
     prev_pdf = zeros  # BSDF pdf of previous bounce
     prev_delta = jnp.ones((n,), bool)  # camera/delta: emission gets full weight
+    # wavefront sort bookkeeping: lanes may be permuted between depths;
+    # orig_lane unscrambles the radiance at the end (one row scatter)
+    orig_lane = jnp.arange(n, dtype=jnp.int32)
+    sample_id = jnp.broadcast_to(jnp.asarray(sample_id, jnp.uint32), (n,))
+    # medium stack: 2-deep per-lane IOR stack (reference medium_stack.cuh);
+    # 0 = camera in vacuum/air
+    medium = jnp.zeros((n,), jnp.uint32)
     # deferred sky: each lane misses at most once
     miss_dir = Vec3(zeros, zeros, zeros)
     miss_thr_r, miss_thr_g, miss_thr_b = zeros, zeros, zeros
@@ -298,6 +322,7 @@ def render_sample(
                 ior=srow[:, SHADE_IOR],
                 translucent=(mat_flags & MAT_FLAG_TRANSLUCENT) != 0,
                 opacity=srow[:, SHADE_ALBEDO + 3],
+                thin_walled=(mat_flags & MAT_FLAG_THIN_WALLED) != 0,
             )
             em_r = srow[:, SHADE_EMISSION + 0]
             em_g = srow[:, SHADE_EMISSION + 1]
@@ -331,14 +356,105 @@ def render_sample(
             w_b = 1.0 - hit.u - hit.v
             uu = u0.x * w_b + u0.y * hit.u + u0.z * hit.v
             vv = v0.x * w_b + v0.y * hit.u + v0.z * hit.v
-            tr_, tg_, tb_, ta_ = sample_atlas(scene.textures, tex_id, uu, vv)
+            # ray-footprint mip LOD: texels per pixel ≈ texel density ×
+            # hit distance × per-pixel angle / view cosine (the reference
+            # gets this from hardware differentials; this is the analytic
+            # stand-in, cuda/mipmap.cuh role)
+            cos_view = jnp.abs(dot(ng, direction))
+            spread = 2.0 * cam.fov / jnp.float32(config.height)
+            if use_rows:
+                lod_base = srow[:, SHADE_LOD_BASE]
+            else:
+                lod_base = jnp.zeros_like(t_safe)
+            lod = lod_base + jnp.log2(
+                jnp.maximum(t_safe * spread, 1e-8)
+                / jnp.maximum(cos_view, 0.05)
+            )
+            tr_, tg_, tb_, ta_ = sample_atlas(
+                scene.textures, tex_id, uu, vv, lod=lod
+            )
             lane_mat = lane_mat._replace(
                 albedo_r=lane_mat.albedo_r * tr_,
                 albedo_g=lane_mat.albedo_g * tg_,
                 albedo_b=lane_mat.albedo_b * tb_,
                 opacity=lane_mat.opacity * ta_,
             )
+            # roughness / metallic / luminance / normal maps (reference:
+            # cuda/material.cuh texture application, wavefront.h:33-40)
+            if use_rows:
+                rough_tex = jax.lax.bitcast_convert_type(
+                    srow[:, SHADE_ROUGH_TEX], jnp.int32)
+                metal_tex = jax.lax.bitcast_convert_type(
+                    srow[:, SHADE_METAL_TEX], jnp.int32)
+                normal_tex = jax.lax.bitcast_convert_type(
+                    srow[:, SHADE_NORMAL_TEX], jnp.int32)
+                lum_tex = jax.lax.bitcast_convert_type(
+                    srow[:, SHADE_LUM_TEX], jnp.int32)
+            else:
+                rough_tex = mats.roughness_tex[mat_id]
+                metal_tex = mats.metallic_tex[mat_id]
+                normal_tex = mats.normal_tex[mat_id]
+                lum_tex = mats.luminance_tex[mat_id]
+            if config.use_aux_textures:
+                rr_, _, _, _ = sample_atlas(
+                    scene.textures, rough_tex, uu, vv, lod=lod)
+                mm_, _, _, _ = sample_atlas(
+                    scene.textures, metal_tex, uu, vv, lod=lod)
+                lane_mat = lane_mat._replace(
+                    roughness=jnp.where(rough_tex >= 0, rr_,
+                                        lane_mat.roughness),
+                    metallic=jnp.where(metal_tex >= 0, mm_,
+                                       lane_mat.metallic),
+                )
+                lr_, lg_, lb_, _ = sample_atlas(
+                    scene.textures, lum_tex, uu, vv, lod=lod)
+                em_r = jnp.where(lum_tex >= 0, em_r * lr_, em_r)
+                em_g = jnp.where(lum_tex >= 0, em_g * lg_, em_g)
+                em_b = jnp.where(lum_tex >= 0, em_b * lb_, em_b)
+                # tangent-space normal map perturbs the shading normal
+                nx_, ny_, nz_, _ = sample_atlas(
+                    scene.textures, normal_tex, uu, vv, lod=lod)
+                du1 = u0.y - u0.x
+                dv1 = v0.y - v0.x
+                du2 = u0.z - u0.x
+                dv2 = v0.z - v0.x
+                e1v = vgather(geo.bvh.tri_e1, slot) if not use_rows else Vec3(
+                    srow[:, SHADE_E1], srow[:, SHADE_E1 + 1],
+                    srow[:, SHADE_E1 + 2])
+                e2v = vgather(geo.bvh.tri_e2, slot) if not use_rows else Vec3(
+                    srow[:, SHADE_E2], srow[:, SHADE_E2 + 1],
+                    srow[:, SHADE_E2 + 2])
+                det = du1 * dv2 - du2 * dv1
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tang = normalize(Vec3(
+                    (e1v.x * dv2 - e2v.x * dv1) * inv_det,
+                    (e1v.y * dv2 - e2v.y * dv1) * inv_det,
+                    (e1v.z * dv2 - e2v.z * dv1) * inv_det,
+                ))
+                bitan = Vec3(
+                    ns.y * tang.z - ns.z * tang.y,
+                    ns.z * tang.x - ns.x * tang.z,
+                    ns.x * tang.y - ns.y * tang.x,
+                )
+                tnx = nx_ * 2.0 - 1.0
+                tny = ny_ * 2.0 - 1.0
+                tnz = jnp.maximum(nz_ * 2.0 - 1.0, 0.1)
+                ns_mapped = normalize(Vec3(
+                    tang.x * tnx + bitan.x * tny + ns.x * tnz,
+                    tang.y * tnx + bitan.y * tny + ns.y * tnz,
+                    tang.z * tnx + bitan.z * tny + ns.z * tnz,
+                ))
+                has_nm = (normal_tex >= 0) & (jnp.abs(det) > 1e-12)
+                ns = vwhere(has_nm, ns_mapped, ns)
         wo = -direction
+
+        # ---- stochastic alpha test (reference: optix_anyhit.cuh cutout
+        # transparency). A cutout surface "exists" with probability opacity;
+        # pass-through lanes skip emission + NEE and continue straight on
+        # (keeping prev_pdf/prev_delta so MIS still sees the LAST real
+        # vertex). Unbiased; costs one hash where no cutouts exist. ----
+        r_alpha = random_1d(RandomTarget.ALPHA_TEST, pixel_id, sample_id, depth)
+        pass_thru = hit_lane & (r_alpha >= lane_mat.opacity)
 
         # scatter-albedo loss at a volume collision
         vol_alb = jnp.where(vol_lane, fog.scatter_albedo, 1.0)
@@ -372,7 +488,9 @@ def render_sample(
         cos_light = jnp.abs(d_dot_ng)
         pdf_nee = light_pdf_from_row(nee_sel_pdf, nee_area, hit.t, cos_light)
         w_emit = jnp.where(prev_delta, 1.0, mis_balance(prev_pdf, pdf_nee))
-        add_emit = jnp.where(hit_lane & emissive & front_face, w_emit, 0.0)
+        add_emit = jnp.where(
+            hit_lane & emissive & front_face & ~pass_thru, w_emit, 0.0
+        )
         rad_r = rad_r + thr_r * em_r * add_emit
         rad_g = rad_g + thr_g * em_g * add_emit
         rad_b = rad_b + thr_b * em_b * add_emit
@@ -383,7 +501,7 @@ def render_sample(
             Vec3(hit_pos.x + ng.x * _RAY_EPS, hit_pos.y + ng.y * _RAY_EPS,
                  hit_pos.z + ng.z * _RAY_EPS),
         )
-        nee_lane = (hit_lane & ~lane_mat.translucent) | vol_lane
+        nee_lane = (hit_lane & ~lane_mat.translucent & ~pass_thru) | vol_lane
 
         # shared shading frame for the three lobe evaluations at this hit
         frame = make_frame(lane_mat, ns, wo)
@@ -422,20 +540,38 @@ def render_sample(
         k_ris = max(int(config.ris_candidates), 1)
         wsum = zeros
         sel_phat = zeros
-        sel_f = (zeros, zeros, zeros)
+        sel_pdf_sa = ones
         sel_le = (zeros, zeros, zeros)
-        sel_w_mis = zeros
         sel_dir = Vec3(zeros, zeros, ones)
         sel_dist = ones
+        sel_slot = jnp.zeros((n,), jnp.int32)
+        sel_b1 = zeros
+        sel_b2 = zeros
         for k in range(k_ris):
             dk = depth * 8 + k  # decorrelated sub-stream per candidate
-            l_slot, l_point, l_n, pdf_area, (le_r, le_g, le_b), l_valid = (
-                sample_light_point(
-                    lights, scene.shade_rows if use_rows else None,
+            if lights.has_tree and k == 0:
+                # many-light scenes: candidate 0 comes from ONE stochastic
+                # light-tree descent (distance-aware, exact pdf); the rest
+                # stay alias-drawn. A descent costs ~(levels+1) full-lane
+                # row gathers — measured 2.2 s/sample at 1080p for K
+                # independent descents, so the tree contributes exactly one
+                # mixture component and RIS blends it with the cheap ones.
+                from ..ops.light_tree import sample_light_tree
+
+                t_slot, t_pdf, t_valid = sample_light_tree(
+                    lights.tree_rows, lights.tree_num_nodes,
+                    lights.tree_levels, shadow_origin,
                     pixel_id, sample_id, dk,
-                    geo=geo, materials=mats,
                 )
-            )
+                cand = dict(slot=t_slot, pdf_select=t_pdf, sel_valid=t_valid)
+            else:
+                cand = {}
+            l_slot, l_point, l_n, pdf_area, (le_r, le_g, le_b), l_valid, \
+                (l_b1, l_b2) = sample_light_point(
+                    lights, scene.light_slot_rows if use_rows else None,
+                    pixel_id, sample_id, dk,
+                    geo=geo, materials=mats, **cand,
+                )
             to_light = l_point - shadow_origin
             dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 0.0))
             inv_dist = jnp.reciprocal(jnp.maximum(dist, 1e-8))
@@ -447,28 +583,23 @@ def render_sample(
             )
             cos_l = -dot(l_n, l_dir)  # one-sided emitter
             pdf_l_sa = pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8)
-            (fl_r, fl_g, fl_b), pdf_b_l = frame_eval(
-                lane_mat, frame, lane_mat.roughness, l_dir
-            )
-            phase_l = hg_phase(dot(direction, l_dir), fog.g)
-            fl_r = jnp.where(vol_lane, phase_l, fl_r)
-            fl_g = jnp.where(vol_lane, phase_l, fl_g)
-            fl_b = jnp.where(vol_lane, phase_l, fl_b)
-            pdf_b_l = jnp.where(vol_lane, phase_l, pdf_b_l)
+            cos_s = dot(l_dir, ns)
             cand_ok = (
                 nee_lane
                 & l_valid
                 & (cos_l > 1e-6)
-                & (vol_lane | (dot(l_dir, ns) > 0.0))
+                & (vol_lane | (cos_s > 0.0))
                 & (dist > 1e-5)
             )
-            # target p-hat: luminance of the MIS-weighted unshadowed
-            # contribution (what the winner will actually add)
-            w_mis_l = mis_balance(pdf_l_sa, pdf_b_l)
+            # CHEAP geometric target: luminance x both cosines / d^2 — the
+            # full BSDF is evaluated ONCE for the reservoir winner below
+            # (reference light.cuh resamples with a simplified target too).
+            # Any positive target keeps RIS unbiased; only variance shifts.
+            lum_le = 0.2126 * le_r + 0.7152 * le_g + 0.0722 * le_b
             phat = (
-                0.2126 * fl_r * le_r + 0.7152 * fl_g * le_g
-                + 0.0722 * fl_b * le_b
-            ) * w_mis_l
+                lum_le * cos_l * jnp.where(vol_lane, 1.0, jnp.maximum(cos_s, 0.0))
+                * inv_dist * inv_dist
+            )
             w_k = jnp.where(
                 cand_ok & (pdf_l_sa > 1e-12) & (phat > 0.0),
                 phat / jnp.maximum(pdf_l_sa, 1e-12),
@@ -481,21 +612,55 @@ def render_sample(
                 r_k = random_1d(RandomTarget.LIGHT_RIS, pixel_id, sample_id, dk)
                 take = (r_k * wsum < w_k) & (w_k > 0.0)
             sel_phat = jnp.where(take, phat, sel_phat)
-            sel_f = tuple(jnp.where(take, c, s) for c, s in zip(
-                (fl_r, fl_g, fl_b), sel_f))
+            sel_pdf_sa = jnp.where(take, pdf_l_sa, sel_pdf_sa)
             sel_le = tuple(jnp.where(take, c, s) for c, s in zip(
                 (le_r, le_g, le_b), sel_le))
-            sel_w_mis = jnp.where(take, w_mis_l, sel_w_mis)
             sel_dir = vwhere(take, l_dir, sel_dir)
             sel_dist = jnp.where(take, dist, sel_dist)
+            sel_slot = jnp.where(take, l_slot, sel_slot)
+            sel_b1 = jnp.where(take, l_b1, sel_b1)
+            sel_b2 = jnp.where(take, l_b2, sel_b2)
         # unbiased contribution weight W = wsum / (K * p-hat(winner))
         ris_w = jnp.where(
             sel_phat > 0.0, wsum / (k_ris * jnp.maximum(sel_phat, 1e-20)), 0.0
         )
-        fl_r, fl_g, fl_b = sel_f
+        # full BSDF evaluation for the winner only
+        (fl_r, fl_g, fl_b), pdf_b_l = frame_eval(
+            lane_mat, frame, lane_mat.roughness, sel_dir
+        )
+        phase_l = hg_phase(dot(direction, sel_dir), fog.g)
+        fl_r = jnp.where(vol_lane, phase_l, fl_r)
+        fl_g = jnp.where(vol_lane, phase_l, fl_g)
+        fl_b = jnp.where(vol_lane, phase_l, fl_b)
+        pdf_b_l = jnp.where(vol_lane, phase_l, pdf_b_l)
+        sel_w_mis = mis_balance(sel_pdf_sa, pdf_b_l)
         le_r, le_g, le_b = sel_le
         l_dir, dist = sel_dir, sel_dist
         light_candidate = wsum > 0.0
+        if config.use_textures and config.use_aux_textures:
+            # luminance map at the sampled light point — keeps NEE's Le
+            # identical to the BSDF-hit Le (estimator consistency)
+            wb0 = 1.0 - sel_b1 - sel_b2
+            if use_rows:
+                wrow = scene.shade_rows[sel_slot]
+                wlum = jax.lax.bitcast_convert_type(
+                    wrow[:, SHADE_LUM_TEX], jnp.int32)
+                wuu = (wrow[:, SHADE_UV_U] * wb0
+                       + wrow[:, SHADE_UV_U + 1] * sel_b1
+                       + wrow[:, SHADE_UV_U + 2] * sel_b2)
+                wvv = (wrow[:, SHADE_UV_V] * wb0
+                       + wrow[:, SHADE_UV_V + 1] * sel_b1
+                       + wrow[:, SHADE_UV_V + 2] * sel_b2)
+            else:
+                wlum = mats.luminance_tex[geo.material_id[sel_slot]]
+                wu3 = vgather(geo.uv_u, sel_slot)
+                wv3 = vgather(geo.uv_v, sel_slot)
+                wuu = wu3.x * wb0 + wu3.y * sel_b1 + wu3.z * sel_b2
+                wvv = wv3.x * wb0 + wv3.y * sel_b1 + wv3.z * sel_b2
+            wlr, wlg, wlb, _ = sample_atlas(scene.textures, wlum, wuu, wvv)
+            le_r = jnp.where(wlum >= 0, le_r * wlr, le_r)
+            le_g = jnp.where(wlum >= 0, le_g * wlg, le_g)
+            le_b = jnp.where(wlum >= 0, le_b * wlb, le_b)
         rays_traced = rays_traced + jnp.sum(light_candidate.astype(jnp.float32))
         # Both NEE visibility queries ride ONE batched any-hit trace (2N rays,
         # one lockstep walk): sun rays in the front half, light rays in the
@@ -504,22 +669,33 @@ def render_sample(
         def _cat(a, b):
             return jnp.concatenate([a, b])
 
+        shadow_o = Vec3(_cat(shadow_origin.x, shadow_origin.x),
+                        _cat(shadow_origin.y, shadow_origin.y),
+                        _cat(shadow_origin.z, shadow_origin.z))
+        shadow_d = Vec3(_cat(sun_dir_s.x, l_dir.x),
+                        _cat(sun_dir_s.y, l_dir.y),
+                        _cat(sun_dir_s.z, l_dir.z))
+        shadow_t = _cat(jnp.full((n,), MISS_DIST), dist - 2.0 * _RAY_EPS)
+        shadow_act = _cat(sun_candidate, light_candidate)
         occ = trace_occluded(
-            geo.bvh,
-            Vec3(_cat(shadow_origin.x, shadow_origin.x),
-                 _cat(shadow_origin.y, shadow_origin.y),
-                 _cat(shadow_origin.z, shadow_origin.z)),
-            Vec3(_cat(sun_dir_s.x, l_dir.x),
-                 _cat(sun_dir_s.y, l_dir.y),
-                 _cat(sun_dir_s.z, l_dir.z)),
-            _cat(jnp.full((n,), MISS_DIST), dist - 2.0 * _RAY_EPS),
-            chunk=config.chunk,
-            active=_cat(sun_candidate, light_candidate),
+            geo.bvh, shadow_o, shadow_d, shadow_t,
+            chunk=config.chunk, active=shadow_act,
         )
         sun_occluded, l_occluded = occ[:n], occ[n:]
+        # cutout transparency along the shadow rays (alpha-aware shadows;
+        # static no-op when the scene has no cutout materials)
+        if geo.bvh.has_cutouts:
+            trans = trace_transmission(
+                geo.bvh, shadow_o, shadow_d, shadow_t,
+                chunk=config.chunk, active=shadow_act & ~occ,
+            )
+            tr_sun, tr_l = trans[:n], trans[n:]
+        else:
+            tr_sun = tr_l = 1.0
         w_mis_sun = mis_balance(pdf_sun, pdf_b_sun)
         sun_w = jnp.where(sun_candidate & ~sun_occluded,
-                          SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun, 0.0)
+                          SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun * tr_sun,
+                          0.0)
         rad_r = rad_r + thr_r * fs_r * sun_radiance[0] * tws_r * sun_w
         rad_g = rad_g + thr_g * fs_g * sun_radiance[1] * tws_g * sun_w
         rad_b = rad_b + thr_b * fs_b * sun_radiance[2] * tws_b * sun_w
@@ -529,7 +705,7 @@ def render_sample(
         )
         l_w = jnp.where(
             light_candidate & ~l_occluded,
-            sel_w_mis * t_fog_l * ris_w,
+            sel_w_mis * t_fog_l * ris_w * tr_l,
             0.0,
         )
         rad_r = rad_r + thr_r * fl_r * le_r * twl_r * l_w
@@ -538,8 +714,37 @@ def render_sample(
 
         # ---- bounce ----
         if depth + 1 < config.max_depth:
+            # medium transition for the translucent lobe: entering (front
+            # face) → into this material; exiting → into the stack's next
+            # medium (reference: geometry.cuh medium-stack IOR transitions)
+            from ..ops.material import (
+                medium_below_ior,
+                medium_pop,
+                medium_push,
+                medium_top_ior,
+            )
+
+            cur_ior = medium_top_ior(medium)
+            # thin-walled always uses its own ior for the interface Fresnel
+            n_trans = jnp.where(
+                front_face | lane_mat.thin_walled,
+                lane_mat.ior,
+                medium_below_ior(medium),
+            )
+            eta_rel = n_trans / jnp.maximum(cur_ior, 1e-6)
             wi, (wr, wg, wb), pdf, is_delta, transmitted = material_sample(
-                lane_mat, frame, ns, wo, pixel_id, sample_id, depth
+                lane_mat, frame, ns, wo, pixel_id, sample_id, depth,
+                eta_rel=eta_rel,
+            )
+            do_trans = active & hit_lane & transmitted & ~pass_thru
+            medium = jnp.where(
+                do_trans,
+                jnp.where(
+                    front_face,
+                    medium_push(medium, lane_mat.ior),
+                    medium_pop(medium),
+                ),
+                medium,
             )
             # volume lanes bounce by HG phase sampling (pdf == phase → the
             # phase/pdf ratio is 1, so weight is unity)
@@ -551,6 +756,11 @@ def render_sample(
             wb = jnp.where(vol_lane, 1.0, wb)
             pdf = jnp.where(vol_lane, pdf_vol, pdf)
             is_delta = jnp.where(vol_lane, False, is_delta)
+            # alpha-test pass-through: continue straight, weight 1
+            wi = vwhere(pass_thru, direction, wi)
+            wr = jnp.where(pass_thru, 1.0, wr)
+            wg = jnp.where(pass_thru, 1.0, wg)
+            wb = jnp.where(pass_thru, 1.0, wb)
             thr_r = thr_r * jnp.where(active, wr, 1.0)
             thr_g = thr_g * jnp.where(active, wg, 1.0)
             thr_b = thr_b * jnp.where(active, wb, 1.0)
@@ -558,12 +768,20 @@ def render_sample(
             origin = vwhere(
                 vol_lane,
                 vol_pos,
-                Vec3(hit_pos.x + ng.x * off, hit_pos.y + ng.y * off,
-                     hit_pos.z + ng.z * off),
+                vwhere(
+                    pass_thru,
+                    Vec3(hit_pos.x + direction.x * _RAY_EPS,
+                         hit_pos.y + direction.y * _RAY_EPS,
+                         hit_pos.z + direction.z * _RAY_EPS),
+                    Vec3(hit_pos.x + ng.x * off, hit_pos.y + ng.y * off,
+                         hit_pos.z + ng.z * off),
+                ),
             )
             direction = vwhere(active, wi, direction)
-            prev_pdf = jnp.where(active, pdf, 0.0)
-            prev_delta = jnp.where(active, is_delta, prev_delta)
+            # pass-through keeps the previous vertex's MIS state
+            prev_pdf = jnp.where(active & ~pass_thru, pdf,
+                                 jnp.where(pass_thru, prev_pdf, 0.0))
+            prev_delta = jnp.where(active & ~pass_thru, is_delta, prev_delta)
 
             # kill lanes with dead throughput
             wmax = jnp.maximum(jnp.abs(wr), jnp.maximum(jnp.abs(wg), jnp.abs(wb)))
@@ -577,6 +795,49 @@ def render_sample(
                 active = active & (r < p_continue)
                 inv_p = 1.0 / p_continue
                 thr_r, thr_g, thr_b = thr_r * inv_p, thr_g * inv_p, thr_b * inv_p
+
+            # ---- wavefront sort for the next depth (tasks_sort analog) ----
+            if config.sort_wavefront:
+                perm = jnp.argsort(
+                    ray_sort_key(origin, direction, active, geo.bvh.bounds)
+                )
+                cols = jnp.stack([
+                    origin.x, origin.y, origin.z,
+                    direction.x, direction.y, direction.z,
+                    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+                    prev_pdf,
+                    prev_delta.astype(jnp.float32),
+                    active.astype(jnp.float32),
+                    miss_dir.x, miss_dir.y, miss_dir.z,
+                    miss_thr_r, miss_thr_g, miss_thr_b,
+                    miss_sun_weight,
+                    ever_missed.astype(jnp.float32),
+                    jax.lax.bitcast_convert_type(
+                        pixel_id.astype(jnp.uint32), jnp.float32),
+                    jax.lax.bitcast_convert_type(sample_id, jnp.float32),
+                    jax.lax.bitcast_convert_type(orig_lane, jnp.float32),
+                    jax.lax.bitcast_convert_type(medium, jnp.float32),
+                ], axis=-1)[perm]  # ONE bandwidth-bound row gather
+                origin = Vec3(cols[:, 0], cols[:, 1], cols[:, 2])
+                direction = Vec3(cols[:, 3], cols[:, 4], cols[:, 5])
+                thr_r, thr_g, thr_b = cols[:, 6], cols[:, 7], cols[:, 8]
+                rad_r, rad_g, rad_b = cols[:, 9], cols[:, 10], cols[:, 11]
+                prev_pdf = cols[:, 12]
+                prev_delta = cols[:, 13] > 0.5
+                active = cols[:, 14] > 0.5
+                miss_dir = Vec3(cols[:, 15], cols[:, 16], cols[:, 17])
+                miss_thr_r, miss_thr_g, miss_thr_b = (
+                    cols[:, 18], cols[:, 19], cols[:, 20])
+                miss_sun_weight = cols[:, 21]
+                ever_missed = cols[:, 22] > 0.5
+                pixel_id = jax.lax.bitcast_convert_type(
+                    cols[:, 23], jnp.uint32)
+                sample_id = jax.lax.bitcast_convert_type(
+                    cols[:, 24], jnp.uint32)
+                orig_lane = jax.lax.bitcast_convert_type(
+                    cols[:, 25], jnp.int32)
+                medium = jax.lax.bitcast_convert_type(
+                    cols[:, 26], jnp.uint32)
 
     # ---- deferred sky: one SH evaluation for all recorded misses ----
     safe_dir = vwhere(ever_missed, miss_dir, Vec3.of(0.0, 1.0, 0.0, like=miss_dir))
@@ -603,6 +864,8 @@ def render_sample(
     rad_b = rad_b + miss_thr_b * sky_b * add
 
     radiance = jnp.stack([rad_r, rad_g, rad_b], axis=-1)
+    if config.sort_wavefront:  # unscramble to original lane order
+        radiance = jnp.zeros_like(radiance).at[orig_lane].set(radiance)
     return radiance, gbuffer, rays_traced
 
 

@@ -106,6 +106,10 @@ class RendererSettings:
     bridge_max_num_vertices: int = 1
     # K resampled NEE candidates per path vertex (RIS; reference ris.cuh).
     light_ris_candidates: int = 4
+    # Re-sort the wavefront between depths by traversal coherence
+    # (tasks_sort analog; measured net-negative on the benchmark scene, so
+    # opt-in).
+    wavefront_sorting: bool = False
     undersampling: int = 3
     supersampling: int = 1
     enable_adaptive_sampling: bool = False

@@ -27,7 +27,7 @@ from luminary_tpu.ops.vec import Vec3, normalize, reflect
 
 
 def make_mat(n, albedo=(0.8, 0.8, 0.8), roughness=0.5, metallic=0.0,
-             ior=1.5, translucent=False):
+             ior=1.5, translucent=False, thin_walled=False):
     return LaneMaterial(
         albedo_r=jnp.full((n,), albedo[0]),
         albedo_g=jnp.full((n,), albedo[1]),
@@ -37,6 +37,7 @@ def make_mat(n, albedo=(0.8, 0.8, 0.8), roughness=0.5, metallic=0.0,
         ior=jnp.full((n,), ior),
         translucent=jnp.full((n,), translucent, bool),
         opacity=jnp.ones((n,)),
+        thin_walled=jnp.full((n,), thin_walled, bool),
     )
 
 
@@ -157,7 +158,9 @@ def test_metallic_reflects_tinted():
 
 def test_translucent_delta_refracts():
     n = 1024
-    mat = make_mat(n, translucent=True, ior=1.5, albedo=(1, 1, 1))
+    # roughness 0 clamps to MIN_ROUGHNESS: near-delta rough dielectric
+    mat = make_mat(n, translucent=True, ior=1.5, albedo=(1, 1, 1),
+                   roughness=0.0)
     ns = vec_tile((0.0, 0.0, 1.0), n)
     wo = vec_tile((0.5, 0.0, 0.866), n)
     pid = jnp.arange(n, dtype=jnp.uint32)
@@ -174,7 +177,9 @@ def test_translucent_delta_refracts():
     # Snell: sin_t = sin_i / 1.5 for entering rays
     sin_i = 0.5
     sin_t = np.sqrt(np.asarray(wi.x)[tr] ** 2 + np.asarray(wi.y)[tr] ** 2)
-    assert np.allclose(sin_t, sin_i / 1.5, atol=1e-3)
+    # MIN_ROUGHNESS clamp leaves a small half-vector spread
+    assert np.allclose(sin_t, sin_i / 1.5, atol=0.03)
+    assert abs(float(sin_t.mean()) - sin_i / 1.5) < 3e-3
 
 
 def test_alias_table_distribution():

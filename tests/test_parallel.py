@@ -80,3 +80,30 @@ def test_accumulation_across_steps(packed):
     rad, lum = step(dscene, cam, px, py, rad, lum, jnp.uint32(8))
     expected = _single_device_sum(packed, 16)
     np.testing.assert_allclose(np.asarray(rad), expected, rtol=1e-5, atol=2e-5)
+
+
+def test_renderer_mesh_matches_single_chip():
+    """Renderer(mesh=...) must accumulate the same image as the serial
+    renderer over the same sample ids (Renderer-level result interface)."""
+    import jax
+    import numpy as np
+
+    from luminary_tpu.parallel.mesh import make_sample_mesh
+    from luminary_tpu.render.renderer import Renderer
+    from luminary_tpu.testing import cornell_scene
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest virtualizes 8 CPU devices"
+    mesh = make_sample_mesh(jax.devices()[:8])
+
+    r_serial = Renderer(cornell_scene(24, 24, max_depth=3), chunk=1 << 20)
+    r_serial.render_samples(8)
+    r_mesh = Renderer(
+        cornell_scene(24, 24, max_depth=3), chunk=1 << 20, mesh=mesh
+    )
+    r_mesh.render_samples(8)  # one distributed step: sample ids 0..7
+
+    a = np.asarray(r_serial.accum.radiance)
+    b = np.asarray(r_mesh.accum.radiance)
+    assert int(np.max(np.asarray(r_mesh.accum.sample_count))) == 8
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)

@@ -4,7 +4,12 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from luminary_tpu.ops.textures import ATLAS_RES, pack_textures, sample_atlas
+from luminary_tpu.ops.textures import (
+    NUM_LEVELS,
+    PAGE_RES,
+    pack_textures,
+    sample_atlas,
+)
 from luminary_tpu.render.renderer import Renderer
 from luminary_tpu.scene.mesh import Mesh, Texture
 from luminary_tpu.testing import sun_plane_scene
@@ -63,3 +68,82 @@ def test_textured_render():
     ground = rad[16:, :, :]
     rg_diff = ground[..., 0] - ground[..., 1]
     assert rg_diff.max() > 0.01 and rg_diff.min() < -0.01, "checker not visible"
+
+
+def test_mip_pyramid_converges_to_mean():
+    """High LOD levels approach the texture's mean color (box pyramid;
+    reference: cuda/mipmap.cuh)."""
+    import jax
+
+    tex = Texture(data=checker(), gamma=1.0)
+    dt = jax.device_put(pack_textures([tex]))
+    ids = jnp.zeros((1,), jnp.int32)
+    u = jnp.asarray([0.37])
+    v = jnp.asarray([0.61])
+    coarse = np.asarray(sample_atlas(
+        dt, ids, u, v, lod=jnp.asarray([float(NUM_LEVELS - 1)])
+    ))
+    # checker mean: half red, half green
+    assert abs(coarse[0, 0] - 0.5) < 0.02
+    assert abs(coarse[1, 0] - 0.5) < 0.02
+    fine = np.asarray(sample_atlas(dt, ids, u, v, lod=jnp.asarray([0.0])))
+    assert (abs(fine[0, 0] - 0.5) > 0.3) or (abs(fine[1, 0] - 0.5) > 0.3)
+
+
+def test_bilinear_interpolates_gradient():
+    import jax
+
+    res = 64
+    g = np.linspace(0.0, 1.0, res, dtype=np.float32)
+    img = np.broadcast_to(g[None, :, None], (res, res, 3)).copy()
+    tex = Texture(data=(img * 255).astype(np.uint8), gamma=1.0)
+    dt = jax.device_put(pack_textures([tex]))
+    n = 33
+    u = jnp.linspace(0.25, 0.75, n)
+    v = jnp.full((n,), 0.5)
+    r, _, _, _ = sample_atlas(dt, jnp.zeros((n,), jnp.int32), u, v)
+    r = np.asarray(r)
+    # linear ramp: midpoints lie between neighbors (monotone, smooth)
+    assert np.all(np.diff(r) > 0)
+    err = np.abs(r - np.asarray(u))
+    assert err.max() < 0.02, err.max()
+
+
+def test_normal_map_changes_shading():
+    """A strong tangent-space normal map must visibly change the lit image
+    (reference: cuda/material.cuh normal map application)."""
+    from luminary_tpu.scene.scene import DirtyFlags
+
+    def render(with_nm):
+        scene = sun_plane_scene(24, 24)
+        mesh = scene.meshes[0]
+        mesh.uvs = np.asarray(
+            [[[0, 0], [4, 0], [4, 4]], [[0, 0], [4, 4], [0, 4]]], np.float32
+        )
+        if with_nm:
+            res = 64
+            yy, xx = np.meshgrid(range(res), range(res), indexing="ij")
+            # wavy normals tilting along x
+            nx = 0.8 * np.sin(xx / res * 12 * np.pi)
+            img = np.stack([
+                (nx * 0.5 + 0.5), np.full_like(nx, 0.5), np.full_like(nx, 1.0)
+            ], -1).astype(np.float32)
+            tid = scene.add_texture(Texture(data=(img * 255).astype(np.uint8),
+                                            gamma=1.0))
+            mat = scene.get_material(0)
+            mat.normal_tex = tid
+            scene.set_material(mat)
+        scene.mark_dirty(DirtyFlags.MESHES)
+        r = Renderer(scene, chunk=576)
+        r.render_samples(12)
+        return r.get_radiance()
+
+    flat = render(False)
+    wavy = render(True)
+    assert np.isfinite(wavy).all()
+    ground_f = flat[16:, :, 0]
+    ground_w = wavy[16:, :, 0]
+    # the normal map modulates brightness along x; the flat render doesn't
+    var_w = np.var(np.mean(ground_w, axis=0))
+    var_f = np.var(np.mean(ground_f, axis=0))
+    assert var_w > 4 * var_f + 1e-8, (var_f, var_w)
