@@ -160,22 +160,37 @@ class Host:
                 r = self.renderer
                 r.update()
                 if r.sample_count < target:
-                    # Undersampling: a strided preview frame before the first
-                    # full sample (reference: undersampling pyramid,
-                    # device.c:392-418) so interactive callers see an image
-                    # immediately.
+                    # Undersampling PYRAMID before the first full sample
+                    # (reference: device.c:392-418 state machine): stride
+                    # 2^(us-1) → ... → 2, ONE level per loop turn so scene
+                    # edits apply between levels (sub-frame latency).
                     us = int(self.scene.settings.undersampling)
-                    if (
-                        r.sample_count == 0
-                        and us > 0
-                        and getattr(r, "_preview", None) is None
+                    prev = getattr(r, "_preview", None)
+                    if r.sample_count == 0 and us > 0 and (
+                        prev is None or prev[0] > 2
                     ):
                         self._render_task = "Undersampled preview"
-                        r.render_preview(us)
+                        level = (
+                            1 << max(us - 1, 1)
+                            if prev is None
+                            else max(prev[0] // 2, 2)
+                        )
+                        r.render_preview(level)
+                        self._render_task = None
+                        self._fulfill_ready()
+                        continue
                     self._render_task = "Rendering"
                     step = min(
                         self._samples_per_step, target - r.sample_count
                     )
+                    # Bound batch walltime (~0.5 s) so pending edits never
+                    # wait long behind stale samples (the reference aborts
+                    # sub-kernel via the device abort flag; between-sample
+                    # granularity is the TPU analog).
+                    if r._last_sample_time > 1e-6:
+                        step = max(
+                            1, min(step, int(0.5 / r._last_sample_time) or 1)
+                        )
                     t0 = _time.monotonic()
                     r.render_samples(step)
                     self._render_time += _time.monotonic() - t0
@@ -413,16 +428,18 @@ class Host:
     def acquire_output(self) -> int:
         """Acquire the current (recurring/interactive) output
         (reference: luminary_host_acquire_output)."""
-        r = self.renderer
-        r.update()
-        if r.sample_count == 0:
-            r.render_samples(1)
-        handle = self._next_output
-        self._next_output += 1
-        self._outputs[handle] = _Output(
-            image=r.get_image(), sample_count=r.sample_count, time=self._render_time
-        )
-        return handle
+        with self._renderer_lock:
+            r = self.renderer
+            r.update()
+            if r.sample_count == 0 and not self._asynchronous:
+                r.render_samples(1)
+            handle = self._next_output
+            self._next_output += 1
+            self._outputs[handle] = _Output(
+                image=r.get_image(), sample_count=r.sample_count,
+                time=self._render_time,
+            )
+            return handle
 
     def get_image(self, handle: int) -> np.ndarray:
         if handle not in self._outputs:

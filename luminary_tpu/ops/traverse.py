@@ -64,11 +64,10 @@ class DeviceBVH:
     ids, so jit specializes per scene shape.
     """
 
-    def __init__(self, rows, tri_rows, tri_v0, tri_e1,
+    def __init__(self, rows, tri_v0, tri_e1,
                  tri_e2, dense_tris, dense_slot, bounds, rows_shadow,
                  cut_tris, depth: int, num_nodes: int):
         self.rows = rows
-        self.tri_rows = tri_rows  # f32 [P, 16]: v0 xyz, e1 xyz, e2 xyz, pad
         self.tri_v0 = tri_v0
         self.tri_e1 = tri_e1
         self.tri_e2 = tri_e2
@@ -94,7 +93,7 @@ class DeviceBVH:
 
     def tree_flatten(self):
         return (
-            (self.rows, self.tri_rows, self.tri_v0,
+            (self.rows, self.tri_v0,
              self.tri_e1, self.tri_e2, self.dense_tris, self.dense_slot,
              self.bounds, self.rows_shadow, self.cut_tris),
             (self.depth, self.num_nodes),
@@ -156,10 +155,6 @@ def pack_device_bvh(wide, v0, e1, e2, slot_alpha=None) -> DeviceBVH:
         )
 
     p = v0.shape[0]
-    tri_rows = np.zeros((p, 16), np.float32)
-    tri_rows[:, 0:3] = v0
-    tri_rows[:, 3:6] = e1
-    tri_rows[:, 6:9] = e2
     dense_tris = dense_slot = None
     if p <= 4 * DENSE_MAX_SLOTS:
         valid = np.nonzero(
@@ -186,7 +181,6 @@ def pack_device_bvh(wide, v0, e1, e2, slot_alpha=None) -> DeviceBVH:
     ]).astype(np.float32)
     return DeviceBVH(
         rows=rows,
-        tri_rows=tri_rows,
         tri_v0=v3(v0),
         tri_e1=v3(e1),
         tri_e2=v3(e2),
@@ -346,7 +340,11 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
     stack_mask = jnp.zeros((stack_depth, g), jnp.int32)
     done = ~jnp.any(ray_on, axis=0)  # all-inactive packets are born done
     t_best = to_pg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
-    slot_best = jnp.full((packet, g), -1, jnp.int32)
+    # Winning LEAF ROW id per ray (-1 = none). The in-loop argmin over
+    # [14, 16, G] that used to produce the triangle index cost ~18% of the
+    # body (profiled iota_reduce fusions); the winning leaf is re-intersected
+    # once after the loop instead.
+    leaf_best = jnp.full((packet, g), -1, jnp.int32)
     found = jnp.zeros((packet, g), bool)  # any-hit early-out per ray
 
     def cond(st):
@@ -354,7 +352,7 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
 
     def body(st):
         (fetch, fetch_leaf, restore, cur_node, pend_dist, pend_code,
-         sp, stack_node, stack_mask, done, t_best, slot_best, found) = (
+         sp, stack_node, stack_mask, done, t_best, leaf_best, found) = (
             st[0], st[1], st[2], st[3], st[4], st[5], st[6], st[7][0],
             st[7][1], st[8], st[9], st[10], st[11])
         act = ~done
@@ -414,16 +412,14 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
         leaf_live = ray_live & (act & fetch_leaf)[None, :]
         t = jnp.where(tri_hit & leaf_live[None], t, inf)    # [14, 8, G]
         t14 = jnp.min(t, axis=0)                            # [8, G]
-        k14 = jnp.argmin(t, axis=0)                         # [8, G]
         better = t14 < t_best
-        base = ((fetch - m_nodes) * WIDE_LEAF)[None, :]     # [1, G]
         t_best = jnp.where(better, t14, t_best)
-        slot_best = jnp.where(better, base + k14, slot_best)
-        # u/v are NOT tracked in the loop (their per-ray selection would be a
-        # per-iteration gather); they are recomputed once after the loop from
-        # the winning slot.
+        # Only the winning LEAF ROW is tracked; the triangle index (and u/v)
+        # come from one post-loop re-intersection of that row — an in-loop
+        # argmin over [14, 16, G] profiled at ~18% of the body.
+        leaf_best = jnp.where(better, fetch[None, :], leaf_best)
         if any_hit:
-            found = found | (slot_best >= 0)
+            found = found | better
             ray_live = ray_live & ~found
             done = done | ~jnp.any(ray_on & ~found, axis=0)
         else:
@@ -482,10 +478,10 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
         fetch_leaf = jnp.where(act, go & is_leaf_next, fetch_leaf)
         restore = jnp.where(can_pop, top_mask, full_mask)
         return (fetch, fetch_leaf, restore, cur_node, pend_dist, pend_code,
-                sp, (stack_node, stack_mask), done, t_best, slot_best, found)
+                sp, (stack_node, stack_mask), done, t_best, leaf_best, found)
 
     st = (fetch, fetch_leaf, restore, cur_node, pend_dist, pend_code,
-          sp, (stack_node, stack_mask), done, t_best, slot_best, found)
+          sp, (stack_node, stack_mask), done, t_best, leaf_best, found)
     if debug_counters:
         # counters: (iterations, packet-active steps, leaf steps) — the
         # utilization diagnosis: avg visits/packet = active/G, lockstep
@@ -502,28 +498,45 @@ def _traverse_wide(bvh: DeviceBVH, origin: Vec3, direction: Vec3, t_max,
         )
     else:
         st = jax.lax.while_loop(cond, body, st)
-    t_best, slot_best = st[9], st[10]
+    t_best, leaf_best = st[9], st[10]
 
     def from_pg(x):  # [packet, G] -> [N_in]
         return x.T.reshape(n)[:n_in]
 
-    slot_out = from_pg(slot_best)
-    valid = slot_out >= 0
-    t_out = jnp.where(valid, from_pg(t_best), MISS_DIST)
-    if any_hit:  # occlusion callers never read t/u/v
+    if any_hit:  # occlusion callers only read slot >= 0
+        found_out = from_pg(st[11])
+        z = jnp.zeros((n_in,), jnp.float32)
+        hit = Hit(
+            t=jnp.where(found_out, z, MISS_DIST),
+            slot=jnp.where(found_out, 0, -1),
+            u=z,
+            v=z,
+        )
         if debug_counters:
-            return Hit(t=t_out, slot=slot_out, u=t_out * 0, v=t_out * 0), counters
-        return Hit(t=t_out, slot=slot_out, u=t_out * 0, v=t_out * 0)
-    # Recompute barycentrics once from the winning triangle (one row gather).
-    trow = bvh.tri_rows[jnp.where(valid, slot_out, 0)]  # [N, 16]
-    o1 = Vec3(origin.x[:n_in], origin.y[:n_in], origin.z[:n_in])
-    d1 = Vec3(direction.x[:n_in], direction.y[:n_in], direction.z[:n_in])
-    _, u_out, v_out, _ = ray_triangle(
-        o1, d1,
-        Vec3(trow[:, 0], trow[:, 1], trow[:, 2]),
-        Vec3(trow[:, 3], trow[:, 4], trow[:, 5]),
-        Vec3(trow[:, 6], trow[:, 7], trow[:, 8]),
-        t_min=t_min,
+            return hit, counters
+        return hit
+
+    # Re-intersect the winning leaf row once: yields the triangle index,
+    # barycentrics, and the hit slot (one [N, 128] gather + [14, N] M-T).
+    leaf_out = from_pg(leaf_best)
+    valid = leaf_out >= 0
+    t_out = jnp.where(valid, from_pg(t_best), MISS_DIST)
+    rowT2 = rows[jnp.where(valid, leaf_out, m_nodes)].T  # [128, N]
+    o1 = Vec3(origin.x[:n_in][None], origin.y[:n_in][None],
+              origin.z[:n_in][None])
+    d1 = Vec3(direction.x[:n_in][None], direction.y[:n_in][None],
+              direction.z[:n_in][None])
+    tv0 = Vec3(rowT2[0:14], rowT2[14:28], rowT2[28:42])      # [14, N]
+    te1 = Vec3(rowT2[42:56], rowT2[56:70], rowT2[70:84])
+    te2 = Vec3(rowT2[84:98], rowT2[98:112], rowT2[112:126])
+    t2, u2, v2, hit2 = ray_triangle(o1, d1, tv0, te1, te2, t_min=t_min)
+    t2 = jnp.where(hit2, t2, jnp.float32(np.inf))
+    k = jnp.argmin(t2, axis=0).astype(jnp.int32)             # [N]
+    oh = jax.lax.broadcasted_iota(jnp.int32, (WIDE_LEAF, 1), 0) == k[None, :]
+    u_out = jnp.sum(jnp.where(oh, u2, 0.0), axis=0)
+    v_out = jnp.sum(jnp.where(oh, v2, 0.0), axis=0)
+    slot_out = jnp.where(
+        valid, (leaf_out - m_nodes) * WIDE_LEAF + k, -1
     )
     u_out = jnp.where(valid, u_out, 0.0)
     v_out = jnp.where(valid, v_out, 0.0)

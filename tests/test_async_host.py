@@ -76,3 +76,53 @@ def test_sync_mode_unaffected(obj_file):
     host.load_obj_file(obj_file)
     assert host.num_meshes == 1
     assert host.num_queue_workers == 0
+
+
+def test_undersampling_pyramid_and_recurring_output():
+    """The async loop walks the preview pyramid (coarse→fine) before full
+    samples, and acquire_output snapshots progress at any time."""
+    import numpy as np
+
+    from luminary_tpu.testing import cornell_scene
+
+    host = Host(asynchronous=True, samples_per_step=1)
+    try:
+        host.scene = cornell_scene(32, 32, max_depth=2)
+        s = host.get_settings()
+        s.undersampling = 3  # pyramid: stride 4 → 2 → full
+        host.set_settings(s)
+        host.request_output(sample_count=4)
+        deadline = time.monotonic() + 60
+        seen_preview = False
+        while time.monotonic() < deadline:
+            h = host.acquire_output()
+            img = host.get_image(h)
+            meta = host.get_image_meta(h)
+            host.release_output(h)
+            assert img.shape[0] == 32 and np.isfinite(img).all()
+            if meta["sample_count"] == 0:
+                seen_preview = True
+            if meta["sample_count"] >= 4:
+                break
+            time.sleep(0.02)
+        assert meta["sample_count"] >= 4
+        # preview frames may race by; the pyramid state must have run
+        assert seen_preview or host.renderer._preview is not None
+    finally:
+        host.destroy()
+
+
+def test_viewer_halfblock_rendering():
+    import numpy as np
+
+    from luminary_tpu.frontend.viewer import _image_to_halfblocks
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8] = [255, 0, 0]
+    img[8:] = [0, 0, 255]
+    s = _image_to_halfblocks(img, cols=8, rows=4)
+    lines = s.split("\n")
+    assert len(lines) == 4
+    assert "38;2;255;0;0" in lines[0]  # red top half
+    assert "48;2;0;0;255" in lines[3]  # blue bottom half
+    assert lines[0].count("▀") == 8
