@@ -173,3 +173,69 @@ def pack_leaf_rows(wide: WideBVH, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray
         for c in range(3):
             rows[:, j * 42 + c * 14 : j * 42 + (c + 1) * 14] = arr[:, c].reshape(b, WIDE_LEAF)
     return wide._replace(leaf_rows=rows)
+
+
+def refit_wide(wide: WideBVH, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> WideBVH:
+    """Refit an existing wide topology to MOVED geometry (instance-transform
+    updates): recompute child AABBs bottom-up and repack leaf rows, keeping
+    tri_order/codes intact. The role of the reference's IAS update path
+    (optix_bvh.c instance cache) — a move costs a refit, not an SAH rebuild.
+
+    v0/e1/e2: [P, 3] slot-ordered triangles (same slot order as the build).
+    """
+    rows = wide.node_rows.copy()
+    m = wide.num_nodes
+    corners = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # [P, 3, 3]
+    # Padding slots are degenerate at v0=0: make them inert for the
+    # reduction by collapsing them to their block's first valid corner.
+    valid = (np.abs(e1).sum(-1) > 0) | (np.abs(e2).sum(-1) > 0)
+    blk = corners.reshape(wide.num_blocks, WIDE_LEAF, 3, 3)
+    bval = valid.reshape(wide.num_blocks, WIDE_LEAF)
+    big = np.float32(np.inf)
+    blk_min = np.where(bval[..., None, None], blk, big).min(axis=(1, 2))
+    blk_max = np.where(bval[..., None, None], blk, -big).max(axis=(1, 2))
+    empty = ~bval.any(axis=1)
+    blk_min[empty] = 0.0
+    blk_max[empty] = 0.0
+
+    node_min = np.zeros((m, 3), np.float32)
+    node_max = np.zeros((m, 3), np.float32)
+    codes_all = rows[:, 6 * BRANCH : 7 * BRANCH].view(np.int32)
+
+    # Level order (parent ids < child ids, but group by depth so each level
+    # refits fully vectorized — the python cost is O(depth), not O(nodes)).
+    level_of = np.zeros(m, np.int32)
+    frontier = np.asarray([0], np.int64)
+    levels = [frontier]
+    while True:
+        cs = codes_all[frontier].reshape(-1)
+        nxt = cs[(cs >= 0) & (cs != INVALID_CHILD)].astype(np.int64)
+        if nxt.size == 0:
+            break
+        level_of[nxt] = len(levels)
+        levels.append(nxt)
+        frontier = nxt
+
+    for ids in reversed(levels):
+        codes = codes_all[ids]                       # [K, 16]
+        is_leaf = codes < 0
+        is_node = (codes >= 0) & (codes != INVALID_CHILD)
+        leaf_idx = np.where(is_leaf, ~codes, 0)
+        node_idx = np.where(is_node, codes, 0)
+        lo = np.where(
+            is_leaf[..., None], blk_min[leaf_idx],
+            np.where(is_node[..., None], node_min[node_idx], big),
+        ).astype(np.float32)                         # [K, 16, 3]
+        hi = np.where(
+            is_leaf[..., None], blk_max[leaf_idx],
+            np.where(is_node[..., None], node_max[node_idx], big),
+        ).astype(np.float32)
+        for ax in range(3):
+            rows[ids, (2 * ax) * BRANCH : (2 * ax + 1) * BRANCH] = lo[..., ax]
+            rows[ids, (2 * ax + 1) * BRANCH : (2 * ax + 2) * BRANCH] = hi[..., ax]
+        present = (is_leaf | is_node)[..., None]
+        node_min[ids] = np.where(present, lo, big).min(axis=1)
+        node_max[ids] = np.where(present, hi, -big).max(axis=1)
+
+    out = wide._replace(node_rows=rows)
+    return pack_leaf_rows(out, v0, e1, e2)

@@ -22,10 +22,13 @@ from .vec import Vec3, dot as vdot
 
 class DeviceClouds(NamedTuple):
     active: jnp.ndarray  # bool
-    height_min: jnp.ndarray  # f32 (world units, low layer)
-    height_max: jnp.ndarray  # f32
-    coverage: jnp.ndarray  # f32
-    coverage_min: jnp.ndarray  # f32
+    # Per-layer arrays [3]: low / mid / top (reference: 3-layer clouds,
+    # cloud.cuh). Which layers actually march is STATIC (RenderConfig
+    # cloud_layers), so inactive layers cost nothing under jit.
+    height_min: jnp.ndarray  # f32 [3]
+    height_max: jnp.ndarray  # f32 [3]
+    coverage: jnp.ndarray  # f32 [3]
+    coverage_min: jnp.ndarray  # f32 [3]
     density: jnp.ndarray  # f32
     shape_scale: jnp.ndarray  # f32
     detail_scale: jnp.ndarray  # f32
@@ -38,13 +41,13 @@ class DeviceClouds(NamedTuple):
 def pack_clouds(cloud) -> DeviceClouds:
     import numpy as np
 
-    layer = cloud.low
+    layers = (cloud.low, cloud.mid, cloud.top)
     return DeviceClouds(
-        active=np.bool_(bool(cloud.active and layer.active)),
-        height_min=np.float32(layer.height_min),
-        height_max=np.float32(layer.height_max),
-        coverage=np.float32(layer.coverage),
-        coverage_min=np.float32(layer.coverage_min),
+        active=np.bool_(bool(cloud.active and any(l.active for l in layers))),
+        height_min=np.asarray([l.height_min for l in layers], np.float32),
+        height_max=np.asarray([l.height_max for l in layers], np.float32),
+        coverage=np.asarray([l.coverage for l in layers], np.float32),
+        coverage_min=np.asarray([l.coverage_min for l in layers], np.float32),
         density=np.float32(cloud.density),
         shape_scale=np.float32(cloud.noise_shape_scale),
         detail_scale=np.float32(cloud.noise_detail_scale),
@@ -53,6 +56,13 @@ def pack_clouds(cloud) -> DeviceClouds:
         seed=np.float32(cloud.seed % 1024),
         steps=np.int32(min(max(int(cloud.steps), 8), 128)),
     )
+
+
+def active_layer_indices(cloud) -> tuple:
+    """Static tuple of active layer indices for RenderConfig."""
+    return tuple(
+        i for i, l in enumerate((cloud.low, cloud.mid, cloud.top)) if l.active
+    ) if cloud.active else ()
 
 
 def _hash3(px, py, pz):
@@ -102,14 +112,14 @@ def fbm3(p: Vec3, octaves: int = 3):
     return total / norm
 
 
-def cloud_density(cl: DeviceClouds, pos: Vec3):
+def cloud_density(cl: DeviceClouds, pos: Vec3, layer: int = 0):
     """Density in [0, 1] at component-SoA world positions (HZD-style
-    coverage/height-gradient/detail-erosion recipe — our own noise stack)."""
+    coverage/height-gradient/detail-erosion recipe — our own noise stack).
+    `layer` is static (0=low, 1=mid, 2=top)."""
     h = pos.y
-    h01 = jnp.clip(
-        (h - cl.height_min) / jnp.maximum(cl.height_max - cl.height_min, 1e-3),
-        0.0, 1.0,
-    )
+    lo = cl.height_min[layer]
+    hi = cl.height_max[layer]
+    h01 = jnp.clip((h - lo) / jnp.maximum(hi - lo, 1e-3), 0.0, 1.0)
     # height gradient: round bottoms, wispy tops
     grad = jnp.clip(h01 * 4.0, 0.0, 1.0) * jnp.clip((1.0 - h01) * 2.5, 0.0, 1.0)
 
@@ -121,18 +131,18 @@ def cloud_density(cl: DeviceClouds, pos: Vec3):
     ds = 0.009 * cl.detail_scale
     detail = fbm3(Vec3(p.x * ds, p.y * ds, p.z * ds), octaves=2)
 
-    coverage = jnp.clip(weather * cl.coverage, cl.coverage_min, 2.0)
+    coverage = jnp.clip(weather * cl.coverage[layer], cl.coverage_min[layer], 2.0)
     d = base * grad * coverage - 0.55
     d = d - detail * 0.15  # erosion
     return jnp.clip(d * 4.0, 0.0, 1.0) * cl.density
 
 
-def _layer_span(cl: DeviceClouds, origin: Vec3, direction: Vec3):
+def _layer_span(cl: DeviceClouds, origin: Vec3, direction: Vec3, layer: int):
     oy = origin.y
     dy = direction.y
     dy_safe = jnp.where(jnp.abs(dy) < 1e-7, 1e-7, dy)
-    t_lo = (cl.height_min - oy) / dy_safe
-    t_hi = (cl.height_max - oy) / dy_safe
+    t_lo = (cl.height_min[layer] - oy) / dy_safe
+    t_hi = (cl.height_max[layer] - oy) / dy_safe
     t0 = jnp.minimum(t_lo, t_hi)
     t1 = jnp.maximum(t_lo, t_hi)
     t0 = jnp.maximum(t0, 0.0)
@@ -148,13 +158,45 @@ def cloud_march(
     sky_ambient,  # (r, g, b) channel arrays
     steps: int = 48,
     shadow_steps: int = 4,
+    layers: tuple = (0,),
 ):
-    """March the low cloud layer → ((r,g,b) radiance, transmittance [N]).
+    """March the active cloud layers → ((r,g,b) radiance, transmittance [N]).
 
-    Lighting: sun with a short shadow march + dual-lobe HG (forward +
-    backward, reference cloud.cuh scatter lerp) + ambient from the SH sky.
+    `layers` is a STATIC tuple of layer indices; layers are composited in
+    index order (low → mid → top), which matches the along-ray order for
+    ground-based upward rays — the reference's 3-layer march (cloud.cuh).
+    Lighting per layer: sun with a short shadow march + dual-lobe HG
+    (forward + backward, reference cloud.cuh scatter lerp) + sky ambient.
     """
-    t0, t1 = _layer_span(cl, origin, direction)
+    rr_tot = jnp.zeros_like(origin.x)
+    rg_tot = jnp.zeros_like(origin.x)
+    rb_tot = jnp.zeros_like(origin.x)
+    trans_tot = jnp.ones_like(origin.x)
+    for layer in layers:
+        lsteps = max(steps // (1 + (layer == 2)), 8)  # cirrus: thin, cheaper
+        (lr, lg, lb), lt = _march_one_layer(
+            cl, origin, direction, sun_dir, sun_radiance, sky_ambient,
+            lsteps, shadow_steps, layer,
+        )
+        rr_tot = rr_tot + trans_tot * lr
+        rg_tot = rg_tot + trans_tot * lg
+        rb_tot = rb_tot + trans_tot * lb
+        trans_tot = trans_tot * lt
+    return (rr_tot, rg_tot, rb_tot), trans_tot
+
+
+def _march_one_layer(
+    cl: DeviceClouds,
+    origin: Vec3,
+    direction: Vec3,
+    sun_dir: Vec3,
+    sun_radiance,
+    sky_ambient,
+    steps: int,
+    shadow_steps: int,
+    layer: int,
+):
+    t0, t1 = _layer_span(cl, origin, direction, layer)
     span = t1 - t0
     dt = span / steps
     sigma = 0.004  # extinction per density unit per meter
@@ -165,7 +207,7 @@ def cloud_march(
 
     phase = hg_phase(cos_sun, g1) * lerp + hg_phase(cos_sun, g2) * (1.0 - lerp)
 
-    shadow_len = (cl.height_max - cl.height_min) * 0.5
+    shadow_len = (cl.height_max[layer] - cl.height_min[layer]) * 0.5
 
     import jax
 
@@ -180,13 +222,13 @@ def cloud_march(
             origin.y + direction.y * t,
             origin.z + direction.z * t,
         )
-        dens = cloud_density(cl, pos) * (span > 1e-3)
+        dens = cloud_density(cl, pos, layer) * (span > 1e-3)
         ext = dens * sigma * dt
 
         def shadow_fn(k, tau):
             o = (k.astype(jnp.float32) + 0.5) * shadow_len / shadow_steps
             sp = Vec3(pos.x + sun_dir.x * o, pos.y + sun_dir.y * o, pos.z + sun_dir.z * o)
-            return tau + cloud_density(cl, sp)
+            return tau + cloud_density(cl, sp, layer)
 
         shadow_tau = jax.lax.fori_loop(0, shadow_steps, shadow_fn, jnp.zeros_like(dens))
         sun_t = jnp.exp(-shadow_tau * sigma * (shadow_len / shadow_steps))
@@ -204,3 +246,37 @@ def cloud_march(
         (jnp.zeros(n_shape), jnp.zeros(n_shape), jnp.zeros(n_shape), jnp.ones(n_shape)),
     )
     return (rr, rg, rb), transmittance
+
+
+def cloud_sun_transmittance(
+    cl: DeviceClouds,
+    pos: Vec3,
+    sun_dir: Vec3,
+    layers: tuple = (0,),
+    steps: int = 3,
+):
+    """Sun transmittance through the cloud layers from a SURFACE point —
+    cloud shadows on the ground (reference: cloud_shadow.cuh sun marching).
+    Coarse fixed-step density march per active layer; [N] factor in [0,1].
+    """
+    import jax
+
+    sigma = 0.004
+    trans = jnp.ones_like(pos.x)
+    for layer in layers:
+        t0, t1 = _layer_span(cl, pos, sun_dir, layer)
+        span = jnp.maximum(t1 - t0, 0.0)
+        dt = span / steps
+
+        def step_fn(i, tau, _t0=t0, _dt=dt, _layer=layer):
+            t = _t0 + (i.astype(jnp.float32) + 0.5) * _dt
+            sp = Vec3(
+                pos.x + sun_dir.x * t,
+                pos.y + sun_dir.y * t,
+                pos.z + sun_dir.z * t,
+            )
+            return tau + cloud_density(cl, sp, _layer)
+
+        tau = jax.lax.fori_loop(0, steps, step_fn, jnp.zeros_like(pos.x))
+        trans = trans * jnp.exp(-tau * sigma * dt)
+    return trans

@@ -406,9 +406,10 @@ def _bake_hdri_extras(scene: Scene, env: np.ndarray, sun_dir, sun_disc):
     eg = env[:, :, 1].reshape(-1) + np.asarray(moon + jnp.where(in_moon, 0.0, sg))
     eb = env[:, :, 2].reshape(-1) + np.asarray(moon + jnp.where(in_moon, 0.0, sb))
 
-    if scene.cloud.active and scene.cloud.low.active:
-        from ..ops.clouds import cloud_march
+    from ..ops.clouds import active_layer_indices, cloud_march
 
+    cloud_layers = active_layer_indices(scene.cloud)
+    if cloud_layers:
         cl = pack_clouds(scene.cloud)
         origin = Vec3(
             jnp.full((h * w,), float(scene.camera.pos[0]), jnp.float32),
@@ -423,6 +424,7 @@ def _bake_hdri_extras(scene: Scene, env: np.ndarray, sun_dir, sun_disc):
                 cl, o, dd, sun_v, jnp.asarray(sun_disc),
                 (jnp.asarray(er), jnp.asarray(eg), jnp.asarray(eb)),
                 steps=int(min(max(scene.cloud.steps, 16), 96)),
+                layers=cloud_layers,
             )
         )(origin, d)
         er = np.asarray(cr + jnp.asarray(er) * ct)
@@ -593,19 +595,36 @@ def flatten_instances(scene: Scene):
     )
 
 
-def pack_geometry(scene: Scene) -> DeviceSceneGeo:
+def pack_geometry(scene: Scene, topo=None) -> DeviceSceneGeo:
+    """Build (or refit) the device geometry.
+
+    topo: a cached WideBVH topology from a previous pack over the SAME
+    triangle set. When the flatten produces the same triangle count, the
+    tree is REFIT to the moved geometry instead of rebuilt — instance
+    transform edits then cost milliseconds, the role of the reference's
+    IAS update with GAS caching (optix_bvh.c:1-684). The caller caches the
+    topology via ``pack_geometry.last_wide``.
+    """
     corners, normals, uvs, mats, insts, prims = flatten_instances(scene)
     t = corners.shape[0]
-    from ..bvh.native import build_bvh_native
+    wide = None
+    if topo is not None and int((topo.tri_order >= 0).sum()) == t:
+        from ..bvh.wide import refit_wide
 
-    bvh2 = build_bvh_native(corners, leaf_size=LEAF_SIZE)
-    if bvh2 is None:
-        bvh2 = build_bvh(corners, leaf_size=LEAF_SIZE)
-    wide = collapse_bvh8(bvh2)
-    info_message(
-        "BVH8 built: %d tris, %d wide nodes, %d leaf blocks, depth %d",
-        t, wide.num_nodes, wide.num_blocks, wide.depth,
-    )
+        wide = topo
+        refit = True
+    else:
+        from ..bvh.native import build_bvh_native
+
+        bvh2 = build_bvh_native(corners, leaf_size=LEAF_SIZE)
+        if bvh2 is None:
+            bvh2 = build_bvh(corners, leaf_size=LEAF_SIZE)
+        wide = collapse_bvh8(bvh2)
+        refit = False
+        info_message(
+            "BVH8 built: %d tris, %d wide nodes, %d leaf blocks, depth %d",
+            t, wide.num_nodes, wide.num_blocks, wide.depth,
+        )
 
     order = wide.tri_order  # [P] original tri id, -1 padding
     p = order.shape[0]
@@ -625,6 +644,11 @@ def pack_geometry(scene: Scene) -> DeviceSceneGeo:
     v0[~valid] = 0.0
     e1[~valid] = 0.0
     e2[~valid] = 0.0
+    if refit:
+        from ..bvh.wide import refit_wide
+
+        wide = refit_wide(wide, v0, e1, e2)
+    pack_geometry.last_wide = wide
 
     fn = np.cross(e1, e2)
     fn_len = np.linalg.norm(fn, axis=-1, keepdims=True)

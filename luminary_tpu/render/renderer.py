@@ -186,6 +186,12 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _cloud_layers(cloud) -> tuple:
+    from ..ops.clouds import active_layer_indices
+
+    return active_layer_indices(cloud)
+
+
 class Renderer:
     """Renderer over one chip or a device mesh.
 
@@ -264,14 +270,14 @@ class Renderer:
                     or m.luminance_tex != TEXTURE_NONE
                     for m in self.scene.materials
                 ),
-                # HDRI mode folds the cloud layer into the baked env map
+                # HDRI mode folds the cloud layers into the baked env map
                 # (pack_sky), so the per-sample march is skipped.
                 use_clouds=bool(
-                    self.scene.cloud.active
-                    and self.scene.cloud.low.active
+                    _cloud_layers(self.scene.cloud)
                     and int(self.scene.sky.mode) != 1
                 ),
                 cloud_steps=min(max(int(self.scene.cloud.steps) // 2, 8), 64),
+                cloud_layers=_cloud_layers(self.scene.cloud),
                 use_physical_camera=bool(self.scene.camera.use_physical_camera),
             )
             n_pad = _round_up(n_pixels, chunk)
@@ -284,10 +290,41 @@ class Renderer:
                 )
             )
 
+        # Ocean follow: the tessellated grid is centered on the camera at
+        # pack time (ops/procedural.generate_ocean_mesh, ±200 world units);
+        # fly past half that margin and the geometry must re-tessellate or
+        # the ocean silently ends.
+        if self.scene.ocean.active and self.device_scene is not None:
+            cx, cz = float(self.scene.camera.pos[0]), float(self.scene.camera.pos[2])
+            ox, oz = getattr(self, "_ocean_center", (cx, cz))
+            if max(abs(cx - ox), abs(cz - oz)) > 100.0:
+                flags |= DirtyFlags.MESHES
+
         if self.device_scene is None or flags & (
             DirtyFlags.MESHES | DirtyFlags.INSTANCES
         ):
-            geo = pack_geometry(self.scene)
+            # INSTANCE-only edits REFIT the cached tree topology instead of
+            # rebuilding (reference: IAS update + GAS cache, optix_bvh.c)
+            sig = tuple(
+                (i.id, i.mesh_id)
+                for i in self.scene.instances
+                if i.active and i.mesh_id < len(self.scene.meshes)
+            )
+            topo = None
+            if (
+                self.device_scene is not None
+                and not (flags & DirtyFlags.MESHES)
+                and getattr(self, "_bvh_topo", None) is not None
+                and getattr(self, "_topo_sig", None) == sig
+            ):
+                topo = self._bvh_topo
+            geo = pack_geometry(self.scene, topo=topo)
+            self._bvh_topo = getattr(pack_geometry, "last_wide", None)
+            self._topo_sig = sig
+            self._ocean_center = (
+                float(self.scene.camera.pos[0]),
+                float(self.scene.camera.pos[2]),
+            )
         else:
             geo = self.device_scene.geo
         # Wavefront sorting (tasks_sort analog) is OFF by default: measured
@@ -543,7 +580,13 @@ class Renderer:
     # -- output -------------------------------------------------------------
 
     def get_image(self) -> np.ndarray:
-        """uint8 [H, W, 3] final image."""
+        """uint8 [H, W, 3] final image (or an adaptive-sampling inspection
+        view when settings.adaptive_sampling_output_mode != BEAUTY;
+        reference: structs.h AdaptiveSamplingOutputMode,
+        adaptive_sampling.cuh debug outputs)."""
+        mode = int(self.scene.settings.adaptive_sampling_output_mode)
+        if mode != 0:
+            return self._debug_output_image(mode)
         cam = self.scene.camera
         rx, ry, rw, rh = self._region
         accum = self.accum
@@ -572,6 +615,35 @@ class Renderer:
             jnp.float32(cam.film_grain),
         )
         return np.asarray(img)
+
+    def _debug_output_image(self, mode: int) -> np.ndarray:
+        """VARIANCE / ERROR / SAMPLE_DISTRIBUTION inspection images
+        (uint8 heatmaps; reference AdaptiveSamplingOutputMode semantics)."""
+        _, _, rw, rh = self._region
+        n = rw * rh
+        cnt = np.maximum(np.asarray(self.accum.sample_count[:n], np.float64), 1.0)
+        if mode == 3:  # SAMPLE_DISTRIBUTION
+            field = np.asarray(self.accum.sample_count[:n], np.float64)
+        else:
+            rad = np.asarray(self.accum.radiance[:n], np.float64)
+            lum = (
+                0.2126 * rad[:, 0] + 0.7152 * rad[:, 1] + 0.0722 * rad[:, 2]
+            ) / cnt
+            e2 = np.asarray(self.accum.lum_sq[:n], np.float64) / cnt
+            var = np.maximum(e2 - lum * lum, 0.0)
+            if mode == 1:  # VARIANCE
+                field = var
+            else:  # ERROR: exposure-aware relative std error of the mean
+                field = np.sqrt(var / cnt) / (lum + 0.1)
+        field = field.reshape(rh, rw)
+        hi = np.percentile(field, 99.0) or 1.0
+        t = np.clip(field / max(hi, 1e-12), 0.0, 1.0)
+        # blue → red heatmap, green bump at mid-range for contrast
+        img = np.stack([t, 2.0 * t * (1.0 - t), 1.0 - t], -1)
+        out = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        if self._ss > 1:
+            out = out[:: self._ss, :: self._ss]
+        return out
 
     def get_radiance(self) -> np.ndarray:
         """float32 [H, W, 3] linear mean radiance (for comparison metrics)."""

@@ -107,6 +107,7 @@ class RenderConfig(NamedTuple):
     use_aux_textures: bool = False  # roughness/metallic/normal/luminance maps
     use_clouds: bool = False  # static: skips the cloud march when False
     cloud_steps: int = 32
+    cloud_layers: tuple = (0,)  # static active layer indices (low/mid/top)
     use_physical_camera: bool = False  # static: lens-stack primary rays
 
 
@@ -525,6 +526,14 @@ def render_sample(
         )
         rays_traced = rays_traced + jnp.sum(sun_candidate.astype(jnp.float32))
         t_fog_sun = fog_transmittance(fog, shadow_origin, sun_dir_s, 1e7)
+        if config.use_clouds:
+            # cloud shadows on surfaces (reference: cloud_shadow.cuh)
+            from ..ops.clouds import cloud_sun_transmittance
+
+            t_fog_sun = t_fog_sun * cloud_sun_transmittance(
+                scene.clouds, shadow_origin, sun_v,
+                layers=config.cloud_layers,
+            )
         tws_r, tws_g, tws_b = water_transmittance(
             scene.water, shadow_origin, sun_dir_s, 1e7
         )
@@ -854,6 +863,7 @@ def render_sample(
             scene.clouds, origin, safe_dir, sun_v,
             sun_radiance, (sky_rgb.x, sky_rgb.y, sky_rgb.z),
             steps=config.cloud_steps,
+            layers=config.cloud_layers,
         )
         sky_r = cr + sky_r * cloud_t
         sky_g = cg + sky_g * cloud_t

@@ -258,3 +258,43 @@ def test_collapse_depth_and_counts(rng):
     assert 1 <= wide.depth <= 24
     used = wide.tri_order[wide.tri_order >= 0]
     assert sorted(used.tolist()) == list(range(5000))
+
+
+def test_instance_move_refits_not_rebuilds():
+    """INSTANCE-only edits refit the cached topology (reference: IAS update
+    with GAS cache): fast, and hits land on the moved geometry."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from luminary_tpu.ops.traverse import trace_closest
+    from luminary_tpu.ops.vec import Vec3
+    from luminary_tpu.render.renderer import Renderer
+    from luminary_tpu.testing import benchmark_scene
+
+    scene = benchmark_scene(32, 32, max_depth=2, nx=5, nz=5)
+    r = Renderer(scene, chunk=1 << 20)
+    assert r._bvh_topo is not None
+    n_tris = int((r._bvh_topo.tri_order >= 0).sum())
+
+    inst = scene.get_instance(0)
+    inst.position = (3.0, 0.5, -2.0)
+    scene.set_instance(inst)
+    t0 = time.monotonic()
+    r.update()
+    dt = time.monotonic() - t0
+    # same topology object reused, same triangle count
+    assert int((r._bvh_topo.tri_order >= 0).sum()) == n_tris
+    # refit pack must be fast (full SAH rebuild of 9k tris is much slower);
+    # generous bound for contended CI
+    assert dt < 5.0, dt
+
+    # a ray at the MOVED ground plane position must hit it
+    bvh = r.device_scene.geo.bvh
+    o = Vec3(jnp.asarray([3.0 + 6.0]), jnp.asarray([5.0]), jnp.asarray([-2.0 + 6.0]))
+    d = Vec3(jnp.asarray([0.0]), jnp.asarray([-1.0]), jnp.asarray([0.0]))
+    hit = trace_closest(bvh, o, d)
+    assert bool(hit.valid[0])
+    t_exp = 5.0 - 0.5  # plane was at y=0, moved up by 0.5
+    assert abs(float(hit.t[0]) - t_exp) < 0.2, float(hit.t[0])

@@ -90,3 +90,53 @@ def test_cloudy_scene_renders():
     rad = r.get_radiance()
     assert np.all(np.isfinite(rad))
     assert rad.mean() > 0.005
+
+
+def test_multi_layer_march_adds_radiance():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from luminary_tpu.ops.clouds import cloud_march, pack_clouds
+    from luminary_tpu.ops.vec import Vec3
+
+    cloud = active_cloud(coverage=3.0, density=3.0)
+    cloud.mid.active = True
+    cloud.mid.coverage = 3.0
+    cl = jax.device_put(pack_clouds(cloud))
+    n = 256
+    xs = np.random.default_rng(5).random((n, 2)).astype(np.float32) * 6000
+    o = Vec3(jnp.asarray(xs[:, 0]), jnp.zeros((n,)), jnp.asarray(xs[:, 1]))
+    up = Vec3(jnp.zeros((n,)), jnp.ones((n,)), jnp.zeros((n,)))
+    sun = Vec3(jnp.float32(0.0), jnp.float32(1.0), jnp.float32(0.0))
+    amb = (jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)))
+    sunr = jnp.asarray([18000.0] * 3)
+    (r1, _, _), t1 = cloud_march(cl, o, up, sun, sunr, amb, steps=24,
+                                 layers=(0,))
+    (r2, _, _), t2 = cloud_march(cl, o, up, sun, sunr, amb, steps=24,
+                                 layers=(0, 1))
+    assert float(jnp.mean(r2)) >= float(jnp.mean(r1)) - 1e-6
+    assert float(jnp.mean(t2)) <= float(jnp.mean(t1)) + 1e-6
+    assert float(jnp.mean(t2)) < float(jnp.mean(t1))  # mid layer absorbs
+
+
+def test_cloud_sun_transmittance_shadows_ground():
+    import jax
+    import jax.numpy as jnp
+
+    from luminary_tpu.ops.clouds import cloud_sun_transmittance, pack_clouds
+    from luminary_tpu.ops.vec import Vec3
+
+    cl = jax.device_put(pack_clouds(active_cloud(coverage=4.0, density=5.0)))
+    n = 256
+    rngx = jnp.linspace(-4000.0, 4000.0, n)
+    pos = Vec3(rngx, jnp.zeros((n,)), rngx * 0.37)
+    up_sun = Vec3(jnp.float32(0.0), jnp.float32(1.0), jnp.float32(0.0))
+    tr = cloud_sun_transmittance(cl, pos, up_sun, layers=(0,), steps=4)
+    tr = jnp.asarray(tr)
+    assert float(tr.min()) >= 0.0 and float(tr.max()) <= 1.0 + 1e-6
+    assert float(tr.mean()) < 0.999  # dense deck casts real shadows
+    # sun pointing DOWN from the ground: no layer span → fully lit
+    dn = Vec3(jnp.float32(0.0), jnp.float32(-1.0), jnp.float32(0.0))
+    tr2 = cloud_sun_transmittance(cl, pos, dn, layers=(0,), steps=4)
+    assert float(jnp.min(tr2)) > 0.9999
