@@ -278,6 +278,8 @@ class Renderer:
                 ),
                 cloud_steps=min(max(int(self.scene.cloud.steps) // 2, 8), 64),
                 cloud_layers=_cloud_layers(self.scene.cloud),
+                use_bridges=bool(self.scene.fog.active),
+                bridge_vertices=min(max(int(s.bridge_max_num_vertices), 1), 4),
                 use_physical_camera=bool(self.scene.camera.use_physical_camera),
             )
             n_pad = _round_up(n_pixels, chunk)

@@ -108,6 +108,10 @@ class RenderConfig(NamedTuple):
     use_clouds: bool = False  # static: skips the cloud march when False
     cloud_steps: int = 32
     cloud_layers: tuple = (0,)  # static active layer indices (low/mid/top)
+    # Bridge volume NEE (reference light_bridges.cuh): active when the
+    # scene has fog; bridge_vertices = settings.bridge_max_num_vertices.
+    use_bridges: bool = False
+    bridge_vertices: int = 1
     use_physical_camera: bool = False  # static: lens-stack primary rays
 
 
@@ -712,14 +716,61 @@ def render_sample(
         twl_r, twl_g, twl_b = water_transmittance(
             scene.water, shadow_origin, l_dir, dist
         )
+        direct_lane = light_candidate & (
+            ~vol_lane if config.use_bridges else True
+        )
         l_w = jnp.where(
-            light_candidate & ~l_occluded,
+            direct_lane & ~l_occluded,
             sel_w_mis * t_fog_l * ris_w * tr_l,
             0.0,
         )
         rad_r = rad_r + thr_r * fl_r * le_r * twl_r * l_w
         rad_g = rad_g + thr_g * fl_g * le_g * twl_g * l_w
         rad_b = rad_b + thr_b * fl_b * le_b * twl_b * l_w
+
+        # ---- bridge volume NEE: volume vertices connect to the winner
+        # light through 1..bridge_vertices scattering events (reference:
+        # light_bridges.cuh; see ops/bridges.py for the scaling math).
+        # M=1 reproduces the direct connection exactly. ----
+        if config.use_bridges:
+            from ..ops.bridges import sample_bridge
+
+            y_pt = Vec3(
+                shadow_origin.x + l_dir.x * dist,
+                shadow_origin.y + l_dir.y * dist,
+                shadow_origin.z + l_dir.z * dist,
+            )
+            (b_dir, b_starts, b_dirs, b_lens, b_wpdf, b_phase, b_m) = (
+                sample_bridge(
+                    shadow_origin, y_pt, direction, fog.g,
+                    fog.sigma_t * fog.scatter_albedo, fog.sigma_t,
+                    config.bridge_vertices, pixel_id, sample_id, depth,
+                )
+            )
+            b_lane = vol_lane & light_candidate
+            b_occ = jnp.zeros((n,), bool)
+            for i in range(config.bridge_vertices):
+                act_i = b_lane & (i < b_m) & ~b_occ
+                rays_traced = rays_traced + jnp.sum(act_i.astype(jnp.float32))
+                b_occ = b_occ | trace_occluded(
+                    geo.bvh, b_starts[i], b_dirs[i],
+                    jnp.maximum(b_lens[i] - 2.0 * _RAY_EPS, 0.0),
+                    chunk=config.chunk, active=act_i,
+                )
+            # M=1 overlaps the phase-sampled emitter hit → MIS; M>1 orders
+            # are bridge-exclusive
+            w_mis_b = jnp.where(b_m == 1, sel_w_mis, 1.0)
+            # g per steradian = Le * phase_first * (w/pdf) * d^2 (the light
+            # cosine folds into the area kernel and cancels against the
+            # solid-angle Jacobian; M=1 reduces exactly to the direct form)
+            bw = jnp.where(
+                b_lane & ~b_occ,
+                b_phase * b_wpdf * dist * dist * ris_w * w_mis_b,
+                0.0,
+            )
+            rad_r = rad_r + thr_r * le_r * bw
+            rad_g = rad_g + thr_g * le_g * bw
+            rad_b = rad_b + thr_b * le_b * bw
 
         # ---- bounce ----
         if depth + 1 < config.max_depth:
