@@ -61,7 +61,9 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 20)))
     smoke = os.environ.get("BENCH_CPU") == "1"
 
-    # Tree-tier headline: 127k tris at 1080p (tiny on CPU smoke).
+    # Tree-tier headline: 127k tris at 1080p (tiny on CPU smoke), rendered
+    # with DEFAULT quality (RIS K=4 + light tree — the reference also runs
+    # its full RIS/tree sampling in its benchmark mode).
     tw, th = (128, 72) if smoke else (1920, 1080)
     t_warm, t_samp = (1, 2) if smoke else (13, 24)
     tree_mrays, tree_spp = run_scene(
@@ -69,6 +71,24 @@ def main():
         benchmark_scene(tw, th, max_depth=depth),
         chunk, t_warm, t_samp,
     )
+
+    # Equal-estimator throughput: same scene with 1-candidate NEE and no
+    # light tree — isolates raw path/trace throughput from sampling quality
+    # (comparable to the round-1 estimator).
+    import luminary_tpu.ops.light_tree as _lt
+
+    _old_min = _lt.LIGHT_TREE_MIN_LIGHTS
+    _lt.LIGHT_TREE_MIN_LIGHTS = 10**9
+    try:
+        s1 = benchmark_scene(tw, th, max_depth=depth)
+        st = s1.get_entity("settings")
+        st.light_ris_candidates = 1
+        s1.set_entity("settings", st)
+        ris1_mrays, ris1_spp = run_scene(
+            "tree-1080p-ris1", s1, chunk, t_warm, t_samp,
+        )
+    finally:
+        _lt.LIGHT_TREE_MIN_LIGHTS = _old_min
 
     # Dense-tier companion: the Cornell box at 512^2.
     cw = 64 if smoke else 512
@@ -87,9 +107,12 @@ def main():
         "vs_baseline": round(tree_mrays / BASELINE_MRAYS, 4),
         "extras": {
             "tree_spp_per_s_1080p": round(tree_spp, 3),
+            "tree_ris1_mrays": round(ris1_mrays, 3),
+            "tree_ris1_spp_per_s": round(ris1_spp, 3),
             "cornell_mrays": round(cornell_mrays, 3),
             "cornell_spp_per_s_512": round(cornell_spp, 3),
-            "ray_accounting": "closest rays/depth + 2 NEE shadow rays/vertex",
+            "ray_accounting": "closest rays/depth + 2 NEE shadow rays/vertex"
+                              " (RIS candidates are not counted as rays)",
         },
     }
     print(json.dumps(result))

@@ -350,6 +350,15 @@ class Renderer:
             lights = pack_lights_for(geo, materials)
         else:
             lights = self.device_scene.lights
+        # K RIS candidates beyond the emitter count are pure waste (drawing
+        # the same light repeatedly); clamp statically at pack time.
+        k_eff = max(
+            min(max(int(s.light_ris_candidates), 1),
+                max(int(lights.num_lights), 1)),
+            1,
+        )
+        if self.config.ris_candidates != k_eff:
+            self.config = self.config._replace(ris_candidates=k_eff)
         from ..ops.clouds import pack_clouds
         from ..ops.textures import pack_textures
         from ..ops.volume import pack_fog, pack_water
