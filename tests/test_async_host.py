@@ -92,7 +92,9 @@ def test_undersampling_pyramid_and_recurring_output():
         s.undersampling = 3  # pyramid: stride 4 → 2 → full
         host.set_settings(s)
         host.request_output(sample_count=4)
-        deadline = time.monotonic() + 60
+        # generous: under full-suite CPU contention the preview + full
+        # configs can take minutes to compile
+        deadline = time.monotonic() + 300
         seen_preview = False
         while time.monotonic() < deadline:
             h = host.acquire_output()
