@@ -470,6 +470,15 @@ class Host:
     def current_sample_time(self) -> float:
         return self.renderer.current_sample_time
 
+    def profile_render(self, samples: int = 1):
+        """Per-stage device-time breakdown of a render sample — the public
+        face of the reference's per-kernel timing printout
+        (device_renderer.c:282-343). Returns [(stage, ms, percent)]."""
+        from ..utils.profiling import profile_renderer
+
+        with self._renderer_lock:
+            return profile_renderer(self.renderer, samples=samples)
+
     # -- device info --------------------------------------------------------
 
     def get_device_count(self) -> int:

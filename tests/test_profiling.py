@@ -42,3 +42,12 @@ def test_adaptive_output_modes_render_heatmaps():
     s.adaptive_sampling_output_mode = AdaptiveSamplingOutputMode.BEAUTY
     scene.set_entity("settings", s)
     assert r.get_image().shape == (24, 24, 3)
+
+
+def test_host_profile_render():
+    from luminary_tpu.host.host import Host
+
+    host = Host()
+    host.scene = cornell_scene(16, 16, max_depth=2)
+    rows = host.profile_render()
+    assert rows and abs(sum(p for _, _, p in rows) - 100.0) < 1.0
