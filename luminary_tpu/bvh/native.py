@@ -49,6 +49,14 @@ def _load():
                 ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ]
+            lib.lum_build_wide.restype = ctypes.c_int
+            lib.lum_build_wide.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
             _lib = lib
         except Exception as e:  # no toolchain / compile error → numpy fallback
             warn_message("native BVH builder unavailable (%s)", e)
@@ -58,6 +66,53 @@ def _load():
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def build_wide_native(corners: np.ndarray, flat_tris: int = 112):
+    """Native direct 16-wide build — BVH2 + quality collapse in one C++ pass
+    (bvh/cpp/builder.cpp lum_build_wide). Returns a WideBVH with leaf_rows
+    left empty (filled by pack_leaf_rows), or None if unavailable.
+
+    flat_tris: subtrees at or below this triangle count are flattened into
+    one node of SAH-boundary leaf blocks (kills the thin-node tail the
+    greedy python collapse produces). 112 measured best on the tree-tier
+    bench (28/56/112/224 sweep, tools logs round 3).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    from .wide import WIDE_LEAF, WideBVH
+
+    corners = np.ascontiguousarray(corners, dtype=np.float32)
+    t = int(corners.shape[0])
+    node_cap = max(t // 4 + 16, 16)
+    order_cap = (2 * t + 4 * WIDE_LEAF) // WIDE_LEAF * WIDE_LEAF + WIDE_LEAF
+    node_rows = np.zeros((node_cap, 128), np.float32)
+    tri_order = np.full((order_cap,), -1, np.int32)
+    out_nodes = ctypes.c_int(0)
+    out_blocks = ctypes.c_int(0)
+    out_depth = ctypes.c_int(0)
+    rc = lib.lum_build_wide(
+        corners.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t, int(flat_tris),
+        node_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tri_order.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        node_cap, order_cap,
+        ctypes.byref(out_nodes), ctypes.byref(out_blocks),
+        ctypes.byref(out_depth),
+    )
+    if rc != 0:
+        warn_message("native wide BVH build failed rc=%d; using fallback", rc)
+        return None
+    m, blocks = out_nodes.value, out_blocks.value
+    return WideBVH(
+        node_rows=node_rows[:m].copy(),
+        leaf_rows=np.zeros((blocks, 128), np.float32),
+        tri_order=tri_order[: blocks * WIDE_LEAF].copy(),
+        depth=int(out_depth.value),
+        num_nodes=m,
+        num_blocks=blocks,
+    )
 
 
 def build_bvh_native(corners: np.ndarray, leaf_size: int = 4,

@@ -167,13 +167,16 @@ class Host:
                     us = int(self.scene.settings.undersampling)
                     prev = getattr(r, "_preview", None)
                     if r.sample_count == 0 and us > 0 and (
-                        prev is None or prev[0] > 2
+                        prev is None or prev[0] > 1
                     ):
                         self._render_task = "Undersampled preview"
+                        # render_preview takes an EXPONENT (stride is
+                        # 1 << level): start at us-1 and step down one
+                        # level per loop turn, floor at level 1 (stride 2).
                         level = (
-                            1 << max(us - 1, 1)
+                            max(us - 1, 1)
                             if prev is None
-                            else max(prev[0] // 2, 2)
+                            else max(prev[0] - 1, 1)
                         )
                         r.render_preview(level)
                         self._render_task = None

@@ -206,10 +206,14 @@ def sample_light_point(
     Selection comes from the alias table by default, or from a caller-drawn
     candidate (`slot`/`pdf_select`/`sel_valid` — e.g. a light-tree descent,
     ops/light_tree.py). Returns (light_slot [N], point Vec3, normal Vec3,
-    pdf_area [N], emission (r, g, b) [N] arrays, emission_valid [N]).
-    pdf_area is over the light surface: select_pdf/area. Everything per-slot
-    comes from ONE slim light-row gather (`shade_rows` here is the [P, 16]
-    light_slot_rows table — LSR_* column map, render/device_scene.py).
+    pdf_area [N], pdf_area_alias [N], emission (r, g, b) [N] arrays,
+    emission_valid [N], (b1, b2)). pdf_area is over the light surface:
+    select_pdf/area with the TRUE candidate pdf (the RIS resampling weight);
+    pdf_area_alias always uses the slot's alias-table pdf — the nominal MIS
+    pdf shared with the BSDF-hit side, whichever process drew the slot.
+    Everything per-slot comes from ONE slim light-row gather (`shade_rows`
+    here is the [P, 18] light_slot_rows table — LSR_* column map,
+    render/device_scene.py).
     """
     from ..render.device_scene import (
         LSR_AREA,
@@ -217,6 +221,7 @@ def sample_light_point(
         LSR_E2,
         LSR_EMISSION,
         LSR_FACE_N,
+        LSR_SELECT_PDF,
         LSR_V0,
     )
 
@@ -256,6 +261,7 @@ def sample_light_point(
         emission = (row[:, LSR_EMISSION], row[:, LSR_EMISSION + 1],
                     row[:, LSR_EMISSION + 2])
         area = row[:, LSR_AREA]
+        alias_select = row[:, LSR_SELECT_PDF]
     else:
         # small-table path: XLA lowers these gathers to cheap selects
         v0 = vgather(geo.bvh.tri_v0, slot)
@@ -266,11 +272,13 @@ def sample_light_point(
         emission = (materials.emission_r[l_mat], materials.emission_g[l_mat],
                     materials.emission_b[l_mat])
         area = lights.slot_area[slot]
+        alias_select = lights.slot_select_pdf[slot]
     point = v0 + e1 * b1 + e2 * b2
     pdf_area = pdf_select / jnp.maximum(area, 1e-12)
+    pdf_area_alias = alias_select / jnp.maximum(area, 1e-12)
     ok = lights.num_lights > 0
     ok = (ok & sel_valid) if sel_valid is not None else (ok & (pdf_select > 0.0))
-    return slot, point, n, pdf_area, emission, ok, (b1, b2)
+    return slot, point, n, pdf_area, pdf_area_alias, emission, ok, (b1, b2)
 
 
 def light_pdf_solid_angle(lights: DeviceLights, hit_slot, hit_t, cos_light):

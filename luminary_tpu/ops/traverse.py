@@ -38,6 +38,20 @@ import os as _os
 # LUM_TRACE_DEBUG=1: every tree trace prints its lockstep iteration count.
 _TRACE_DEBUG = _os.environ.get("LUM_TRACE_DEBUG") == "1"
 
+# LUM_NO_PALLAS=1 forces the pure-XLA loop body everywhere. Otherwise the
+# fused Pallas body (ops/traverse_pallas.py) runs on TPU backends — measured
+# 1.6-1.7x over the XLA body on the tree-tier bench (round 3).
+_NO_PALLAS = _os.environ.get("LUM_NO_PALLAS") == "1"
+
+
+def _use_pallas() -> bool:
+    if _NO_PALLAS:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
 INVALID_CHILD = np.int32(0x7FFFFFFF)
 
 DENSE_MAX_SLOTS = 128  # one [T, N] tile; larger scenes take the wide tree
@@ -602,6 +616,11 @@ def trace_closest(
             hit, c = _traverse_wide(bvh, o, d, tm, any_hit=False, active=act,
                                     debug_counters=True)
             jax.debug.print("closest trace: {i} iters", i=c[0])
+        elif _use_pallas():
+            from .traverse_pallas import traverse_wide_pallas
+
+            hit = traverse_wide_pallas(bvh, o, d, tm, any_hit=False,
+                                       active=act)
         else:
             hit = _traverse_wide(bvh, o, d, tm, any_hit=False, active=act)
         slot = jnp.where(act, hit.slot, -1)
@@ -642,6 +661,11 @@ def trace_occluded(
             hit, c = _traverse_wide(bvh, o, d, tm, any_hit=True, active=act,
                                     debug_counters=True, shadow=True)
             jax.debug.print("any-hit trace: {i} iters", i=c[0])
+        elif _use_pallas():
+            from .traverse_pallas import traverse_wide_pallas
+
+            hit = traverse_wide_pallas(bvh, o, d, tm, any_hit=True,
+                                       active=act, shadow=True)
         else:
             hit = _traverse_wide(bvh, o, d, tm, any_hit=True, active=act,
                                  shadow=True)

@@ -1,0 +1,492 @@
+"""Pallas fused-body BVH traversal (the round-3 performance kernel).
+
+The XLA `_traverse_wide` loop body (ops/traverse.py) was measured at
+~2.2 ms/iteration (G = 65k packets) of which only ~0.29 ms is the row gather
+plus the slab math — the rest is transposes, unfused while-body
+intermediates, iota/argmin reduction fusions, and loop-carry copies
+(docs/PERF_NOTES.md "Traversal cost decomposition"). Mosaic cannot do
+per-lane row gathers from VMEM (verified: jnp.take / take_along_axis /
+vector indexing all fail to lower — tools/proto_pallas_gather.py), so the
+mega-kernel design in the reference's dormant CWBVH traversal
+(reference: src/luminary/device/cuda/bvh.cuh:1-384 — per-thread stack
+pointer chasing) cannot be transplanted directly. The hybrid keeps what
+each level is good at:
+
+  * XLA while_loop + row gather: `rows[fetch]` is bandwidth-bound
+    (~211 GB/s measured) — XLA's native gather machinery beats anything
+    Pallas can emit for this.
+  * ONE Pallas kernel per iteration fuses the ENTIRE body: 16-child slab
+    test, 14-triangle Möller-Trumbore, pending-child selection, stack
+    push/pop — all intermediates live in VREGs/VMEM, state flows through
+    input_output_aliases, layout is lanes-major ([*, G], packets on lanes).
+
+Work-skipping on top of the fused body (the lockstep tail was measured at
+~63% waste):
+
+  * every `sort_every` iterations the packets are re-ordered by
+    (done, fetch_leaf): done packets compact to a suffix and the active
+    prefix becomes leaf/node-homogeneous per block;
+  * the kernel guards its three sections (slab, Möller-Trumbore,
+    select/stack) with `@pl.when` on per-block scalar reductions — a
+    homogeneous block runs exactly one interpretation;
+  * a scalar-prefetch block count redirects all fully-done suffix blocks
+    onto one block index, so Pallas elides their DMA entirely (revisited
+    block indices are not re-fetched / re-flushed).
+
+State packing (per G packets, PACKET=16 rays each):
+  sti i32 [56 + 2*D, G]:  rows 0:8   ctl = fetch / fetch_leaf / restore /
+                                      cur_node / sp / done / orig_blk / pad
+                          rows 8:24  pend_code
+                          rows 24:40 leaf_best
+                          rows 40:56 found
+                          rows 56:56+D   stack_node   (D = stack depth,
+                          rows 56+D:..+2D stack_mask   padded to mult of 8)
+  stf f32 [32, G]:        rows 0:16 pend_dist, rows 16:32 t_best
+  rays f32 [176, G]:      o.xyz / d.xyz / inv.xyz (16 rows each) +
+                          rows 144:160 ray_on mask (0/1) +
+                          rows 160:176 orig packet id (un-permute key)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import MISS_DIST
+from .vec import Vec3
+
+BRANCH = 16
+PACKET = 16
+WIDE_LEAF = 14
+INVALID_CHILD = np.int32(0x7FFFFFFF)
+
+# Lane-axis block per pallas grid step. 512 keeps the [16, 16, GB] slab
+# intermediates at 512 KB each so the working set stays inside VMEM.
+GB = 512
+
+# Re-sort packets by (done, fetch_leaf) every this many iterations.
+# 0 = off: measured on the tree-tier bench, every sorting cadence LOST
+# 20-45% — the lax.cond around the sort forces carry copies every iteration
+# and the column permute costs ~30 us/sort; the per-block @pl.when guards
+# capture most of the homogeneity win without moving data. The machinery
+# stays for future scenes where divergence dominates.
+SORT_EVERY = 0
+
+
+def _pad8(d: int) -> int:
+    return (d + 7) // 8 * 8
+
+
+def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float):
+    """The fused traversal-body kernel (one XLA while iteration).
+
+    Section structure (each skippable per block):
+      default : copy input state -> output state
+      slab    : node interpretation, updates pend_dist/pend_code/cur_node
+      MT      : leaf interpretation, updates t_best/leaf_best (+prune/found)
+      select  : pending-child selection + stack push/pop, updates ctl/stack
+    The select section reads what slab/MT wrote, so all sections do masked
+    read-modify-write on the OUTPUT refs (seeded by the default copy).
+    """
+    inf = np.float32(np.inf)
+    s_node0 = 56
+    s_mask0 = 56 + d_pad
+
+    def kernel(nblk_ref, sti_ref, stf_ref, rays_ref, rowt_ref,
+               osti_ref, ostf_ref):
+        real_blk = pl.program_id(0) < nblk_ref[0]
+
+        # --- default: pass state through ---
+        osti_ref[:] = sti_ref[:]
+        ostf_ref[:] = stf_ref[:]
+
+        ctl = sti_ref[0:8]                      # [8, GB]
+        done = ctl[5:6] != 0                    # [1, GB]
+        fetch_leaf = ctl[1:2] != 0
+        act = ~done
+        any_active = real_blk & jnp.any(act)
+        has_node = any_active & jnp.any(act & ~fetch_leaf)
+        has_leaf = any_active & jnp.any(act & fetch_leaf)
+
+        kid_iota = jax.lax.broadcasted_iota(jnp.int32, (BRANCH, 1), 0)
+
+        @pl.when(has_node)
+        def _slab_section():
+            rowT = rowt_ref[:]                  # [128, GB]
+            fetch = sti_ref[0:1]
+            restore = sti_ref[2:3]
+            ox = rays_ref[0:16]
+            oy = rays_ref[16:32]
+            oz = rays_ref[32:48]
+            ivx = rays_ref[96:112]
+            ivy = rays_ref[112:128]
+            ivz = rays_ref[128:144]
+            ray_on = rays_ref[144:160] > 0.0
+            found = sti_ref[40:56] != 0
+            t_best = stf_ref[16:32]
+            ray_live = ray_on & ~found & act    # [16, GB]
+
+            lo_x, hi_x = rowT[0:16], rowT[16:32]
+            lo_y, hi_y = rowT[32:48], rowT[48:64]
+            lo_z, hi_z = rowT[64:80], rowT[80:96]
+            codes = jax.lax.bitcast_convert_type(rowT[96:112], jnp.int32)
+            t1x = (lo_x[:, None, :] - ox[None]) * ivx[None]  # [16, 16, GB]
+            t2x = (hi_x[:, None, :] - ox[None]) * ivx[None]
+            t1y = (lo_y[:, None, :] - oy[None]) * ivy[None]
+            t2y = (hi_y[:, None, :] - oy[None]) * ivy[None]
+            t1z = (lo_z[:, None, :] - oz[None]) * ivz[None]
+            t2z = (hi_z[:, None, :] - oz[None]) * ivz[None]
+            enter = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.maximum(jnp.minimum(t1z, t2z), jnp.float32(t_min)),
+            )
+            leave = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.minimum(jnp.maximum(t1z, t2z), t_best[None]),
+            )
+            ok = (enter <= leave) & ray_live[None]           # [16, 16, GB]
+            in_restore = ((restore >> kid_iota) & 1) == 1    # [16, GB]
+            if any_hit:
+                dist16 = jnp.where(jnp.any(ok, axis=1), 0.0, inf)
+            else:
+                dist16 = jnp.min(jnp.where(ok, enter, inf), axis=1)
+            new_dist = jnp.where(in_restore & (codes != INVALID_CHILD),
+                                 dist16, inf)
+
+            is_node_step = act & ~fetch_leaf                 # [1, GB]
+            ostf_ref[0:16] = jnp.where(is_node_step, new_dist,
+                                       stf_ref[0:16])
+            osti_ref[8:24] = jnp.where(is_node_step, codes, sti_ref[8:24])
+            osti_ref[3:4] = jnp.where(is_node_step, fetch, sti_ref[3:4])
+
+        @pl.when(has_leaf)
+        def _mt_section():
+            rowT = rowt_ref[:]
+            fetch = sti_ref[0:1]
+            ox = rays_ref[0:16]
+            oy = rays_ref[16:32]
+            oz = rays_ref[32:48]
+            dx = rays_ref[48:64]
+            dy = rays_ref[64:80]
+            dz = rays_ref[80:96]
+            ray_on = rays_ref[144:160] > 0.0
+            found = sti_ref[40:56] != 0
+            t_best = stf_ref[16:32]
+            ray_live = ray_on & ~found & act
+
+            v0x, v0y, v0z = rowT[0:14], rowT[14:28], rowT[28:42]
+            e1x, e1y, e1z = rowT[42:56], rowT[56:70], rowT[70:84]
+            e2x, e2y, e2z = rowT[84:98], rowT[98:112], rowT[112:126]
+            dxb, dyb, dzb = dx[None], dy[None], dz[None]     # [1, 16, GB]
+            pvx = dyb * e2z[:, None, :] - dzb * e2y[:, None, :]
+            pvy = dzb * e2x[:, None, :] - dxb * e2z[:, None, :]
+            pvz = dxb * e2y[:, None, :] - dyb * e2x[:, None, :]
+            det = (e1x[:, None, :] * pvx + e1y[:, None, :] * pvy
+                   + e1z[:, None, :] * pvz)
+            parallel = jnp.abs(det) < 1e-12
+            inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+            tvx = ox[None] - v0x[:, None, :]
+            tvy = oy[None] - v0y[:, None, :]
+            tvz = oz[None] - v0z[:, None, :]
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z[:, None, :] - tvz * e1y[:, None, :]
+            qvy = tvz * e1x[:, None, :] - tvx * e1z[:, None, :]
+            qvz = tvx * e1y[:, None, :] - tvy * e1x[:, None, :]
+            v = (dxb * qvx + dyb * qvy + dzb * qvz) * inv_det
+            t = (e2x[:, None, :] * qvx + e2y[:, None, :] * qvy
+                 + e2z[:, None, :] * qvz) * inv_det
+            tri_hit = ((~parallel) & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > t_min))
+            leaf_live = ray_live & (act & fetch_leaf)        # [16, GB]
+            t = jnp.where(tri_hit & leaf_live[None], t, inf)
+            t14 = jnp.min(t, axis=0)                         # [16, GB]
+            better = t14 < t_best
+            t_best = jnp.where(better, t14, t_best)
+            ostf_ref[16:32] = t_best
+            osti_ref[24:40] = jnp.where(better, fetch, sti_ref[24:40])
+            if any_hit:
+                found2 = found | better
+                osti_ref[40:56] = found2.astype(jnp.int32)
+                done2 = done | ~jnp.any(ray_on & ~found2, axis=0,
+                                        keepdims=True)
+                osti_ref[5:6] = done2.astype(jnp.int32)
+            else:
+                # prune pending vs the packet's live-ray t_best ceiling
+                ray_live2 = ray_live
+                t_pack = jnp.max(jnp.where(ray_live2, t_best, -inf),
+                                 axis=0, keepdims=True)      # [1, GB]
+                pend = ostf_ref[0:16]
+                ostf_ref[0:16] = jnp.where(pend > t_pack, inf, pend)
+
+        @pl.when(any_active)
+        def _select_section():
+            # reads the post-slab/MT state from the OUTPUT refs
+            fetch = osti_ref[0:1]
+            fetch_leaf2 = osti_ref[1:2] != 0
+            cur_node = osti_ref[3:4]
+            sp = osti_ref[4:5]
+            done2 = osti_ref[5:6] != 0
+            pend_dist = ostf_ref[0:16]
+            pend_code = osti_ref[8:24]
+            stack_node = osti_ref[s_node0:s_node0 + d_pad]
+            stack_mask = osti_ref[s_mask0:s_mask0 + d_pad]
+            act2 = ~done2 if any_hit else act
+
+            sel_dist = jnp.min(pend_dist, axis=0, keepdims=True)  # [1, GB]
+            at_min = pend_dist == sel_dist
+            sel = jnp.min(jnp.where(at_min, kid_iota, BRANCH), axis=0,
+                          keepdims=True)
+            any_pend = sel_dist < inf
+            onehot = kid_iota == sel                              # [16, GB]
+            sel_code = jnp.sum(jnp.where(onehot, pend_code, 0), axis=0,
+                               keepdims=True)
+            go = act2 & any_pend
+            pend_dist = jnp.where(onehot & go, inf, pend_dist)
+
+            is_leaf_next = sel_code < 0
+            fetch_n = jnp.where(is_leaf_next, m_nodes + ~sel_code, sel_code)
+            remaining = jnp.sum(
+                jnp.where(pend_dist < inf, jnp.int32(1) << kid_iota, 0),
+                axis=0, keepdims=True)
+            push = go & ~is_leaf_next & (remaining != 0)
+
+            stack_node = jnp.where(
+                push, jnp.concatenate([cur_node, stack_node[:-1]], axis=0),
+                stack_node)
+            stack_mask = jnp.where(
+                push, jnp.concatenate([remaining, stack_mask[:-1]], axis=0),
+                stack_mask)
+            sp = jnp.where(push, sp + 1, sp)
+
+            can_pop = act2 & ~any_pend & (sp > 0)
+            top_node = stack_node[0:1]
+            top_mask = stack_mask[0:1]
+            stack_node = jnp.where(
+                can_pop,
+                jnp.concatenate([stack_node[1:], stack_node[-1:]], axis=0),
+                stack_node)
+            stack_mask = jnp.where(
+                can_pop,
+                jnp.concatenate([stack_mask[1:], stack_mask[-1:]], axis=0),
+                stack_mask)
+            sp = jnp.where(can_pop, sp - 1, sp)
+            done3 = done2 | (act2 & ~any_pend & ~can_pop)
+
+            fetch = jnp.where(go, fetch_n, fetch)
+            fetch = jnp.where(can_pop, top_node, fetch)
+            # NB: Mosaic cannot lower select with BOOL operands — keep the
+            # fetch_leaf flag i32 through the where.
+            fetch_leaf_i = jnp.where(
+                act2, (go & is_leaf_next).astype(jnp.int32),
+                fetch_leaf2.astype(jnp.int32))
+            full_mask = jnp.full_like(fetch, (1 << BRANCH) - 1)
+            restore = jnp.where(can_pop, top_mask, full_mask)
+
+            osti_ref[0:1] = fetch
+            osti_ref[1:2] = fetch_leaf_i
+            osti_ref[2:3] = restore
+            osti_ref[3:4] = cur_node
+            osti_ref[4:5] = sp
+            osti_ref[5:6] = done3.astype(jnp.int32)
+            osti_ref[s_node0:s_node0 + d_pad] = stack_node
+            osti_ref[s_mask0:s_mask0 + d_pad] = stack_mask
+            ostf_ref[0:16] = pend_dist
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("any_hit", "m_nodes", "d_pad", "t_min", "interpret"),
+)
+def _run_body(nblk, sti, stf, rays, rowT, *, any_hit, m_nodes, d_pad,
+              t_min, interpret):
+    g = rowT.shape[1]
+    si = 56 + 2 * d_pad
+    grid = g // GB
+    kernel = _make_body_kernel(any_hit, m_nodes, d_pad, t_min)
+
+    def imap(i, nblk_ref):
+        return (0, jnp.minimum(i, nblk_ref[0]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((si, GB), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, GB), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((176, GB), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, GB), imap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((si, GB), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, GB), imap, memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((si, g), jnp.int32),
+            jax.ShapeDtypeStruct((32, g), jnp.float32),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interpret,
+    )(nblk, sti, stf, rays, rowT)
+
+
+def _permute_cols(a, perm):
+    """Permute the LANE axis of [R, G] via transpose + row gather (XLA
+    column gathers are strided and slow; this stays bandwidth-bound)."""
+    return a.T[perm].T
+
+
+def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
+                         any_hit: bool, t_min: float = 1e-4, active=None,
+                         shadow: bool = False, interpret: bool = False,
+                         sort_every: int = SORT_EVERY):
+    """Drop-in replacement for ops.traverse._traverse_wide (PACKET=16 only).
+
+    Same state machine and numerics as the XLA path; the body runs as one
+    fused Pallas kernel per while iteration, with periodic packet
+    compaction. `interpret=True` runs the kernel in the Pallas interpreter
+    (CPU correctness tests). `sort_every=0` disables compaction.
+    """
+    from .traverse import _safe_inv, Hit  # local import to avoid a cycle
+
+    rows = (bvh.rows_shadow if (shadow and bvh.rows_shadow is not None)
+            else bvh.rows)
+    m_nodes = int(bvh.num_nodes)
+    d_pad = _pad8(max(int(bvh.depth), 1))
+    n_in = origin.x.shape[0]
+    if active is None:
+        active = jnp.ones((n_in,), bool)
+
+    # Pad the wavefront to a full GB*PACKET multiple with inactive rays.
+    pad = (-n_in) % (PACKET * GB)
+    if pad:
+        def padv(v):
+            return Vec3(
+                jnp.concatenate([v.x, jnp.zeros((pad,), v.x.dtype)]),
+                jnp.concatenate([v.y, jnp.zeros((pad,), v.y.dtype)]),
+                jnp.concatenate([v.z, jnp.ones((pad,), v.z.dtype)]),
+            )
+        origin = padv(origin)
+        direction = padv(direction)
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
+        active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+    n = n_in + pad
+    g = n // PACKET
+    nblocks = g // GB
+
+    def to_pg(x):  # [N] -> [PACKET, G]
+        return x.reshape(g, PACKET).T
+
+    o_pg = Vec3(to_pg(origin.x), to_pg(origin.y), to_pg(origin.z))
+    d_pg = Vec3(to_pg(direction.x), to_pg(direction.y), to_pg(direction.z))
+    inv_pg = _safe_inv(d_pg)
+    ray_on = to_pg(active)
+    orig_id = jax.lax.broadcasted_iota(jnp.float32, (PACKET, g), 1)
+
+    rays = jnp.concatenate([
+        o_pg.x, o_pg.y, o_pg.z, d_pg.x, d_pg.y, d_pg.z,
+        inv_pg.x, inv_pg.y, inv_pg.z, ray_on.astype(jnp.float32),
+        orig_id,
+    ], axis=0)                                            # [176, G]
+
+    si = 56 + 2 * d_pad
+    full_mask = np.int32((1 << BRANCH) - 1)
+    done0 = ~jnp.any(ray_on, axis=0)
+    sti = jnp.zeros((si, g), jnp.int32)
+    sti = sti.at[2].set(full_mask)                        # restore
+    sti = sti.at[5].set(done0.astype(jnp.int32))          # done
+    sti = sti.at[24:40].set(-1)                           # leaf_best
+    t_best0 = to_pg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
+    stf = jnp.concatenate([
+        jnp.full((16, g), np.inf, jnp.float32), t_best0], axis=0)
+
+    def cond(st):
+        sti = st[0]
+        return jnp.any(sti[5] == 0)
+
+    def body(st):
+        sti, stf, rays, nblk, it = st
+        if sort_every:
+            def do_sort(args):
+                sti, stf, rays = args
+                done_f = sti[5]
+                key = done_f * 2 + sti[1]                 # done, fetch_leaf
+                perm = jnp.argsort(key)
+                sti = _permute_cols(sti, perm)
+                stf = _permute_cols(stf, perm)
+                rays = _permute_cols(rays, perm)
+                n_act = jnp.sum((sti[5] == 0).astype(jnp.int32))
+                nblk2 = ((n_act + GB - 1) // GB).reshape(1)
+                return sti, stf, rays, nblk2
+
+            def no_sort(args):
+                sti, stf, rays = args
+                return sti, stf, rays, nblk
+
+            sti, stf, rays, nblk = jax.lax.cond(
+                it % sort_every == 0, do_sort, no_sort, (sti, stf, rays))
+        fetch = jnp.where(sti[5] == 0, sti[0], 0)
+        rowT = rows[fetch].T                              # [128, G]
+        sti, stf = _run_body(
+            nblk, sti, stf, rays, rowT, any_hit=any_hit, m_nodes=m_nodes,
+            d_pad=d_pad, t_min=t_min, interpret=interpret)
+        return (sti, stf, rays, nblk, it + 1)
+
+    nblk0 = jnp.asarray([nblocks], jnp.int32)
+    sti, stf, rays, _, _ = jax.lax.while_loop(
+        cond, body, (sti, stf, rays, nblk0, jnp.int32(0)))
+
+    if sort_every:
+        # un-permute: the orig packet id rides rays rows 160:176
+        inv = jnp.argsort(rays[160].astype(jnp.int32))
+        sti = _permute_cols(sti, inv)
+        stf = _permute_cols(stf, inv)
+    t_best = stf[16:32]
+    leaf_best = sti[24:40]
+    found = sti[40:56] != 0
+
+    def from_pg(x):  # [PACKET, G] -> [N_in]
+        return x.T.reshape(n)[:n_in]
+
+    if any_hit:
+        found_out = from_pg(found)
+        z = jnp.zeros((n_in,), jnp.float32)
+        return Hit(
+            t=jnp.where(found_out, z, MISS_DIST),
+            slot=jnp.where(found_out, 0, -1),
+            u=z, v=z,
+        )
+
+    # Post-loop re-intersection of the winning leaf row (same as XLA path).
+    from .intersect import ray_triangle
+    leaf_out = from_pg(leaf_best)
+    valid = leaf_out >= 0
+    t_out = jnp.where(valid, from_pg(t_best), MISS_DIST)
+    rowT2 = rows[jnp.where(valid, leaf_out, m_nodes)].T   # [128, N]
+    o1 = Vec3(origin.x[:n_in][None], origin.y[:n_in][None],
+              origin.z[:n_in][None])
+    d1 = Vec3(direction.x[:n_in][None], direction.y[:n_in][None],
+              direction.z[:n_in][None])
+    tv0 = Vec3(rowT2[0:14], rowT2[14:28], rowT2[28:42])
+    te1 = Vec3(rowT2[42:56], rowT2[56:70], rowT2[70:84])
+    te2 = Vec3(rowT2[84:98], rowT2[98:112], rowT2[112:126])
+    t2, u2, v2, hit2 = ray_triangle(o1, d1, tv0, te1, te2, t_min=t_min)
+    t2 = jnp.where(hit2, t2, jnp.float32(np.inf))
+    k = jnp.argmin(t2, axis=0).astype(jnp.int32)
+    oh = jax.lax.broadcasted_iota(jnp.int32, (WIDE_LEAF, 1), 0) == k[None, :]
+    u_out = jnp.sum(jnp.where(oh, u2, 0.0), axis=0)
+    v_out = jnp.sum(jnp.where(oh, v2, 0.0), axis=0)
+    slot_out = jnp.where(valid, (leaf_out - m_nodes) * WIDE_LEAF + k, -1)
+    u_out = jnp.where(valid, u_out, 0.0)
+    v_out = jnp.where(valid, v_out, 0.0)
+    return Hit(t=t_out, slot=slot_out, u=u_out, v=v_out)

@@ -134,7 +134,7 @@ class DeviceScene(NamedTuple):
     shade_rows: jnp.ndarray  # f32 [P, 48] — see SHADE_* column map below
     # Slim per-slot rows for NEE candidate evaluation (LSR_* columns): RIS
     # gathers one of these per candidate, 3x less traffic than a shade row.
-    light_slot_rows: jnp.ndarray  # f32 [P, 16]
+    light_slot_rows: jnp.ndarray  # f32 [P, 18]
 
 
 # Shade-row column map: ONE gather per hit fetches everything shading needs.
@@ -169,14 +169,19 @@ SHADE_LUM_TEX = 47     # bitcast i32
 SHADE_LOD_BASE = 48    # log2(PAGE_RES * sqrt(uv_area / world_area))
 SHADE_COLS = 56
 
-# light-sample row columns (light_slot_rows [P, 16])
+# light-sample row columns (light_slot_rows [P, 18])
 LSR_V0 = 0
 LSR_E1 = 3
 LSR_E2 = 6
 LSR_FACE_N = 9
 LSR_EMISSION = 12
 LSR_AREA = 15
-LSR_COLS = 16
+# The slot's ALIAS-table selection pdf — the nominal MIS pdf shared with the
+# BSDF-hit side (shade row SHADE_SEL_PDF), regardless of which RIS candidate
+# process (alias or light tree) actually drew the slot. Keeping MIS on one
+# pdf function for both strategies keeps the balance weights summing to 1.
+LSR_SELECT_PDF = 16
+LSR_COLS = 18
 
 
 def pack_light_slot_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
@@ -199,6 +204,7 @@ def pack_light_slot_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
     rows[:, LSR_EMISSION + 1] = np.asarray(materials.emission_g)[m]
     rows[:, LSR_EMISSION + 2] = np.asarray(materials.emission_b)[m]
     rows[:, LSR_AREA] = np.asarray(lights.slot_area)
+    rows[:, LSR_SELECT_PDF] = np.asarray(lights.slot_select_pdf)
     return rows
 
 
@@ -614,12 +620,17 @@ def pack_geometry(scene: Scene, topo=None) -> DeviceSceneGeo:
         wide = topo
         refit = True
     else:
-        from ..bvh.native import build_bvh_native
+        from ..bvh.native import build_bvh_native, build_wide_native
 
-        bvh2 = build_bvh_native(corners, leaf_size=LEAF_SIZE)
-        if bvh2 is None:
-            bvh2 = build_bvh(corners, leaf_size=LEAF_SIZE)
-        wide = collapse_bvh8(bvh2)
+        # Preferred: the one-pass native wide build (quality collapse —
+        # flattened small subtrees, pooled full leaf blocks). Fallback:
+        # numpy BVH2 + greedy python collapse.
+        wide = build_wide_native(corners)
+        if wide is None:
+            bvh2 = build_bvh_native(corners, leaf_size=LEAF_SIZE)
+            if bvh2 is None:
+                bvh2 = build_bvh(corners, leaf_size=LEAF_SIZE)
+            wide = collapse_bvh8(bvh2)
         refit = False
         info_message(
             "BVH8 built: %d tris, %d wide nodes, %d leaf blocks, depth %d",

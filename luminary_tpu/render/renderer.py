@@ -261,7 +261,10 @@ class Renderer:
                 max_depth=max(int(s.max_ray_depth), 1),
                 chunk=chunk,
                 shading_mode=int(s.shading_mode),
-                ris_candidates=max(int(s.light_ris_candidates), 1),
+                # clamped to 8: the per-candidate random sub-stream strides
+                # by 8 (wavefront.py dk = depth*8 + k), so K > 8 would
+                # correlate NEE samples across bounces
+                ris_candidates=min(max(int(s.light_ris_candidates), 1), 8),
                 use_textures=len(self.scene.textures) > 0,
                 use_aux_textures=any(
                     m.roughness_tex != TEXTURE_NONE
@@ -351,9 +354,12 @@ class Renderer:
         else:
             lights = self.device_scene.lights
         # K RIS candidates beyond the emitter count are pure waste (drawing
-        # the same light repeatedly); clamp statically at pack time.
+        # the same light repeatedly); clamp statically at pack time. Also
+        # clamped to 8: the per-candidate random sub-stream strides by 8
+        # (wavefront.py dk = depth*8 + k) — more would collide with the
+        # next depth's streams and correlate NEE across bounces.
         k_eff = max(
-            min(max(int(s.light_ris_candidates), 1),
+            min(max(int(s.light_ris_candidates), 1), 8,
                 max(int(lights.num_lights), 1)),
             1,
         )

@@ -579,8 +579,9 @@ def render_sample(
                 cand = dict(slot=t_slot, pdf_select=t_pdf, sel_valid=t_valid)
             else:
                 cand = {}
-            l_slot, l_point, l_n, pdf_area, (le_r, le_g, le_b), l_valid, \
-                (l_b1, l_b2) = sample_light_point(
+            l_slot, l_point, l_n, pdf_area, pdf_area_alias, \
+                (le_r, le_g, le_b), l_valid, (l_b1, l_b2) = \
+                sample_light_point(
                     lights, scene.light_slot_rows if use_rows else None,
                     pixel_id, sample_id, dk,
                     geo=geo, materials=mats, **cand,
@@ -596,6 +597,12 @@ def render_sample(
             )
             cos_l = -dot(l_n, l_dir)  # one-sided emitter
             pdf_l_sa = pdf_area * dist * dist / jnp.maximum(cos_l, 1e-8)
+            # the nominal MIS pdf: ALWAYS the alias-table pdf of the slot —
+            # the same pdf function the BSDF-hit side evaluates — even when
+            # the candidate itself came from a light-tree descent. RIS uses
+            # the true candidate pdf in w_k below; MIS must not.
+            pdf_mis_sa = (pdf_area_alias * dist * dist
+                          / jnp.maximum(cos_l, 1e-8))
             cos_s = dot(l_dir, ns)
             cand_ok = (
                 nee_lane
@@ -625,7 +632,7 @@ def render_sample(
                 r_k = random_1d(RandomTarget.LIGHT_RIS, pixel_id, sample_id, dk)
                 take = (r_k * wsum < w_k) & (w_k > 0.0)
             sel_phat = jnp.where(take, phat, sel_phat)
-            sel_pdf_sa = jnp.where(take, pdf_l_sa, sel_pdf_sa)
+            sel_pdf_sa = jnp.where(take, pdf_mis_sa, sel_pdf_sa)
             sel_le = tuple(jnp.where(take, c, s) for c, s in zip(
                 (le_r, le_g, le_b), sel_le))
             sel_dir = vwhere(take, l_dir, sel_dir)
