@@ -15,6 +15,7 @@ correct sun:sky ratio then follows from the scattering integrals.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .vec import Vec3, dot as vdot, normalize
@@ -202,6 +203,56 @@ def moon_radiance(sky, d: Vec3):
         in_disc, lambert * mottle * (MOON_ALBEDO / jnp.pi) * SUN_IRRADIANCE, 0.0
     )
     return radiance, in_disc
+
+
+def sample_env_direction(sky, pixel_id, sample_id, depth):
+    """Draw a direction toward the environment by cell importance
+    (reference: direct_lighting ambient + sky_hdri.cuh importance).
+
+    One alias-row gather picks a lat-long cell; the direction is uniform
+    within the cell (piecewise-constant pdf). Returns (dir Vec3, pdf_sr [N]).
+    Consumes RandomTarget.LIGHT_AMBIENT sub-streams 2*depth (select) and
+    2*depth+1 (jitter).
+    """
+    from .random import RandomTarget, random_2d
+
+    k = sky.env_alias_rows.shape[0]
+    ch = sky.env_ch.astype(jnp.float32)
+    cw = sky.env_cw.astype(jnp.float32)
+    r = random_2d(RandomTarget.LIGHT_AMBIENT, pixel_id, sample_id, 2 * depth)
+    idx = jnp.minimum((r[..., 0] * k).astype(jnp.int32), k - 1)
+    row = sky.env_alias_rows[idx]  # [N, 8]
+    take_alias = r[..., 1] >= row[:, 0]
+    cell = jax.lax.bitcast_convert_type(
+        jnp.where(take_alias, row[:, 3], row[:, 1]), jnp.int32)
+    pdf_sr = jnp.where(take_alias, row[:, 4], row[:, 2])
+    cy = (cell // sky.env_cw).astype(jnp.float32)
+    cx = (cell % sky.env_cw).astype(jnp.float32)
+    j = random_2d(RandomTarget.LIGHT_AMBIENT, pixel_id, sample_id,
+                  2 * depth + 1)
+    # uniform within the cell's solid angle: phi uniform, cos(theta) uniform
+    # between the band edges (the pdf/sr is constant per cell by build)
+    phi = (cx + j[..., 0]) / cw * (2.0 * jnp.pi)
+    ct0 = jnp.cos(cy / ch * jnp.pi)
+    ct1 = jnp.cos((cy + 1.0) / ch * jnp.pi)
+    ct = ct0 + (ct1 - ct0) * j[..., 1]
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    d = Vec3(jnp.cos(phi) * st, ct, jnp.sin(phi) * st)
+    return d, pdf_sr
+
+
+def env_pdf(sky, d: Vec3) -> jnp.ndarray:
+    """pdf/sr that sample_env_direction would have produced `d` — the MIS
+    counterpart for BSDF-sampled rays that escape to the sky."""
+    ch = sky.env_ch
+    cw = sky.env_cw
+    theta = jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
+    phi = jnp.arctan2(d.z, d.x) % (2.0 * jnp.pi)
+    cy = jnp.clip((theta * (1.0 / jnp.pi) * ch.astype(jnp.float32))
+                  .astype(jnp.int32), 0, ch - 1)
+    cx = jnp.clip((phi * (0.5 / jnp.pi) * cw.astype(jnp.float32))
+                  .astype(jnp.int32), 0, cw - 1)
+    return sky.env_cell_pdf[cy * cw + cx]
 
 
 def sun_solid_angle_radiance(sky) -> jnp.ndarray:

@@ -97,6 +97,17 @@ class DeviceSky(NamedTuple):
     env_rows: jnp.ndarray  # f32 [He*We, 8] — see class docstring
     env_h: jnp.ndarray  # i32 scalar
     env_w: jnp.ndarray  # i32 scalar
+    # Environment NEE distribution (reference: sky_hdri.cuh importance +
+    # direct_lighting ambient): a COARSE cell grid over the lat-long map
+    # (tight enough for MIS; alias selection costs ONE row gather). Rows:
+    # prob, own cell (bitcast i32), own pdf/sr, alias cell, alias pdf/sr,
+    # pad x3. env_cell_pdf is the per-cell pdf/sr for the BSDF-miss MIS
+    # lookup. env_nee_total = 0 disables the strategy (no env light).
+    env_alias_rows: jnp.ndarray  # f32 [Kc, 8]
+    env_cell_pdf: jnp.ndarray  # f32 [Kc]
+    env_ch: jnp.ndarray  # i32 scalar — cell-grid height
+    env_cw: jnp.ndarray  # i32 scalar — cell-grid width
+    env_nee_total: jnp.ndarray  # f32 scalar
     sun_disc_radiance: jnp.ndarray  # f32 [3] transmittance-tinted disc radiance
     geometry_offset: jnp.ndarray  # f32 [3]
     moon_dir: jnp.ndarray  # f32 [3] unit, toward moon
@@ -499,6 +510,9 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
             env = _bake_hdri_extras(scene, np.asarray(env), sun_dir, sun_disc)
         env = np.asarray(env)
 
+    alias_rows, cell_pdf, ch, cw, nee_total = _build_env_nee(
+        np.asarray(env), is_constant
+    )
     return DeviceSky(
         mode=np.int32(int(sky.mode)),
         constant_color=np.asarray(sky.constant_color, np.float32),
@@ -507,6 +521,11 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         env_rows=env_to_rows(np.asarray(env)),
         env_h=np.int32(env.shape[0]),
         env_w=np.int32(env.shape[1]),
+        env_alias_rows=alias_rows,
+        env_cell_pdf=cell_pdf,
+        env_ch=np.int32(ch),
+        env_cw=np.int32(cw),
+        env_nee_total=np.float32(nee_total),
         sun_disc_radiance=sun_disc,
         geometry_offset=np.asarray(sky.geometry_offset, np.float32),
         moon_dir=sun_direction(sky.moon_azimuth, sky.moon_altitude),
@@ -515,6 +534,55 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         stars_count=np.int32(sky.stars_count),
         stars_intensity=np.float32(sky.stars_intensity),
     )
+
+
+def _build_env_nee(env: np.ndarray, is_constant: bool):
+    """Cell-grid importance distribution over the baked env map.
+
+    Cells aggregate texel luminance x solid angle; sampling draws a cell via
+    ONE alias-row gather and jitters uniformly inside it (piecewise-constant
+    pdf — coarse is fine under MIS). Mirrors the role of the reference's
+    HDRI importance data (sky_hdri.cuh) without a per-texel CDF walk.
+    """
+    from ..ops.lights import build_alias_table
+
+    h, w = env.shape[0], env.shape[1]
+    ch = int(min(64, max(h, 1)))
+    cw = int(min(128, max(w, 1)))
+    if is_constant or h < 4:
+        return (np.zeros((1, 8), np.float32), np.zeros((1,), np.float32),
+                1, 1, 0.0)
+    lum = (0.2126 * env[..., 0] + 0.7152 * env[..., 1]
+           + 0.0722 * env[..., 2]).astype(np.float64)
+    # mean luminance per cell (block-reduce with edge-inclusive bins)
+    ys = (np.arange(h) * ch // h).clip(0, ch - 1)
+    xs = (np.arange(w) * cw // w).clip(0, cw - 1)
+    cell_sum = np.zeros((ch, cw), np.float64)
+    cell_cnt = np.zeros((ch, cw), np.float64)
+    np.add.at(cell_sum, (ys[:, None], xs[None, :]),
+              lum * np.ones((1, w)))
+    np.add.at(cell_cnt, (ys[:, None], xs[None, :]), np.ones((h, w)))
+    cell_mean = cell_sum / np.maximum(cell_cnt, 1.0)
+    # cell solid angle: (2pi/cw) * (cos(theta_top) - cos(theta_bot))
+    theta = np.linspace(0.0, np.pi, ch + 1)
+    band = np.cos(theta[:-1]) - np.cos(theta[1:])
+    omega = (2.0 * np.pi / cw) * band[:, None] * np.ones((1, cw))
+    weight = (cell_mean * omega).reshape(-1)
+    total = float(weight.sum())
+    if total <= 0.0:
+        return (np.zeros((1, 8), np.float32), np.zeros((1,), np.float32),
+                1, 1, 0.0)
+    p_cell = weight / total
+    pdf_sr = (p_cell / np.maximum(omega.reshape(-1), 1e-12)).astype(np.float32)
+    prob, alias = build_alias_table(weight)
+    k = weight.shape[0]
+    rows = np.zeros((k, 8), np.float32)
+    rows[:, 0] = prob
+    rows[:, 1] = np.arange(k, dtype=np.int32).view(np.float32)
+    rows[:, 2] = pdf_sr
+    rows[:, 3] = alias.astype(np.int32).view(np.float32)
+    rows[:, 4] = pdf_sr[alias]
+    return rows, pdf_sr, ch, cw, total
 
 
 def flatten_instances(scene: Scene):

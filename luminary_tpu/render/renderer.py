@@ -284,6 +284,17 @@ class Renderer:
                 use_bridges=bool(self.scene.fog.active),
                 bridge_vertices=min(max(int(s.bridge_max_num_vertices), 1), 4),
                 use_physical_camera=bool(self.scene.camera.use_physical_camera),
+                # Env NEE: DEFAULT/HDRI skies only, and not under the cloud
+                # march (clouds land on the miss side only — MIS pairing
+                # against an un-clouded NEE estimate would bias).
+                env_nee=bool(
+                    getattr(s, "ambient_nee", True)
+                    and int(self.scene.sky.mode) != 2
+                    and not (
+                        _cloud_layers(self.scene.cloud)
+                        and int(self.scene.sky.mode) != 1
+                    )
+                ),
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)

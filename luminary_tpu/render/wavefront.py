@@ -113,6 +113,11 @@ class RenderConfig(NamedTuple):
     use_bridges: bool = False
     bridge_vertices: int = 1
     use_physical_camera: bool = False  # static: lens-stack primary rays
+    # Environment-map NEE (reference: direct_lighting ambient tasks +
+    # sky_hdri.cuh): a 3rd shadow-ray class sampled from the baked env's
+    # cell importance, MIS-paired with BSDF-sampled sky misses. Gated off
+    # under the cloud march (clouds only affect the miss side).
+    env_nee: bool = False
 
 
 class GBufferMeta(NamedTuple):
@@ -242,6 +247,7 @@ def render_sample(
     miss_dir = Vec3(zeros, zeros, zeros)
     miss_thr_r, miss_thr_g, miss_thr_b = zeros, zeros, zeros
     miss_sun_weight = zeros
+    miss_env_weight = ones  # MIS weight of the env map vs env NEE
     ever_missed = jnp.zeros((n,), bool)
 
     gbuffer = GBufferMeta(
@@ -286,6 +292,16 @@ def render_sample(
         miss_thr_g = jnp.where(missed, thr_g, miss_thr_g)
         miss_thr_b = jnp.where(missed, thr_b, miss_thr_b)
         miss_sun_weight = jnp.where(missed, w_sun, miss_sun_weight)
+        if config.env_nee:
+            # MIS against the ambient strategy (the env-NEE pdf of this
+            # escape direction); the sun disc keeps its own pairing above
+            from ..ops.sky import env_pdf
+
+            w_env = jnp.where(
+                prev_delta, 1.0,
+                mis_balance(prev_pdf, env_pdf(scene.sky, direction)),
+            )
+            miss_env_weight = jnp.where(missed, w_env, miss_env_weight)
         ever_missed = ever_missed | missed
         active = hit_lane | vol_lane
 
@@ -682,26 +698,66 @@ def render_sample(
             le_g = jnp.where(wlum >= 0, le_g * wlg, le_g)
             le_b = jnp.where(wlum >= 0, le_b * wlb, le_b)
         rays_traced = rays_traced + jnp.sum(light_candidate.astype(jnp.float32))
-        # Both NEE visibility queries ride ONE batched any-hit trace (2N rays,
-        # one lockstep walk): sun rays in the front half, light rays in the
-        # back (reference fires them from one shadow kernel too,
-        # optix_kernel_shadow.cu).
-        def _cat(a, b):
-            return jnp.concatenate([a, b])
 
-        shadow_o = Vec3(_cat(shadow_origin.x, shadow_origin.x),
-                        _cat(shadow_origin.y, shadow_origin.y),
-                        _cat(shadow_origin.z, shadow_origin.z))
-        shadow_d = Vec3(_cat(sun_dir_s.x, l_dir.x),
-                        _cat(sun_dir_s.y, l_dir.y),
-                        _cat(sun_dir_s.z, l_dir.z))
-        shadow_t = _cat(jnp.full((n,), MISS_DIST), dist - 2.0 * _RAY_EPS)
-        shadow_act = _cat(sun_candidate, light_candidate)
+        # ---- NEE strategy 3: the environment (reference: direct_lighting
+        # ambient tasks + sky_hdri.cuh importance). One alias-cell draw per
+        # vertex; Le is the full no-disc sky (the disc pairs with the sun
+        # strategy). MIS vs BSDF sampling; the BSDF-miss side applies the
+        # matching weight (miss_env_weight above). ----
+        if config.env_nee:
+            from ..ops.sky import sample_env_direction
+
+            env_dir, pdf_env = sample_env_direction(
+                scene.sky, pixel_id, sample_id, depth)
+            (fe_r, fe_g, fe_b), pdf_b_env = frame_eval(
+                lane_mat, frame, lane_mat.roughness, env_dir)
+            phase_env = hg_phase(dot(direction, env_dir), fog.g)
+            fe_r = jnp.where(vol_lane, phase_env, fe_r)
+            fe_g = jnp.where(vol_lane, phase_env, fe_g)
+            fe_b = jnp.where(vol_lane, phase_env, fe_b)
+            pdf_b_env = jnp.where(vol_lane, phase_env, pdf_b_env)
+            env_candidate = (
+                nee_lane
+                & (pdf_env > 1e-12)
+                & (scene.sky.env_nee_total > 0.0)
+                & (vol_lane | (dot(env_dir, ns) > 0.0))
+            )
+            rays_traced = rays_traced + jnp.sum(
+                env_candidate.astype(jnp.float32))
+            env_le = sky_radiance(scene.sky, env_dir, include_sun=False)
+            t_fog_env = fog_transmittance(fog, shadow_origin, env_dir, 1e7)
+            twe_r, twe_g, twe_b = water_transmittance(
+                scene.water, shadow_origin, env_dir, 1e7)
+            w_mis_env = mis_balance(pdf_env, pdf_b_env)
+        # All NEE visibility queries ride ONE batched any-hit trace (2N or
+        # 3N rays, one lockstep walk): sun rays, then area-light rays, then
+        # env rays (reference fires them from one shadow kernel too,
+        # optix_kernel_shadow.cu).
+        seg_d = [sun_dir_s, l_dir]
+        seg_t = [jnp.full((n,), MISS_DIST), dist - 2.0 * _RAY_EPS]
+        seg_a = [sun_candidate, light_candidate]
+        if config.env_nee:
+            seg_d.append(env_dir)
+            seg_t.append(jnp.full((n,), MISS_DIST))
+            seg_a.append(env_candidate)
+        k_seg = len(seg_d)
+
+        def _cat(parts):
+            return jnp.concatenate(parts)
+
+        shadow_o = Vec3(_cat([shadow_origin.x] * k_seg),
+                        _cat([shadow_origin.y] * k_seg),
+                        _cat([shadow_origin.z] * k_seg))
+        shadow_d = Vec3(_cat([d.x for d in seg_d]),
+                        _cat([d.y for d in seg_d]),
+                        _cat([d.z for d in seg_d]))
+        shadow_t = _cat(seg_t)
+        shadow_act = _cat(seg_a)
         occ = trace_occluded(
             geo.bvh, shadow_o, shadow_d, shadow_t,
             chunk=config.chunk, active=shadow_act,
         )
-        sun_occluded, l_occluded = occ[:n], occ[n:]
+        sun_occluded, l_occluded = occ[:n], occ[n:2 * n]
         # cutout transparency along the shadow rays (alpha-aware shadows;
         # static no-op when the scene has no cutout materials)
         if geo.bvh.has_cutouts:
@@ -709,9 +765,10 @@ def render_sample(
                 geo.bvh, shadow_o, shadow_d, shadow_t,
                 chunk=config.chunk, active=shadow_act & ~occ,
             )
-            tr_sun, tr_l = trans[:n], trans[n:]
+            tr_sun, tr_l = trans[:n], trans[n:2 * n]
+            tr_env = trans[2 * n:] if config.env_nee else 1.0
         else:
-            tr_sun = tr_l = 1.0
+            tr_sun = tr_l = tr_env = 1.0
         w_mis_sun = mis_balance(pdf_sun, pdf_b_sun)
         sun_w = jnp.where(sun_candidate & ~sun_occluded,
                           SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun * tr_sun,
@@ -734,6 +791,16 @@ def render_sample(
         rad_r = rad_r + thr_r * fl_r * le_r * twl_r * l_w
         rad_g = rad_g + thr_g * fl_g * le_g * twl_g * l_w
         rad_b = rad_b + thr_b * fl_b * le_b * twl_b * l_w
+        if config.env_nee:
+            env_occluded = occ[2 * n:]
+            env_w = jnp.where(
+                env_candidate & ~env_occluded,
+                w_mis_env / jnp.maximum(pdf_env, 1e-12) * t_fog_env * tr_env,
+                0.0,
+            )
+            rad_r = rad_r + thr_r * fe_r * env_le.x * twe_r * env_w
+            rad_g = rad_g + thr_g * fe_g * env_le.y * twe_g * env_w
+            rad_b = rad_b + thr_b * fe_b * env_le.z * twe_b * env_w
 
         # ---- bridge volume NEE: volume vertices connect to the winner
         # light through 1..bridge_vertices scattering events (reference:
@@ -878,6 +945,7 @@ def render_sample(
                     miss_dir.x, miss_dir.y, miss_dir.z,
                     miss_thr_r, miss_thr_g, miss_thr_b,
                     miss_sun_weight,
+                    miss_env_weight,
                     ever_missed.astype(jnp.float32),
                     jax.lax.bitcast_convert_type(
                         pixel_id.astype(jnp.uint32), jnp.float32),
@@ -896,24 +964,27 @@ def render_sample(
                 miss_thr_r, miss_thr_g, miss_thr_b = (
                     cols[:, 18], cols[:, 19], cols[:, 20])
                 miss_sun_weight = cols[:, 21]
-                ever_missed = cols[:, 22] > 0.5
+                miss_env_weight = cols[:, 22]
+                ever_missed = cols[:, 23] > 0.5
                 pixel_id = jax.lax.bitcast_convert_type(
-                    cols[:, 23], jnp.uint32)
-                sample_id = jax.lax.bitcast_convert_type(
                     cols[:, 24], jnp.uint32)
+                sample_id = jax.lax.bitcast_convert_type(
+                    cols[:, 25], jnp.uint32)
                 orig_lane = jax.lax.bitcast_convert_type(
-                    cols[:, 25], jnp.int32)
+                    cols[:, 26], jnp.int32)
                 medium = jax.lax.bitcast_convert_type(
-                    cols[:, 26], jnp.uint32)
+                    cols[:, 27], jnp.uint32)
 
     # ---- deferred sky: one SH evaluation for all recorded misses ----
     safe_dir = vwhere(ever_missed, miss_dir, Vec3.of(0.0, 1.0, 0.0, like=miss_dir))
     sky_rgb = sky_radiance(scene.sky, safe_dir, include_sun=False)
     in_sun_disc = dot(safe_dir, sun_v) >= SUN_COS_RADIUS
     disc_w = jnp.where(in_sun_disc, miss_sun_weight, 0.0)
-    sky_r = sky_rgb.x + sun_radiance[0] * disc_w
-    sky_g = sky_rgb.y + sun_radiance[1] * disc_w
-    sky_b = sky_rgb.z + sun_radiance[2] * disc_w
+    # env MIS weight pairs with the ambient NEE strategy (1.0 when off)
+    env_w_m = miss_env_weight if config.env_nee else 1.0
+    sky_r = sky_rgb.x * env_w_m + sun_radiance[0] * disc_w
+    sky_g = sky_rgb.y * env_w_m + sun_radiance[1] * disc_w
+    sky_b = sky_rgb.z * env_w_m + sun_radiance[2] * disc_w
     if config.use_clouds:
         from ..ops.clouds import cloud_march
 

@@ -106,6 +106,11 @@ class RendererSettings:
     bridge_max_num_vertices: int = 1
     # K resampled NEE candidates per path vertex (RIS; reference ris.cuh).
     light_ris_candidates: int = 4
+    # Environment-map NEE (reference: direct_lighting ambient tasks +
+    # sky_hdri.cuh). Active for DEFAULT (clear) and HDRI skies; the renderer
+    # gates it off when the cloud march runs (clouds are only applied on the
+    # BSDF-miss side, so MIS pairing would bias).
+    ambient_nee: bool = True
     # Re-sort the wavefront between depths by traversal coherence
     # (tasks_sort analog; measured net-negative on the benchmark scene, so
     # opt-in).
