@@ -42,6 +42,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--depth", type=int, default=None, help="max ray depth")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument(
+        "--mesh", type=int, default=None, metavar="N",
+        help="render on an N-device mesh (sample-axis data parallelism; "
+        "reference: multi-GPU sample distribution)",
+    )
     return p
 
 
@@ -50,7 +55,7 @@ def main(argv=None) -> int:
     if args.verbose:
         set_verbosity(LogLevel.INFO)
 
-    host = Host(samples_per_step=8)
+    host = Host(samples_per_step=8, mesh=args.mesh)
     ext = os.path.splitext(args.scene)[1].lower()
     t0 = time.monotonic()
     sample_target = 64

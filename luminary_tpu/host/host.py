@@ -62,7 +62,12 @@ class Host:
         device_mask: int = 0xFFFFFFFF,
         samples_per_step: int = 4,
         asynchronous: bool = False,
+        mesh=None,
     ):
+        """mesh: multi-chip rendering (reference: DeviceManager's multi-GPU
+        sample distribution, device_manager.c). Pass a jax.sharding.Mesh
+        with a "samples" axis, or an int N to build one over the first N
+        devices; None = single chip."""
         import threading
 
         self.scene = Scene()
@@ -70,6 +75,17 @@ class Host:
         self._renderer_lock = threading.RLock()
         self._device_mask = device_mask
         self._samples_per_step = samples_per_step
+        if isinstance(mesh, int):
+            import jax as _jax
+
+            from ..parallel.mesh import make_sample_mesh
+
+            devs = _jax.devices()
+            if mesh > len(devs):
+                raise ValueError(
+                    f"mesh={mesh} devices requested, {len(devs)} available")
+            mesh = make_sample_mesh(devs[:mesh]) if mesh > 1 else None
+        self._mesh = mesh
         self._requests: dict[int, OutputRequest] = {}
         self._fulfilled: dict[int, int] = {}  # promise -> output handle
         self._next_promise = 0
@@ -99,7 +115,7 @@ class Host:
         if self._renderer is None:
             with self._renderer_lock:
                 if self._renderer is None:
-                    self._renderer = Renderer(self.scene)
+                    self._renderer = Renderer(self.scene, mesh=self._mesh)
         return self._renderer
 
     def destroy(self):

@@ -55,7 +55,7 @@ def distributed_sample_step(mesh: Mesh, config: RenderConfig):
 
     def body(scene, cam, px, py, rad_accum, lum_accum, sample_base):
         sid = sample_base + jax.lax.axis_index("samples").astype(jnp.uint32)
-        radiance, _, _ = render_sample(scene, cam, config, px, py, sid)
+        radiance, gbuf, rays = render_sample(scene, cam, config, px, py, sid)
         radiance = jnp.minimum(radiance, 1e6)
         lum = (
             0.2126 * radiance[..., 0]
@@ -65,13 +65,26 @@ def distributed_sample_step(mesh: Mesh, config: RenderConfig):
         # The reference's result-interface gather ⇒ one psum over ICI.
         total = jax.lax.psum(radiance, "samples")
         total_lum_sq = jax.lax.psum(lum * lum, "samples")
-        return rad_accum + total, lum_accum + total_lum_sq
+        # gbuffer: the sample-axis-0 device's primary hits (picking data —
+        # any sample's jittered gbuffer serves, reference takes the last)
+        first = (jax.lax.axis_index("samples") == 0).astype(jnp.float32)
+        gbuf = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(
+                x * first.astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else jnp.where(first > 0, x, jnp.zeros_like(x)),
+                "samples",
+            ),
+            gbuf,
+        )
+        rays_total = jax.lax.psum(rays, "samples")
+        return rad_accum + total, lum_accum + total_lum_sq, gbuf, rays_total
 
     shmap = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), pix_spec, pix_spec, pix_spec, pix_spec, P()),
-        out_specs=(pix_spec, pix_spec),
+        out_specs=(pix_spec, pix_spec, pix_spec, P()),
         check_vma=False,
     )
     return jax.jit(shmap, donate_argnums=(4, 5)), n_samples_axis

@@ -521,16 +521,21 @@ class Renderer:
         base = self.sample_count
         steps = max((num_samples + n_axis - 1) // n_axis, 1)
         for k in range(steps):
-            rad, lsq = self._dist_step(
+            rad, lsq, gbuf, rays = self._dist_step(
                 self.device_scene, self.device_camera, px, py,
                 rad, lsq, jnp.uint32(base + k * n_axis),
             )
             count = count + n_axis
+        dev0 = jax.devices()[0]
         self.accum = AccumState(
-            radiance=jax.device_put(rad, jax.devices()[0]),
-            lum_sq=jax.device_put(lsq, jax.devices()[0]),
+            radiance=jax.device_put(rad, dev0),
+            lum_sq=jax.device_put(lsq, dev0),
             sample_count=count,
         )
+        # picking + ray accounting parity with the single-chip path
+        self.gbuffer = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dev0), gbuf)
+        self._last_rays_per_sample = float(rays) / n_axis
 
     def _render_adaptive(self, num_samples: int):
         from .adaptive import (
