@@ -41,8 +41,17 @@ MULTISCATTER_RES = 32  # reference sky_defines.h:12
 
 
 class AtmoParams(NamedTuple):
-    """Runtime atmosphere parameters (from the Sky entity)."""
+    """Runtime atmosphere parameters (from the Sky entity).
 
+    beta_* carry the scattering/absorption spectra: [3] RGB by default, or
+    [8] SKY_BANDS wavelengths in spectral mode (reference: sky.cuh:11-24
+    8-wavelength atmosphere) — every LUT/bake below is channel-generic.
+    """
+
+    beta_r: jnp.ndarray     # rayleigh scatter  [C] km^-1
+    beta_ms: jnp.ndarray    # mie scatter (gray) scalar
+    beta_ma: jnp.ndarray    # mie absorb (gray) scalar
+    beta_o: jnp.ndarray     # ozone absorb [C]
     base_density: jnp.ndarray
     rayleigh_density: jnp.ndarray
     mie_density: jnp.ndarray
@@ -56,11 +65,23 @@ class AtmoParams(NamedTuple):
     mie_g: jnp.ndarray
 
 
-def atmo_params_from_sky(sky) -> AtmoParams:
+def atmo_params_from_sky(sky, spectral: bool = False) -> AtmoParams:
     # Droplet diameter → HG anisotropy (reference maps mie_diameter onto the
     # phase; bigger droplets → stronger forward scattering)
     g = jnp.clip(0.5 + 0.2 * jnp.log10(jnp.maximum(sky.mie_diameter, 0.1)), 0.2, 0.95)
+    if spectral:
+        from .spectral import ozone_beta_bands, rayleigh_beta_bands
+
+        beta_r = jnp.asarray(rayleigh_beta_bands())
+        beta_o = jnp.asarray(ozone_beta_bands())
+    else:
+        beta_r = jnp.asarray(BETA_RAYLEIGH, jnp.float32)
+        beta_o = jnp.asarray(BETA_OZONE_ABS, jnp.float32)
     return AtmoParams(
+        beta_r=beta_r,
+        beta_ms=jnp.float32(BETA_MIE_SCATTER),
+        beta_ma=jnp.float32(BETA_MIE_ABSORB),
+        beta_o=beta_o,
         base_density=jnp.float32(sky.base_density),
         rayleigh_density=jnp.float32(sky.rayleigh_density),
         mie_density=jnp.float32(sky.mie_density),
@@ -118,13 +139,14 @@ def optical_depth(p: AtmoParams, origin, direction, dist, steps: int = 32):
         h = math3.length(pos) - EARTH_RADIUS
         d_r, d_m, d_o = _densities(p, h)
         ext = (
-            BETA_RAYLEIGH * d_r[..., None]
-            + (BETA_MIE_SCATTER + BETA_MIE_ABSORB) * d_m[..., None]
-            + BETA_OZONE_ABS * d_o[..., None]
+            p.beta_r * d_r[..., None]
+            + (p.beta_ms + p.beta_ma) * d_m[..., None]
+            + p.beta_o * d_o[..., None]
         )
         return carry + ext * dt[..., None], None
 
-    tau, _ = jax.lax.scan(step_fn, jnp.zeros(origin.shape[:-1] + (3,)), ts)
+    c = p.beta_r.shape[0]
+    tau, _ = jax.lax.scan(step_fn, jnp.zeros(origin.shape[:-1] + (c,)), ts)
     return tau
 
 
@@ -146,7 +168,7 @@ def build_transmittance_lut(p: AtmoParams) -> jax.Array:
     mus = jnp.linspace(-0.3, 1.0, TRANSMITTANCE_W)
     hh, mm = jnp.meshgrid(hs, mus, indexing="ij")
     return transmittance_to_space(p, hh.reshape(-1), mm.reshape(-1)).reshape(
-        TRANSMITTANCE_H, TRANSMITTANCE_W, 3
+        TRANSMITTANCE_H, TRANSMITTANCE_W, int(p.beta_r.shape[0])
     )
 
 
@@ -206,9 +228,9 @@ def single_scatter(
         h = r - EARTH_RADIUS
         d_r, d_m, d_o = _densities(p, h)
         ext = (
-            BETA_RAYLEIGH * d_r[..., None]
-            + (BETA_MIE_SCATTER + BETA_MIE_ABSORB) * d_m[..., None]
-            + BETA_OZONE_ABS * d_o[..., None]
+            p.beta_r * d_r[..., None]
+            + (p.beta_ms + p.beta_ma) * d_m[..., None]
+            + p.beta_o * d_o[..., None]
         )
         seg_tau = ext * dt[..., None]
         t_view = jnp.exp(-(tau_acc + 0.5 * seg_tau))
@@ -221,8 +243,8 @@ def single_scatter(
         )
         lit = (cos_sun_zen > horizon_mu).astype(jnp.float32)[..., None]
 
-        scat_r = BETA_RAYLEIGH * d_r[..., None]
-        scat_m = BETA_MIE_SCATTER * d_m[..., None]
+        scat_r = p.beta_r * d_r[..., None]
+        scat_m = p.beta_ms * d_m[..., None]
         inscatter = (scat_r * ph_r + scat_m * ph_m) * t_sun * lit
         if multiscatter_lut is not None:
             ms = sample_multiscatter_lut(multiscatter_lut, h, cos_sun_zen)
@@ -230,9 +252,10 @@ def single_scatter(
         radiance = radiance + inscatter * t_view * dt[..., None] * sun_irradiance
         return (tau_acc + seg_tau, radiance), None
 
+    c = p.beta_r.shape[0]
     init = (
-        jnp.zeros(origin.shape[:-1] + (3,)),
-        jnp.zeros(origin.shape[:-1] + (3,)),
+        jnp.zeros(origin.shape[:-1] + (c,)),
+        jnp.zeros(origin.shape[:-1] + (c,)),
     )
     (tau, radiance), _ = jax.lax.scan(step_fn, init, fracs)
     t_view_total = jnp.exp(-tau)
@@ -296,10 +319,10 @@ def build_multiscatter_lut(p: AtmoParams, t_lut) -> jax.Array:
         d_r, d_m, _ = _densities(p, h)
         # geometric series closure 1/(1-f); approximate f with path albedo
         f = jnp.clip(
-            (jnp.mean(BETA_RAYLEIGH) * d_r + BETA_MIE_SCATTER * d_m)
+            (jnp.mean(p.beta_r) * d_r + p.beta_ms * d_m)
             / jnp.maximum(
-                jnp.mean(BETA_RAYLEIGH) * d_r
-                + (BETA_MIE_SCATTER + BETA_MIE_ABSORB) * d_m
+                jnp.mean(p.beta_r) * d_r
+                + (p.beta_ms + p.beta_ma) * d_m
                 + 1e-9,
                 1e-9,
             )
@@ -310,7 +333,7 @@ def build_multiscatter_lut(p: AtmoParams, t_lut) -> jax.Array:
         return l2 / (1.0 - f)
 
     vals = jax.vmap(entry)(h_flat, mu_flat)
-    return vals.reshape(res, res, 3)
+    return vals.reshape(res, res, int(p.beta_r.shape[0]))
 
 
 def sample_multiscatter_lut(lut, height, cos_sun_zenith):
@@ -362,7 +385,7 @@ def bake_sky_envmap(
         p, t_lut, o_b, dirs, sun_b, sun_irradiance, steps=steps,
         multiscatter_lut=ms_lut,
     )
-    return rad.reshape(height, width, 3)
+    return rad.reshape(height, width, int(p.beta_r.shape[0]))
 
 
 def sample_envmap(env, direction):

@@ -205,6 +205,88 @@ def moon_radiance(sky, d: Vec3):
     return radiance, in_disc
 
 
+def sample_env_spec_rows(sky, d: Vec3):
+    """Bilinear fetch of the 8-band spectral env (paired-row layout, two
+    gathers — the spectral twin of sample_env_rows). Returns [N, 8]."""
+    h = sky.env_spec_h.astype(jnp.float32)
+    w = sky.env_spec_w.astype(jnp.float32)
+    wi = sky.env_spec_w
+    theta = jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
+    phi = jnp.arctan2(d.z, d.x) % (2.0 * jnp.pi)
+    fy = jnp.clip(theta * (1.0 / jnp.pi) * h - 0.5, 0.0, h - 1.001)
+    fx = phi * (0.5 / jnp.pi) * w - 0.5
+    x0f = jnp.floor(fx)
+    x0 = x0f.astype(jnp.int32) % wi
+    y0 = jnp.clip(fy.astype(jnp.int32), 0, sky.env_spec_h - 2)
+    wy = (fy - y0.astype(jnp.float32))[:, None]
+    wx = (fx - x0f)[:, None]
+    r0 = sky.env_spec_rows[y0 * wi + x0]        # [N, 16]
+    r1 = sky.env_spec_rows[(y0 + 1) * wi + x0]
+    top = r0[:, 0:8] * (1.0 - wx) + r0[:, 8:16] * wx
+    bot = r1[:, 0:8] * (1.0 - wx) + r1[:, 8:16] * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def sky_radiance_spectral(sky, direction: Vec3, lam3):
+    """Environment radiance at the three hero wavelengths (no solar disc —
+    the integrator pairs the disc with the sun strategy itself).
+
+    DEFAULT skies with a spectral bake sample the true 8-band atmosphere
+    (reference: sky.cuh 8-wavelength path); HDRI/user/constant skies uplift
+    their RGB radiance (ops/spectral.py). Returns a 3-slot tuple of [N]
+    radiances matching the integrator's channel slots.
+    """
+    from .spectral import sample_spectrum_bands, uplift
+
+    d = direction
+    has_spec = int(sky.env_spec_rows.shape[0]) > 1  # static
+    if has_spec:
+        bands = sample_env_spec_rows(sky, d)        # [N, 8]
+        dome = tuple(sample_spectrum_bands(bands, lam) for lam in lam3)
+    else:
+        r, g, b = sample_env_rows(sky, d)
+        dome = tuple(uplift(r, g, b, lam) for lam in lam3)
+
+    # moon + stars (DEFAULT mode): uplifted RGB, occluded regions as in
+    # sky_radiance
+    moon, in_moon = moon_radiance(sky, d)
+    sr, sg, sb = stars_radiance(sky, d)
+    cos_sun = vdot(d, sun_dir_vec(sky))
+    in_disc = cos_sun >= SUN_COS_RADIUS
+    block = in_moon | in_disc
+    sr = jnp.where(block, 0.0, sr)
+    sg = jnp.where(block, 0.0, sg)
+    sb = jnp.where(block, 0.0, sb)
+    is_default = (sky.mode == 0).astype(jnp.float32)
+    out = []
+    for j, lam in enumerate(lam3):
+        extra = (uplift(sr, sg, sb, lam) + moon) * is_default
+        val = dome[j] + extra
+        is_const = sky.mode == 2
+        const_j = uplift(sky.constant_color[0], sky.constant_color[1],
+                         sky.constant_color[2], lam)
+        out.append(jnp.where(is_const, const_j, val))
+    return tuple(out)
+
+
+def sun_radiance_spectral(sky, lam3):
+    """Solar-disc radiance at the hero wavelengths: the banded spectrum
+    when the spectral bake exists, else the uplifted RGB disc radiance."""
+    from .spectral import sample_spectrum_bands, uplift
+
+    has_spec = int(sky.env_spec_rows.shape[0]) > 1  # static
+    zero_if_const = jnp.where(sky.mode == 2, 0.0, 1.0)
+    out = []
+    for lam in lam3:
+        if has_spec:
+            v = sample_spectrum_bands(sky.sun_disc_spec[None, :], lam)
+        else:
+            v = uplift(sky.sun_disc_radiance[0], sky.sun_disc_radiance[1],
+                       sky.sun_disc_radiance[2], lam)
+        out.append(v * zero_if_const)
+    return tuple(out)
+
+
 def sample_env_direction(sky, pixel_id, sample_id, depth):
     """Draw a direction toward the environment by cell importance
     (reference: direct_lighting ambient + sky_hdri.cuh importance).

@@ -68,6 +68,7 @@ class DeviceMaterials(NamedTuple):
     roughness: jnp.ndarray  # f32 [M]
     metallic: jnp.ndarray  # f32 [M] 0/1
     ior: jnp.ndarray  # f32 [M]
+    abbe: jnp.ndarray  # f32 [M] dispersion Abbe number (0 = none)
     flags: jnp.ndarray  # u32 [M] bit0: emission_active, bit1: translucent, bit2: thin_walled
     albedo_tex: jnp.ndarray  # i32 [M] (-1 = none)
     luminance_tex: jnp.ndarray  # i32 [M]
@@ -108,6 +109,15 @@ class DeviceSky(NamedTuple):
     env_ch: jnp.ndarray  # i32 scalar — cell-grid height
     env_cw: jnp.ndarray  # i32 scalar — cell-grid width
     env_nee_total: jnp.ndarray  # f32 scalar
+    # Spectral mode (reference: sky.cuh 8-wavelength atmosphere): the env
+    # baked at the 8 SKY_BANDS wavelengths in the same paired-row layout
+    # ([Hs*Ws, 16]: texel bands + phi-neighbor bands) + the solar-disc
+    # spectrum. Dummy [1, 16] when spectral is off / non-DEFAULT skies
+    # (the integrator then uplifts the RGB env instead).
+    env_spec_rows: jnp.ndarray  # f32 [Hs*Ws, 16]
+    env_spec_h: jnp.ndarray  # i32 scalar
+    env_spec_w: jnp.ndarray  # i32 scalar
+    sun_disc_spec: jnp.ndarray  # f32 [8]
     sun_disc_radiance: jnp.ndarray  # f32 [3] transmittance-tinted disc radiance
     geometry_offset: jnp.ndarray  # f32 [3]
     moon_dir: jnp.ndarray  # f32 [3] unit, toward moon
@@ -178,6 +188,7 @@ SHADE_METAL_TEX = 45   # bitcast i32
 SHADE_NORMAL_TEX = 46  # bitcast i32
 SHADE_LUM_TEX = 47     # bitcast i32
 SHADE_LOD_BASE = 48    # log2(PAGE_RES * sqrt(uv_area / world_area))
+SHADE_ABBE = 49        # dispersion Abbe number (spectral mode; 0 = none)
 SHADE_COLS = 56
 
 # light-sample row columns (light_slot_rows [P, 18])
@@ -254,6 +265,7 @@ def pack_shade_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
     rows[:, SHADE_ROUGHNESS] = np.asarray(materials.roughness)[m]
     rows[:, SHADE_METALLIC] = np.asarray(materials.metallic)[m]
     rows[:, SHADE_IOR] = np.asarray(materials.ior)[m]
+    rows[:, SHADE_ABBE] = np.asarray(materials.abbe)[m]
     rows[:, SHADE_FLAGS] = np.asarray(materials.flags)[m].astype(np.uint32).view(np.float32)
     rows[:, SHADE_ALBEDO_TEX] = np.asarray(materials.albedo_tex)[m].view(np.float32)
     rows[:, SHADE_SEL_PDF] = np.asarray(lights.slot_select_pdf)
@@ -358,6 +370,8 @@ def pack_materials(scene: Scene) -> DeviceMaterials:
         roughness=np.asarray([mat.roughness for mat in mats], np.float32),
         metallic=np.asarray([1.0 if mat.metallic else 0.0 for mat in mats], np.float32),
         ior=np.asarray([mat.refraction_index for mat in mats], np.float32),
+        abbe=np.asarray(
+            [getattr(mat, "abbe", 0.0) for mat in mats], np.float32),
         flags=flags,
         albedo_tex=np.asarray([tex(mat.albedo_tex) for mat in mats], np.int32),
         luminance_tex=np.asarray([tex(mat.luminance_tex) for mat in mats], np.int32),
@@ -374,6 +388,16 @@ def env_to_rows(env: np.ndarray) -> np.ndarray:
     rows = np.zeros((h * w, 8), np.float32)
     rows[:, 0:3] = env.reshape(-1, 3)
     rows[:, 4:7] = np.roll(env, -1, axis=1).reshape(-1, 3)
+    return rows
+
+
+def env_to_rows_spec(env8: np.ndarray) -> np.ndarray:
+    """8-band spectral env [H, W, 8] → paired rows [H*W, 16] (texel bands +
+    phi-neighbor bands), the spectral-mode fetch layout."""
+    h, w = env8.shape[:2]
+    rows = np.zeros((h * w, 16), np.float32)
+    rows[:, 0:8] = env8.reshape(-1, 8)
+    rows[:, 8:16] = np.roll(env8, -1, axis=1).reshape(-1, 8)
     return rows
 
 
@@ -510,6 +534,31 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
             env = _bake_hdri_extras(scene, np.asarray(env), sun_dir, sun_disc)
         env = np.asarray(env)
 
+    # 8-wavelength spectral bake (DEFAULT-mode atmosphere only; HDRI/user
+    # maps and constant skies uplift their RGB at shading time instead)
+    env_spec = np.zeros((1, 1, 8), np.float32)
+    sun_disc_spec = np.zeros((8,), np.float32)
+    if (getattr(scene.settings, "spectral_rendering", False)
+            and not is_constant and not (is_hdri and user_env is not None)):
+        from ..ops.spectral import sun_irradiance_bands
+
+        p8 = atmo_params_from_sky(sky, spectral=True)
+        t_lut8 = jax.jit(build_transmittance_lut)(p8)
+        ms_lut8 = jax.jit(build_multiscatter_lut)(p8, t_lut8)
+        h_obs = jnp.float32(max(float(sky.geometry_offset[1]), 0.001))
+        sun_dir_j = jnp.asarray(sun_dir)
+        bands = jnp.asarray(sun_irradiance_bands())
+        irr8 = bands * jnp.float32(SUN_IRRADIANCE * sky.sun_strength)
+        sw = max(env_res[1] // 2, 64)
+        env_spec = np.asarray(bake_sky_envmap(
+            p8, t_lut8, ms_lut8, h_obs, sun_dir_j, irr8,
+            width=sw, height=sw // 2,
+            steps=int(min(max(sky.steps, 8), 64)),
+        ))
+        t_sun8 = sample_transmittance_lut(t_lut8, h_obs, sun_dir_j[1])
+        sun_disc_spec = np.asarray(
+            t_sun8 * bands * jnp.float32(SUN_RADIANCE * sky.sun_strength))
+
     alias_rows, cell_pdf, ch, cw, nee_total = _build_env_nee(
         np.asarray(env), is_constant
     )
@@ -526,6 +575,10 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         env_ch=np.int32(ch),
         env_cw=np.int32(cw),
         env_nee_total=np.float32(nee_total),
+        env_spec_rows=env_to_rows_spec(env_spec),
+        env_spec_h=np.int32(env_spec.shape[0]),
+        env_spec_w=np.int32(env_spec.shape[1]),
+        sun_disc_spec=sun_disc_spec,
         sun_disc_radiance=sun_disc,
         geometry_offset=np.asarray(sky.geometry_offset, np.float32),
         moon_dir=sun_direction(sky.moon_azimuth, sky.moon_altitude),

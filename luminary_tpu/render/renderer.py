@@ -295,6 +295,7 @@ class Renderer:
                         and int(self.scene.sky.mode) != 1
                     )
                 ),
+                spectral=bool(getattr(s, "spectral_rendering", False)),
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)

@@ -60,6 +60,7 @@ from .device_scene import (
     MAT_FLAG_EMISSIVE,
     MAT_FLAG_THIN_WALLED,
     MAT_FLAG_TRANSLUCENT,
+    SHADE_ABBE,
     SHADE_ALBEDO,
     SHADE_ALBEDO_TEX,
     SHADE_AREA,
@@ -118,6 +119,10 @@ class RenderConfig(NamedTuple):
     # cell importance, MIS-paired with BSDF-sampled sky misses. Gated off
     # under the cloud march (clouds only affect the miss side).
     env_nee: bool = False
+    # Full-path spectral rendering (reference: spectral.cuh + sky.cuh 8-λ
+    # sky): hero wavelength with 3 rotations riding the channel slots,
+    # resolved to sRGB at sample end (ops/spectral.py).
+    spectral: bool = False
 
 
 class GBufferMeta(NamedTuple):
@@ -260,6 +265,32 @@ def render_sample(
     sun_radiance = sun_solid_angle_radiance(scene.sky)  # f32 [3]
     sun_v = sun_dir_vec(scene.sky)
 
+    # ---- spectral mode (reference: spectral.cuh CIE sampling): the three
+    # channel slots carry hero wavelengths; every RGB quantity entering the
+    # transport is uplifted to its slot's wavelength via spec3(), and the
+    # sample resolves to sRGB at the very end (ops/spectral.py). ----
+    if config.spectral:
+        from ..ops.spectral import sample_hero_wavelengths, uplift
+        from ..ops.sky import sun_radiance_spectral
+
+        u_lam = random_1d(RandomTarget.WAVELENGTH, pixel_id, sample_id, 0)
+        lam3, lam_pdf3 = sample_hero_wavelengths(u_lam)
+
+        def spec3(r, g, b):
+            return (uplift(r, g, b, lam3[0]), uplift(r, g, b, lam3[1]),
+                    uplift(r, g, b, lam3[2]))
+
+        sun_rad3 = sun_radiance_spectral(scene.sky, lam3)
+        collapsed = jnp.zeros((n,), bool)  # hero-collapse after dispersion
+    else:
+        lam3 = lam_pdf3 = None
+        collapsed = None
+
+        def spec3(r, g, b):
+            return (r, g, b)
+
+        sun_rad3 = (sun_radiance[0], sun_radiance[1], sun_radiance[2])
+
     # Static python depth loop (the reference's action list is likewise
     # depth-unrolled, device_renderer.c:59-131).
     for depth in range(config.max_depth):
@@ -280,7 +311,8 @@ def render_sample(
 
         # ---- Jerlov water absorption along the segment ----
         seg_len = jnp.where(collided, t_col, jnp.where(hit.valid, hit.t, 1e7))
-        twr, twg, twb = water_transmittance(scene.water, origin, direction, seg_len)
+        twr, twg, twb = spec3(*water_transmittance(
+            scene.water, origin, direction, seg_len))
         thr_r, thr_g, thr_b = thr_r * twr, thr_g * twg, thr_b * twb
 
         # ---- record the miss (sky evaluated ONCE after the loop) ----
@@ -467,6 +499,23 @@ def render_sample(
                 ))
                 has_nm = (normal_tex >= 0) & (jnp.abs(det) > 1e-12)
                 ns = vwhere(has_nm, ns_mapped, ns)
+        # ---- spectral ingestion: albedo/emission → per-slot wavelengths;
+        # dielectric IOR gets hero-λ Cauchy dispersion (reference: spectral
+        # path material evaluation; camera_physical.cuh Abbe model) ----
+        if config.spectral:
+            from ..ops.spectral import cauchy_ior
+
+            abbe_lane = (srow[:, SHADE_ABBE] if use_rows
+                         else mats.abbe[mat_id])
+            a0, a1, a2 = spec3(lane_mat.albedo_r, lane_mat.albedo_g,
+                               lane_mat.albedo_b)
+            lane_mat = lane_mat._replace(
+                albedo_r=a0, albedo_g=a1, albedo_b=a2,
+                ior=cauchy_ior(lane_mat.ior, lam3[0], abbe_lane),
+            )
+            em_r, em_g, em_b = spec3(em_r, em_g, em_b)
+        else:
+            abbe_lane = zeros
         wo = -direction
 
         # ---- stochastic alpha test (reference: optix_anyhit.cuh cutout
@@ -554,9 +603,9 @@ def render_sample(
                 scene.clouds, shadow_origin, sun_v,
                 layers=config.cloud_layers,
             )
-        tws_r, tws_g, tws_b = water_transmittance(
+        tws_r, tws_g, tws_b = spec3(*water_transmittance(
             scene.water, shadow_origin, sun_dir_s, 1e7
-        )
+        ))
 
         # ---- NEE strategy 2: emissive triangles — RIS over K alias-drawn
         # candidates, reservoir-resampled by unshadowed target contribution
@@ -724,10 +773,16 @@ def render_sample(
             )
             rays_traced = rays_traced + jnp.sum(
                 env_candidate.astype(jnp.float32))
-            env_le = sky_radiance(scene.sky, env_dir, include_sun=False)
+            if config.spectral:
+                from ..ops.sky import sky_radiance_spectral
+
+                env_le = Vec3(*sky_radiance_spectral(
+                    scene.sky, env_dir, lam3))
+            else:
+                env_le = sky_radiance(scene.sky, env_dir, include_sun=False)
             t_fog_env = fog_transmittance(fog, shadow_origin, env_dir, 1e7)
-            twe_r, twe_g, twe_b = water_transmittance(
-                scene.water, shadow_origin, env_dir, 1e7)
+            twe_r, twe_g, twe_b = spec3(*water_transmittance(
+                scene.water, shadow_origin, env_dir, 1e7))
             w_mis_env = mis_balance(pdf_env, pdf_b_env)
         # All NEE visibility queries ride ONE batched any-hit trace (2N or
         # 3N rays, one lockstep walk): sun rays, then area-light rays, then
@@ -773,13 +828,16 @@ def render_sample(
         sun_w = jnp.where(sun_candidate & ~sun_occluded,
                           SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun * tr_sun,
                           0.0)
-        rad_r = rad_r + thr_r * fs_r * sun_radiance[0] * tws_r * sun_w
-        rad_g = rad_g + thr_g * fs_g * sun_radiance[1] * tws_g * sun_w
-        rad_b = rad_b + thr_b * fs_b * sun_radiance[2] * tws_b * sun_w
+        rad_r = rad_r + thr_r * fs_r * sun_rad3[0] * tws_r * sun_w
+        rad_g = rad_g + thr_g * fs_g * sun_rad3[1] * tws_g * sun_w
+        rad_b = rad_b + thr_b * fs_b * sun_rad3[2] * tws_b * sun_w
         t_fog_l = fog_transmittance(fog, shadow_origin, l_dir, dist)
-        twl_r, twl_g, twl_b = water_transmittance(
+        twl_r, twl_g, twl_b = spec3(*water_transmittance(
             scene.water, shadow_origin, l_dir, dist
-        )
+        ))
+        # winner light emission → slot wavelengths (covers the bridge
+        # estimator below too)
+        le_r, le_g, le_b = spec3(le_r, le_g, le_b)
         direct_lane = light_candidate & (
             ~vol_lane if config.use_bridges else True
         )
@@ -898,6 +956,17 @@ def render_sample(
             thr_r = thr_r * jnp.where(active, wr, 1.0)
             thr_g = thr_g * jnp.where(active, wg, 1.0)
             thr_b = thr_b * jnp.where(active, wb, 1.0)
+            # ---- hero-wavelength collapse at dispersive refraction: the
+            # non-hero slots' refracted geometry would differ, so they
+            # terminate and the hero carries the full spectral estimate
+            # (x3 = the dropped 1/C average; standard unbiased collapse) ----
+            if config.spectral:
+                disperse = do_trans & (abbe_lane > 0.0) & ~lane_mat.thin_walled
+                newly = disperse & ~collapsed
+                thr_r = jnp.where(newly, thr_r * 3.0, thr_r)
+                thr_g = jnp.where(disperse, 0.0, thr_g)
+                thr_b = jnp.where(disperse, 0.0, thr_b)
+                collapsed = collapsed | disperse
             off = jnp.where(transmitted, -_RAY_EPS, _RAY_EPS)
             origin = vwhere(
                 vol_lane,
@@ -935,6 +1004,11 @@ def render_sample(
                 perm = jnp.argsort(
                     ray_sort_key(origin, direction, active, geo.bvh.bounds)
                 )
+                extras = []
+                if config.spectral:
+                    extras = [collapsed.astype(jnp.float32),
+                              lam3[0], lam3[1], lam3[2],
+                              lam_pdf3[0], lam_pdf3[1], lam_pdf3[2]]
                 cols = jnp.stack([
                     origin.x, origin.y, origin.z,
                     direction.x, direction.y, direction.z,
@@ -952,7 +1026,7 @@ def render_sample(
                     jax.lax.bitcast_convert_type(sample_id, jnp.float32),
                     jax.lax.bitcast_convert_type(orig_lane, jnp.float32),
                     jax.lax.bitcast_convert_type(medium, jnp.float32),
-                ], axis=-1)[perm]  # ONE bandwidth-bound row gather
+                ] + extras, axis=-1)[perm]  # ONE bandwidth-bound row gather
                 origin = Vec3(cols[:, 0], cols[:, 1], cols[:, 2])
                 direction = Vec3(cols[:, 3], cols[:, 4], cols[:, 5])
                 thr_r, thr_g, thr_b = cols[:, 6], cols[:, 7], cols[:, 8]
@@ -974,26 +1048,51 @@ def render_sample(
                     cols[:, 26], jnp.int32)
                 medium = jax.lax.bitcast_convert_type(
                     cols[:, 27], jnp.uint32)
+                if config.spectral:
+                    collapsed = cols[:, 28] > 0.5
+                    lam3 = (cols[:, 29], cols[:, 30], cols[:, 31])
+                    lam_pdf3 = (cols[:, 32], cols[:, 33], cols[:, 34])
 
     # ---- deferred sky: one SH evaluation for all recorded misses ----
     safe_dir = vwhere(ever_missed, miss_dir, Vec3.of(0.0, 1.0, 0.0, like=miss_dir))
-    sky_rgb = sky_radiance(scene.sky, safe_dir, include_sun=False)
     in_sun_disc = dot(safe_dir, sun_v) >= SUN_COS_RADIUS
     disc_w = jnp.where(in_sun_disc, miss_sun_weight, 0.0)
     # env MIS weight pairs with the ambient NEE strategy (1.0 when off)
     env_w_m = miss_env_weight if config.env_nee else 1.0
-    sky_r = sky_rgb.x * env_w_m + sun_radiance[0] * disc_w
-    sky_g = sky_rgb.y * env_w_m + sun_radiance[1] * disc_w
-    sky_b = sky_rgb.z * env_w_m + sun_radiance[2] * disc_w
+    if config.spectral:
+        from ..ops.sky import sky_radiance_spectral
+
+        s0, s1, s2 = sky_radiance_spectral(scene.sky, safe_dir, lam3)
+        sky_r = s0 * env_w_m + sun_rad3[0] * disc_w
+        sky_g = s1 * env_w_m + sun_rad3[1] * disc_w
+        sky_b = s2 * env_w_m + sun_rad3[2] * disc_w
+        sky_rgb = Vec3(s0, s1, s2)  # for the cloud ambient below
+    else:
+        sky_rgb = sky_radiance(scene.sky, safe_dir, include_sun=False)
+        sky_r = sky_rgb.x * env_w_m + sun_radiance[0] * disc_w
+        sky_g = sky_rgb.y * env_w_m + sun_radiance[1] * disc_w
+        sky_b = sky_rgb.z * env_w_m + sun_radiance[2] * disc_w
     if config.use_clouds:
         from ..ops.clouds import cloud_march
 
-        (cr, cg, cb), cloud_t = cloud_march(
-            scene.clouds, origin, safe_dir, sun_v,
-            sun_radiance, (sky_rgb.x, sky_rgb.y, sky_rgb.z),
-            steps=config.cloud_steps,
-            layers=config.cloud_layers,
-        )
+        if config.spectral:
+            # clouds are near-gray scatterers: march in RGB against the
+            # RGB sky, then uplift the inscatter to the slot wavelengths
+            rgb_sky = sky_radiance(scene.sky, safe_dir, include_sun=False)
+            (cr, cg, cb), cloud_t = cloud_march(
+                scene.clouds, origin, safe_dir, sun_v,
+                sun_radiance, (rgb_sky.x, rgb_sky.y, rgb_sky.z),
+                steps=config.cloud_steps,
+                layers=config.cloud_layers,
+            )
+            cr, cg, cb = spec3(cr, cg, cb)
+        else:
+            (cr, cg, cb), cloud_t = cloud_march(
+                scene.clouds, origin, safe_dir, sun_v,
+                sun_radiance, (sky_rgb.x, sky_rgb.y, sky_rgb.z),
+                steps=config.cloud_steps,
+                layers=config.cloud_layers,
+            )
         sky_r = cr + sky_r * cloud_t
         sky_g = cg + sky_g * cloud_t
         sky_b = cb + sky_b * cloud_t
@@ -1002,6 +1101,11 @@ def render_sample(
     rad_g = rad_g + miss_thr_g * sky_g * add
     rad_b = rad_b + miss_thr_b * sky_b * add
 
+    if config.spectral:
+        from ..ops.spectral import resolve_to_rgb
+
+        rad_r, rad_g, rad_b = resolve_to_rgb(
+            rad_r, rad_g, rad_b, lam3, lam_pdf3)
     radiance = jnp.stack([rad_r, rad_g, rad_b], axis=-1)
     if config.sort_wavefront:  # unscramble to original lane order
         radiance = jnp.zeros_like(radiance).at[orig_lane].set(radiance)

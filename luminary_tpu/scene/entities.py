@@ -111,6 +111,11 @@ class RendererSettings:
     # gates it off when the cloud march runs (clouds are only applied on the
     # BSDF-miss side, so MIS pairing would bias).
     ambient_nee: bool = True
+    # Full-path spectral rendering (reference: spectral.cuh CIE-CDF
+    # wavelength sampling + the 8-wavelength sky of sky.cuh): hero
+    # wavelength with 3 rotations riding the RGB channel slots, resolved
+    # to sRGB per sample (ops/spectral.py).
+    spectral_rendering: bool = False
     # Re-sort the wavefront between depths by traversal coherence
     # (tasks_sort analog; measured net-negative on the benchmark scene, so
     # opt-in).
@@ -322,6 +327,9 @@ class Material:
     roughness: float = 0.7
     roughness_clamp: float = 0.25
     refraction_index: float = 1.5
+    # Abbe number for spectral dispersion through this dielectric
+    # (reference: camera_physical.cuh Abbe dispersion; 0 = non-dispersive).
+    abbe: float = 0.0
     emission_active: bool = False
     thin_walled: bool = False
     metallic: bool = False
