@@ -388,6 +388,89 @@ def bake_sky_envmap(
     return rad.reshape(height, width, int(p.beta_r.shape[0]))
 
 
+AERIAL_NU = 16   # view zenith bins
+AERIAL_NS = 8    # sun-relative azimuth bins
+AERIAL_ND = 16   # log distance knots
+AERIAL_D_MIN = 0.02   # km
+AERIAL_D_MAX = 64.0   # km (beyond: clamp to the last knot)
+
+
+@partial(jax.jit, static_argnames=())
+def bake_aerial_rows(p: AtmoParams, t_lut, ms_lut, observer_height,
+                     sun_dir, sun_irradiance):
+    """Aerial-perspective table (reference: the per-depth SKY_INSCATTERING
+    pass over surface-hit segments, device_renderer.c:59-131 + sky.cuh).
+
+    One row per (view zenith, sun-relative azimuth) carries the WHOLE
+    distance curve: cols 0:48 inscattered RGB at 16 log-spaced distances,
+    cols 48:96 transmittance RGB at the same knots — so a hit segment costs
+    ONE row gather + an in-register distance lerp. Rows [NU*NS, 128].
+    """
+    mus = (jnp.arange(AERIAL_NU) + 0.5) / AERIAL_NU * 2.0 - 1.0
+    azs = (jnp.arange(AERIAL_NS) + 0.5) / AERIAL_NS * 2.0 * jnp.pi
+    # sun frame: build view dirs with the given zenith cos and azimuth
+    # measured from the sun's azimuth plane
+    sx, sy, sz = sun_dir[0], sun_dir[1], sun_dir[2]
+    s_h = jnp.sqrt(jnp.maximum(sx * sx + sz * sz, 1e-12))
+    fx, fz = sx / s_h, sz / s_h  # horizontal sun azimuth
+    mu_g, az_g = jnp.meshgrid(mus, azs, indexing="ij")
+    mu_f = mu_g.reshape(-1)
+    az_f = az_g.reshape(-1)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - mu_f**2, 0.0))
+    # horizontal component rotated by az from the sun azimuth
+    hx = jnp.cos(az_f) * fx - jnp.sin(az_f) * fz
+    hz = jnp.cos(az_f) * fz + jnp.sin(az_f) * fx
+    dirs = jnp.stack([sin_t * hx, mu_f, sin_t * hz], axis=-1)  # [R, 3]
+
+    r = dirs.shape[0]
+    o = jnp.asarray([0.0, 1.0, 0.0]) * (EARTH_RADIUS + observer_height)
+    o_b = jnp.broadcast_to(o, (r, 3))
+    sun_b = jnp.broadcast_to(jnp.stack([sx, sy, sz]), (r, 3))
+
+    dists = jnp.exp(jnp.linspace(
+        jnp.log(AERIAL_D_MIN), jnp.log(AERIAL_D_MAX), AERIAL_ND))
+    cos_theta = math3.dot(dirs, sun_b)
+    ph_r = _rayleigh_phase(cos_theta)[..., None]
+    ph_m = _hg_phase(cos_theta, p.mie_g)[..., None]
+
+    sub = 4  # march substeps per distance knot
+    tau = jnp.zeros((r, 3))
+    rad = jnp.zeros((r, 3))
+    rows = jnp.zeros((r, 128))
+    d_prev = 0.0
+    for k in range(AERIAL_ND):
+        d_k = dists[k]
+        seg = (d_k - d_prev) / sub
+        for s_i in range(sub):
+            t_mid = d_prev + (s_i + 0.5) * seg
+            pos = o_b + dirs * t_mid
+            rr = math3.length(pos)
+            h = rr - EARTH_RADIUS
+            d_r, d_m, d_o = _densities(p, h)
+            ext = (p.beta_r * d_r[..., None]
+                   + (p.beta_ms + p.beta_ma) * d_m[..., None]
+                   + p.beta_o * d_o[..., None])
+            t_view = jnp.exp(-(tau + 0.5 * ext * seg))
+            cos_sun_zen = math3.dot(pos, sun_b) / jnp.maximum(rr, 1e-6)
+            t_sun = sample_transmittance_lut(t_lut, h, cos_sun_zen)
+            horizon_mu = -jnp.sqrt(jnp.maximum(
+                1.0 - (EARTH_RADIUS / jnp.maximum(rr, EARTH_RADIUS)) ** 2,
+                0.0))
+            lit = (cos_sun_zen > horizon_mu).astype(jnp.float32)[..., None]
+            scat_r = p.beta_r * d_r[..., None]
+            scat_m = p.beta_ms * d_m[..., None]
+            inscatter = (scat_r * ph_r + scat_m * ph_m) * t_sun * lit
+            ms = sample_multiscatter_lut(ms_lut, h, cos_sun_zen)
+            inscatter = inscatter + (scat_r + scat_m) * ms * \
+                p.multiscattering_factor
+            rad = rad + inscatter * t_view * seg * sun_irradiance
+            tau = tau + ext * seg
+        rows = rows.at[:, 3 * k:3 * k + 3].set(rad)
+        rows = rows.at[:, 48 + 3 * k:48 + 3 * k + 3].set(jnp.exp(-tau))
+        d_prev = d_k
+    return rows
+
+
 def sample_envmap(env, direction):
     """Bilinear lat-long sample for a direction wavefront [N,3] → [N,3]."""
     h, w = env.shape[0], env.shape[1]

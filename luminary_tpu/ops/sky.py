@@ -287,6 +287,59 @@ def sun_radiance_spectral(sky, lam3):
     return tuple(out)
 
 
+def aerial_fetch(sky, direction: Vec3, dist):
+    """Aerial-perspective lookup: (transmittance rgb, inscatter rgb) for a
+    view segment of length `dist` km-equivalents (world units are treated
+    as metres; the bake uses km — callers pass dist * 1e-3).
+
+    ONE row gather per lane: the row carries the whole log-distance curve
+    (ops/atmosphere.bake_aerial_rows layout), lerped in-register.
+    """
+    from .atmosphere import (
+        AERIAL_D_MAX,
+        AERIAL_D_MIN,
+        AERIAL_ND,
+        AERIAL_NS,
+        AERIAL_NU,
+    )
+
+    mu = jnp.clip(direction.y, -1.0, 1.0)
+    mi = jnp.clip(((mu + 1.0) * 0.5 * AERIAL_NU).astype(jnp.int32),
+                  0, AERIAL_NU - 1)
+    # sun-relative azimuth
+    sx, sz = sky.sun_dir[0], sky.sun_dir[2]
+    az_v = jnp.arctan2(direction.z, direction.x)
+    az_s = jnp.arctan2(sz, sx)
+    rel = (az_v - az_s) % (2.0 * jnp.pi)
+    si = jnp.clip((rel * (AERIAL_NS / (2.0 * jnp.pi))).astype(jnp.int32),
+                  0, AERIAL_NS - 1)
+    row = sky.aerial_rows[mi * AERIAL_NS + si]      # [N, 128]
+    # log-distance lerp
+    logr = jnp.log(jnp.clip(dist, AERIAL_D_MIN, AERIAL_D_MAX) / AERIAL_D_MIN)
+    t = logr / jnp.log(AERIAL_D_MAX / AERIAL_D_MIN) * (AERIAL_ND - 1)
+    k0 = jnp.clip(t.astype(jnp.int32), 0, AERIAL_ND - 2)
+    w = (t - k0.astype(jnp.float32))[:, None]
+    # one-hot column mix (8 knots per vreg row; avoids per-lane gathers)
+    ks = jnp.arange(AERIAL_ND, dtype=jnp.int32)
+    sel0 = (ks[None, :] == k0[:, None]).astype(jnp.float32)
+    sel1 = (ks[None, :] == (k0 + 1)[:, None]).astype(jnp.float32)
+    sel = sel0 * (1.0 - w) + sel1 * w                # [N, ND]
+
+    def curve(base):
+        cur = row[:, base:base + 3 * 16].reshape(-1, 16, 3)
+        return (
+            jnp.sum(cur[..., 0] * sel, axis=1),
+            jnp.sum(cur[..., 1] * sel, axis=1),
+            jnp.sum(cur[..., 2] * sel, axis=1),
+        )
+
+    # short segments fade linearly below the first knot
+    fade = jnp.clip(dist / AERIAL_D_MIN, 0.0, 1.0)
+    ins = tuple(c * fade for c in curve(0))
+    tr = tuple(1.0 + (c - 1.0) * fade for c in curve(48))
+    return tr, ins
+
+
 def sample_env_direction(sky, pixel_id, sample_id, depth):
     """Draw a direction toward the environment by cell importance
     (reference: direct_lighting ambient + sky_hdri.cuh importance).

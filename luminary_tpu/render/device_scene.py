@@ -118,6 +118,11 @@ class DeviceSky(NamedTuple):
     env_spec_h: jnp.ndarray  # i32 scalar
     env_spec_w: jnp.ndarray  # i32 scalar
     sun_disc_spec: jnp.ndarray  # f32 [8]
+    # Aerial perspective (reference: SKY_INSCATTERING over hit segments):
+    # per (view-zenith, sun-azimuth) rows carrying inscatter + transmittance
+    # distance curves (ops/atmosphere.py bake_aerial_rows). Dummy [1, 128]
+    # when off / non-DEFAULT skies.
+    aerial_rows: jnp.ndarray  # f32 [NU*NS, 128]
     sun_disc_radiance: jnp.ndarray  # f32 [3] transmittance-tinted disc radiance
     geometry_offset: jnp.ndarray  # f32 [3]
     moon_dir: jnp.ndarray  # f32 [3] unit, toward moon
@@ -559,6 +564,20 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         sun_disc_spec = np.asarray(
             t_sun8 * bands * jnp.float32(SUN_RADIANCE * sky.sun_strength))
 
+    # Aerial perspective rows: DEFAULT-mode atmosphere only (HDRI bakes the
+    # full-path atmosphere into the map; constant skies have no medium).
+    aerial = np.zeros((1, 128), np.float32)
+    if (not is_constant and not is_hdri
+            and getattr(scene.settings, "aerial_perspective", True)):
+        from ..ops.atmosphere import bake_aerial_rows
+
+        aerial = np.asarray(bake_aerial_rows(
+            p, t_lut, ms_lut,
+            jnp.float32(max(float(sky.geometry_offset[1]), 0.001)),
+            jnp.asarray(sun_dir),
+            jnp.float32(SUN_IRRADIANCE * sky.sun_strength),
+        ))
+
     alias_rows, cell_pdf, ch, cw, nee_total = _build_env_nee(
         np.asarray(env), is_constant
     )
@@ -579,6 +598,7 @@ def pack_sky(scene: Scene, env_res: tuple[int, int] | None = None) -> DeviceSky:
         env_spec_h=np.int32(env_spec.shape[0]),
         env_spec_w=np.int32(env_spec.shape[1]),
         sun_disc_spec=sun_disc_spec,
+        aerial_rows=aerial,
         sun_disc_radiance=sun_disc,
         geometry_offset=np.asarray(sky.geometry_offset, np.float32),
         moon_dir=sun_direction(sky.moon_azimuth, sky.moon_altitude),

@@ -296,6 +296,10 @@ class Renderer:
                     )
                 ),
                 spectral=bool(getattr(s, "spectral_rendering", False)),
+                aerial=bool(
+                    getattr(s, "aerial_perspective", True)
+                    and int(self.scene.sky.mode) == 0
+                ),
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)

@@ -123,6 +123,10 @@ class RenderConfig(NamedTuple):
     # sky): hero wavelength with 3 rotations riding the channel slots,
     # resolved to sRGB at sample end (ops/spectral.py).
     spectral: bool = False
+    # Aerial perspective on hit segments (reference: SKY_INSCATTERING per
+    # depth, device_renderer.c:59-131): atmosphere transmittance +
+    # inscatter from the baked distance-curve rows. DEFAULT skies only.
+    aerial: bool = False
 
 
 class GBufferMeta(NamedTuple):
@@ -314,6 +318,25 @@ def render_sample(
         twr, twg, twb = spec3(*water_transmittance(
             scene.water, origin, direction, seg_len))
         thr_r, thr_g, thr_b = thr_r * twr, thr_g * twg, thr_b * twb
+
+        # ---- aerial perspective on segments that END on geometry/fog
+        # (misses get the full-path inscatter from the baked env instead;
+        # reference: SKY_INSCATTERING per depth) ----
+        if config.aerial:
+            from ..ops.sky import aerial_fetch
+
+            ends_here = active & (hit.valid | collided)
+            (atr_r, atr_g, atr_b), (ain_r, ain_g, ain_b) = aerial_fetch(
+                scene.sky, direction, seg_len * 1e-3)  # world m → km
+            ain_r, ain_g, ain_b = spec3(ain_r, ain_g, ain_b)
+            atr_r, atr_g, atr_b = spec3(atr_r, atr_g, atr_b)
+            on = ends_here.astype(jnp.float32)
+            rad_r = rad_r + thr_r * ain_r * on
+            rad_g = rad_g + thr_g * ain_g * on
+            rad_b = rad_b + thr_b * ain_b * on
+            thr_r = thr_r * jnp.where(ends_here, atr_r, 1.0)
+            thr_g = thr_g * jnp.where(ends_here, atr_g, 1.0)
+            thr_b = thr_b * jnp.where(ends_here, atr_b, 1.0)
 
         # ---- record the miss (sky evaluated ONCE after the loop) ----
         w_sun = jnp.where(

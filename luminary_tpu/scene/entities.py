@@ -111,6 +111,11 @@ class RendererSettings:
     # gates it off when the cloud march runs (clouds are only applied on the
     # BSDF-miss side, so MIS pairing would bias).
     ambient_nee: bool = True
+    # Aerial perspective: atmosphere transmittance + inscatter applied to
+    # every path segment that ends on geometry (reference: the per-depth
+    # SKY_INSCATTERING queue position, device_renderer.c:59-131). DEFAULT
+    # skies only.
+    aerial_perspective: bool = True
     # Full-path spectral rendering (reference: spectral.cuh CIE-CDF
     # wavelength sampling + the 8-wavelength sky of sky.cuh): hero
     # wavelength with 3 rotations riding the RGB channel slots, resolved
