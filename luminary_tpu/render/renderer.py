@@ -300,6 +300,8 @@ class Renderer:
                     getattr(s, "aerial_perspective", True)
                     and int(self.scene.sky.mode) == 0
                 ),
+                sun_ris=bool(getattr(s, 'sun_ris', True)
+                             and int(self.scene.sky.mode) != 2),
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)

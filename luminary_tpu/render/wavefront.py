@@ -127,6 +127,9 @@ class RenderConfig(NamedTuple):
     # depth, device_renderer.c:59-131): atmosphere transmittance +
     # inscatter from the baked distance-curve rows. DEFAULT skies only.
     aerial: bool = False
+    # Sun RIS second candidate (BSDF-proposed; reference
+    # direct_lighting.cuh:21-119). Off for constant-color skies (no sun).
+    sun_ris: bool = False
 
 
 class GBufferMeta(NamedTuple):
@@ -258,6 +261,13 @@ def render_sample(
     miss_sun_weight = zeros
     miss_env_weight = ones  # MIS weight of the env map vs env NEE
     ever_missed = jnp.zeros((n,), bool)
+    # MIS coverage flags of the PREVIOUS vertex: a bounce keeps full weight
+    # for any light class its origin vertex could not NEE-sample (no
+    # strategy ran, or the bounce transmitted below the sampled hemisphere)
+    prev_sun_nee = jnp.zeros((n,), bool)
+    prev_sun2 = jnp.zeros((n,), bool)
+    prev_light_nee = jnp.zeros((n,), bool)
+    prev_env_nee = jnp.zeros((n,), bool)
 
     gbuffer = GBufferMeta(
         depth=jnp.full((n,), MISS_DIST, jnp.float32),
@@ -339,8 +349,13 @@ def render_sample(
             thr_b = thr_b * jnp.where(ends_here, atr_b, 1.0)
 
         # ---- record the miss (sky evaluated ONCE after the loop) ----
+        # bounce-side balance weight over {cone NEE, bsdf NEE, bounce}:
+        # p_b / (p_cone + p_b * (1 + bsdf-NEE-active)); full weight when the
+        # previous vertex ran no sun NEE at all
+        den_sun = (1.0 / SUN_SOLID_ANGLE
+                   + prev_pdf * (1.0 + prev_sun2.astype(jnp.float32)))
         w_sun = jnp.where(
-            prev_delta, 1.0, mis_balance(prev_pdf, 1.0 / SUN_SOLID_ANGLE)
+            prev_delta | ~prev_sun_nee, 1.0, prev_pdf / den_sun
         )
         miss_dir = vwhere(missed, direction, miss_dir)
         miss_thr_r = jnp.where(missed, thr_r, miss_thr_r)
@@ -353,7 +368,7 @@ def render_sample(
             from ..ops.sky import env_pdf
 
             w_env = jnp.where(
-                prev_delta, 1.0,
+                prev_delta | ~prev_env_nee, 1.0,
                 mis_balance(prev_pdf, env_pdf(scene.sky, direction)),
             )
             miss_env_weight = jnp.where(missed, w_env, miss_env_weight)
@@ -580,7 +595,8 @@ def render_sample(
         front_face = d_dot_ng < 0.0
         cos_light = jnp.abs(d_dot_ng)
         pdf_nee = light_pdf_from_row(nee_sel_pdf, nee_area, hit.t, cos_light)
-        w_emit = jnp.where(prev_delta, 1.0, mis_balance(prev_pdf, pdf_nee))
+        w_emit = jnp.where(prev_delta | ~prev_light_nee, 1.0,
+                           mis_balance(prev_pdf, pdf_nee))
         add_emit = jnp.where(
             hit_lane & emissive & front_face & ~pass_thru, w_emit, 0.0
         )
@@ -599,7 +615,17 @@ def render_sample(
         # shared shading frame for the three lobe evaluations at this hit
         frame = make_frame(lane_mat, ns, wo)
 
-        # ---- NEE strategy 1: the sun (reference direct_lighting sun) ----
+        # ---- NEE strategy 1: the sun — RIS over {solid-angle sample,
+        # BSDF-proposed sample} with per-candidate MIS weights (reference:
+        # direct_lighting.cuh:21-119 sun RIS). Weights use the balance
+        # heuristic over the THREE samplers of the disc — cone NEE,
+        # BSDF-proposed NEE, and the BSDF bounce — so rough-specular sun
+        # highlights converge from whichever side is sharper. ----
+        sun_nee_on = (
+            nee_lane
+            & (scene.sky.sun_dir[1] > -0.1)
+            & (scene.sky.mode != 2)
+        )
         sun_dir_s = sample_sun_direction(sun_v, pixel_id, sample_id, depth)
         (fs_r, fs_g, fs_b), pdf_b_sun = frame_eval(
             lane_mat, frame, lane_mat.roughness, sun_dir_s
@@ -610,14 +636,57 @@ def render_sample(
         fs_b = jnp.where(vol_lane, phase_sun, fs_b)
         pdf_b_sun = jnp.where(vol_lane, phase_sun, pdf_b_sun)
         pdf_sun = 1.0 / SUN_SOLID_ANGLE
-        sun_candidate = (
-            nee_lane
-            & (vol_lane | (dot(sun_dir_s, ns) > 0.0))
-            & (scene.sky.sun_dir[1] > -0.1)
-            & (scene.sky.mode != 2)
-        )
+        cand1_ok = sun_nee_on & (vol_lane | (dot(sun_dir_s, ns) > 0.0))
+        phat1 = 0.2126 * fs_r + 0.7152 * fs_g + 0.0722 * fs_b
+        if config.sun_ris:
+            # candidate 2: a BSDF-proposed direction (surface, non-delta
+            # lanes; sub-stream +64 clears every per-depth stream)
+            wi_b2, _w2_unused, pdf_s2, is_delta2, trans2 = material_sample(
+                lane_mat, frame, ns, wo, pixel_id, sample_id, depth + 64,
+            )
+            sun2_on = (sun_nee_on & ~vol_lane & ~lane_mat.translucent
+                       & ~is_delta2 & ~trans2)
+            cand2_ok = (sun2_on & (dot(wi_b2, sun_v) >= SUN_COS_RADIUS)
+                        & (dot(wi_b2, ns) > 0.0))
+            (f2_r, f2_g, f2_b), pdf_eval2 = frame_eval(
+                lane_mat, frame, lane_mat.roughness, wi_b2)
+            # balance weights: denominator p_cone + p_bsdf x (NEE + bounce)
+            n_b1 = 1.0 + sun2_on.astype(jnp.float32)
+            phat2 = 0.2126 * f2_r + 0.7152 * f2_g + 0.0722 * f2_b
+            w_s1 = jnp.where(
+                cand1_ok & (phat1 > 0.0),
+                phat1 / jnp.maximum(pdf_sun + pdf_b_sun * n_b1, 1e-12), 0.0)
+            # m2 uses the NOMINAL (frame_eval) pdf shared with the bounce
+            # side; the division is by the sampler's TRUE density (bounded-
+            # VNDF, material_sample) — they differ pointwise by up to ~35%
+            w_s2 = jnp.where(
+                cand2_ok & (phat2 > 0.0),
+                pdf_eval2 / jnp.maximum(pdf_sun + pdf_eval2 * 2.0, 1e-12)
+                * phat2 / jnp.maximum(pdf_s2, 1e-12), 0.0)
+            wsum_sun = w_s1 + w_s2
+            r_spick = random_1d(
+                RandomTarget.EMISSION_INDEX, pixel_id, sample_id, depth)
+            pick2 = (r_spick * wsum_sun < w_s2) & (w_s2 > 0.0)
+            sun_dir_w = vwhere(pick2, wi_b2, sun_dir_s)
+            fs_r = jnp.where(pick2, f2_r, fs_r)
+            fs_g = jnp.where(pick2, f2_g, fs_g)
+            fs_b = jnp.where(pick2, f2_b, fs_b)
+            sel_phat_sun = jnp.where(pick2, phat2, phat1)
+        else:
+            sun2_on = jnp.zeros((n,), bool)
+            w_s1 = jnp.where(
+                cand1_ok & (phat1 > 0.0),
+                phat1 / jnp.maximum(pdf_sun + pdf_b_sun, 1e-12), 0.0)
+            wsum_sun = w_s1
+            sun_dir_w = sun_dir_s
+            sel_phat_sun = phat1
+        sun_candidate = sun_nee_on & (wsum_sun > 0.0)
+        # unbiased contribution factor: wsum / p̂(winner) replaces the old
+        # Ω·w_mis/Ω form (identical when candidate 2 is off)
+        sun_ris_w = jnp.where(
+            sun_candidate, wsum_sun / jnp.maximum(sel_phat_sun, 1e-20), 0.0)
         rays_traced = rays_traced + jnp.sum(sun_candidate.astype(jnp.float32))
-        t_fog_sun = fog_transmittance(fog, shadow_origin, sun_dir_s, 1e7)
+        t_fog_sun = fog_transmittance(fog, shadow_origin, sun_dir_w, 1e7)
         if config.use_clouds:
             # cloud shadows on surfaces (reference: cloud_shadow.cuh)
             from ..ops.clouds import cloud_sun_transmittance
@@ -627,7 +696,7 @@ def render_sample(
                 layers=config.cloud_layers,
             )
         tws_r, tws_g, tws_b = spec3(*water_transmittance(
-            scene.water, shadow_origin, sun_dir_s, 1e7
+            scene.water, shadow_origin, sun_dir_w, 1e7
         ))
 
         # ---- NEE strategy 2: emissive triangles — RIS over K alias-drawn
@@ -811,7 +880,7 @@ def render_sample(
         # 3N rays, one lockstep walk): sun rays, then area-light rays, then
         # env rays (reference fires them from one shadow kernel too,
         # optix_kernel_shadow.cu).
-        seg_d = [sun_dir_s, l_dir]
+        seg_d = [sun_dir_w, l_dir]
         seg_t = [jnp.full((n,), MISS_DIST), dist - 2.0 * _RAY_EPS]
         seg_a = [sun_candidate, light_candidate]
         if config.env_nee:
@@ -847,9 +916,8 @@ def render_sample(
             tr_env = trans[2 * n:] if config.env_nee else 1.0
         else:
             tr_sun = tr_l = tr_env = 1.0
-        w_mis_sun = mis_balance(pdf_sun, pdf_b_sun)
         sun_w = jnp.where(sun_candidate & ~sun_occluded,
-                          SUN_SOLID_ANGLE * w_mis_sun * t_fog_sun * tr_sun,
+                          sun_ris_w * t_fog_sun * tr_sun,
                           0.0)
         rad_r = rad_r + thr_r * fs_r * sun_rad3[0] * tws_r * sun_w
         rad_g = rad_g + thr_g * fs_g * sun_rad3[1] * tws_g * sun_w
@@ -1008,6 +1076,23 @@ def render_sample(
             prev_pdf = jnp.where(active & ~pass_thru, pdf,
                                  jnp.where(pass_thru, prev_pdf, 0.0))
             prev_delta = jnp.where(active & ~pass_thru, is_delta, prev_delta)
+            # NEE coverage of this vertex, seen from the NEXT bounce: a
+            # transmitted surface bounce leaves the hemisphere every NEE
+            # strategy sampled, so it keeps full weight
+            refl_side = vol_lane | ~transmitted
+            upd = active & ~pass_thru
+            prev_sun_nee = jnp.where(upd, sun_nee_on & refl_side,
+                                     prev_sun_nee & pass_thru)
+            prev_sun2 = jnp.where(upd, sun2_on & refl_side,
+                                  prev_sun2 & pass_thru)
+            prev_light_nee = jnp.where(
+                upd, nee_lane & (lights.num_lights > 0) & refl_side,
+                prev_light_nee & pass_thru)
+            env_on_lane = (
+                nee_lane & (scene.sky.env_nee_total > 0.0) & refl_side
+                if config.env_nee else jnp.zeros((n,), bool))
+            prev_env_nee = jnp.where(upd, env_on_lane,
+                                     prev_env_nee & pass_thru)
 
             # kill lanes with dead throughput
             wmax = jnp.maximum(jnp.abs(wr), jnp.maximum(jnp.abs(wg), jnp.abs(wb)))
@@ -1027,11 +1112,14 @@ def render_sample(
                 perm = jnp.argsort(
                     ray_sort_key(origin, direction, active, geo.bvh.bounds)
                 )
-                extras = []
+                extras = [prev_sun_nee.astype(jnp.float32),
+                          prev_sun2.astype(jnp.float32),
+                          prev_light_nee.astype(jnp.float32),
+                          prev_env_nee.astype(jnp.float32)]
                 if config.spectral:
-                    extras = [collapsed.astype(jnp.float32),
-                              lam3[0], lam3[1], lam3[2],
-                              lam_pdf3[0], lam_pdf3[1], lam_pdf3[2]]
+                    extras += [collapsed.astype(jnp.float32),
+                               lam3[0], lam3[1], lam3[2],
+                               lam_pdf3[0], lam_pdf3[1], lam_pdf3[2]]
                 cols = jnp.stack([
                     origin.x, origin.y, origin.z,
                     direction.x, direction.y, direction.z,
@@ -1071,10 +1159,14 @@ def render_sample(
                     cols[:, 26], jnp.int32)
                 medium = jax.lax.bitcast_convert_type(
                     cols[:, 27], jnp.uint32)
+                prev_sun_nee = cols[:, 28] > 0.5
+                prev_sun2 = cols[:, 29] > 0.5
+                prev_light_nee = cols[:, 30] > 0.5
+                prev_env_nee = cols[:, 31] > 0.5
                 if config.spectral:
-                    collapsed = cols[:, 28] > 0.5
-                    lam3 = (cols[:, 29], cols[:, 30], cols[:, 31])
-                    lam_pdf3 = (cols[:, 32], cols[:, 33], cols[:, 34])
+                    collapsed = cols[:, 32] > 0.5
+                    lam3 = (cols[:, 33], cols[:, 34], cols[:, 35])
+                    lam_pdf3 = (cols[:, 36], cols[:, 37], cols[:, 38])
 
     # ---- deferred sky: one SH evaluation for all recorded misses ----
     safe_dir = vwhere(ever_missed, miss_dir, Vec3.of(0.0, 1.0, 0.0, like=miss_dir))

@@ -111,6 +111,9 @@ class RendererSettings:
     # gates it off when the cloud march runs (clouds are only applied on the
     # BSDF-miss side, so MIS pairing would bias).
     ambient_nee: bool = True
+    # Sun NEE RIS second candidate (BSDF-proposed direction; reference:
+    # direct_lighting.cuh:21-119). Improves rough-specular sun highlights.
+    sun_ris: bool = True
     # Aerial perspective: atmosphere transmittance + inscatter applied to
     # every path segment that ends on geometry (reference: the per-depth
     # SKY_INSCATTERING queue position, device_renderer.c:59-131). DEFAULT
