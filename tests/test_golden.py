@@ -21,12 +21,85 @@ SPP = 64
 
 
 def _scenes():
-    from luminary_tpu.testing import cornell_scene, sun_plane_scene
+    from luminary_tpu.scene.entities import Material, MaterialBaseSubstrate
+    from luminary_tpu.scene.mesh import Mesh, Texture
+    from luminary_tpu.testing import (
+        _uv_sphere,
+        cornell_scene,
+        sun_plane_scene,
+    )
+
+    def glass_sphere():
+        # refraction + 2-deep medium stack + sun/sky (VERDICT r2 golden gap)
+        s = sun_plane_scene(32, 32)
+        mid = s.add_material(Material(
+            albedo=(1.0, 1.0, 1.0, 1.0), roughness=0.05,
+            base_substrate=MaterialBaseSubstrate.TRANSLUCENT,
+            refraction_index=1.5,
+        ))
+        v, t = _uv_sphere(0.0, 1.0, 0.0, 0.8)
+        mesh = Mesh(vertices=v, triangles=t,
+                    material_ids=np.full(len(t), mid, np.uint16),
+                    name="glass")
+        s.add_mesh(mesh)
+        inst = s.new_instance()
+        inst.mesh_id = mesh.id
+        s.set_instance(inst)
+        st = s.get_entity("settings")
+        st.max_ray_depth = 5
+        s.set_entity("settings", st)
+        return s
+
+    def textured():
+        # 8x8 checker albedo texture on the sun plane (mip/bilinear path)
+        s = sun_plane_scene(32, 32)
+        c = np.zeros((64, 64, 4), np.uint8)
+        cell = (np.arange(64) // 8)[:, None] + (np.arange(64) // 8)[None, :]
+        c[..., 0] = np.where(cell % 2 == 0, 230, 30)
+        c[..., 1] = np.where(cell % 2 == 0, 60, 200)
+        c[..., 2] = 60
+        c[..., 3] = 255
+        tex_id = s.add_texture(Texture(data=c, gamma=2.2))
+        m = s.get_material(0)
+        m.albedo_tex = tex_id
+        s.set_material(m)
+        s.meshes[0].uvs = np.asarray(
+            [[[0, 0], [4, 0], [4, 4]], [[0, 0], [4, 4], [0, 4]]],
+            np.float32)
+        return s
+
+    def fog_bridges():
+        # emissive panel in homogeneous fog → volume NEE + bridge estimator
+        s = cornell_scene(32, 32, max_depth=4)
+        fog = s.get_entity("fog")
+        fog.active = True
+        fog.density = 0.35
+        s.set_entity("fog", fog)
+        return s
+
+    def emitter_field():
+        # 98 emitters → the 16-wide light tree drives RIS candidate 0
+        from test_lights import _emitter_field_scene
+
+        return _emitter_field_scene(width=32, height=32, n_emit=7, ris_k=4)
+
+    def clouds():
+        s = sun_plane_scene(32, 32)
+        cl = s.get_entity("cloud")
+        cl.active = True
+        cl.low.active = True
+        s.set_entity("cloud", cl)
+        return s
 
     # cornell: GGX + area-light NEE + MIS; sun_plane: sun NEE + env sky
     return {
         "cornell_32": cornell_scene(32, 32, max_depth=4),
         "sun_plane_32": sun_plane_scene(32, 32),
+        "glass_sphere_32": glass_sphere(),
+        "textured_32": textured(),
+        "fog_bridges_32": fog_bridges(),
+        "emitter_field_32": emitter_field(),
+        "clouds_32": clouds(),
     }
 
 
