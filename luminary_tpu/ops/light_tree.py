@@ -24,9 +24,18 @@ cuda/light_tree.cuh:10-33). Differences, by design:
 
 Node row [128]: cols 0:16 child center x | 16:32 y | 32:48 z | 48:64 radius
 | 64:80 subtree power | 80:96 child code (bitcast i32; >=0 node, <0 leaf
-block = ~code, INVALID absent) | 96:128 zero.
+block = ~code, INVALID absent) | 96:112 cone axis (octahedral uv packed as
+2xf16 in one f32) | 112:128 cos of the cone half-angle (orientation bound
+θ_o; reference device_light.c cone importance terms) | nothing free.
 Leaf row [128]: 14 lights: 0:14 slot (bitcast i32, -1 pad) | 14:28 power |
-28:42 centroid x | 42:56 y | 56:70 z | 70:128 zero.
+28:42 centroid x | 42:56 y | 56:70 z | 70:84 face normal (oct 2xf16)
+| 84:128 zero.
+
+Orientation importance: emitters are one-sided, so a cluster whose cone
+faces away from the shading point is down-weighted by
+max(cos(max(θ − θ_o, 0)), CONE_EPS) where θ is the angle between the cone
+axis and (x − center). The CONE_EPS floor keeps every contributing light's
+selection pdf positive (bias-free — cones shape candidate QUALITY only).
 """
 
 from __future__ import annotations
@@ -48,6 +57,45 @@ BRANCH = 16
 # Below this many lights the alias table alone is fine (selection quality
 # barely matters; RIS does the spatial work).
 LIGHT_TREE_MIN_LIGHTS = 64
+# Orientation-importance floor: back-facing clusters keep this fraction of
+# their distance-power importance so every light's pdf stays positive.
+CONE_EPS = 0.01
+
+
+def _oct_encode_np(n: np.ndarray) -> np.ndarray:
+    """Unit vectors [K, 3] → octahedral uv in [-1, 1]² (numpy)."""
+    a = np.abs(n).sum(axis=-1, keepdims=True)
+    v = n / np.maximum(a, 1e-12)
+    uv = v[..., [0, 2]].copy()
+    neg = v[..., 1] < 0.0
+    flip = (1.0 - np.abs(uv[..., ::-1])) * np.where(uv >= 0.0, 1.0, -1.0)
+    uv[neg] = flip[neg]
+    return uv
+
+
+def _pack_oct_f16(uv: np.ndarray) -> np.ndarray:
+    """oct uv [K, 2] → one f32 per vector carrying two f16 halves."""
+    h = uv.astype(np.float16).view(np.uint16).astype(np.uint32)
+    packed = h[..., 0] | (h[..., 1] << 16)
+    return packed.view(np.float32)
+
+
+def _unpack_oct_f16(col):
+    """jnp inverse of _pack_oct_f16 → unit direction Vec3 components."""
+    bits = jax.lax.bitcast_convert_type(col, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (bits & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (bits >> 16).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    u, v = lo, hi
+    y = 1.0 - jnp.abs(u) - jnp.abs(v)
+    neg = y < 0.0
+    sx = jnp.where(u >= 0.0, 1.0, -1.0)
+    sz = jnp.where(v >= 0.0, 1.0, -1.0)
+    x = jnp.where(neg, (1.0 - jnp.abs(v)) * sx, u)
+    z = jnp.where(neg, (1.0 - jnp.abs(u)) * sz, v)
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-12))
+    return x * inv, y * inv, z * inv
 
 
 class LightTree(NamedTuple):
@@ -63,39 +111,80 @@ def build_light_tree(
     slots: np.ndarray,  # [L] leaf-slot id of each light
 ) -> LightTree:
     """SAH build (reuses the geometry BVH2 builder over light bounds) +
-    16-wide collapse with per-subtree power aggregation."""
+    16-wide collapse with per-subtree power + orientation-cone
+    aggregation (reference: device_light.c cone importance terms)."""
     bvh2 = build_bvh(corners, leaf_size=TREE_LEAF)
 
-    # --- subtree power, bottom-up over the BVH2 ---
+    # per-light one-sided emission normals
+    e1 = corners[:, 1] - corners[:, 0]
+    e2 = corners[:, 2] - corners[:, 0]
+    nrm = np.cross(e1, e2)
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+    # --- subtree power + cones, bottom-up over the BVH2 ---
     n_blocks = bvh2.num_blocks
 
     def block_lights(b: int) -> np.ndarray:
         ids = bvh2.tri_order[b * TREE_LEAF : (b + 1) * TREE_LEAF]
         return ids[ids >= 0]
 
+    def cone_union(axes, thetas, weights):
+        """Conservative union of K cones: power-weighted mean axis; half
+        angle covering every member cone."""
+        w = np.maximum(np.asarray(weights, np.float64), 1e-12)
+        axis = (np.asarray(axes) * w[:, None]).sum(axis=0)
+        ln = np.linalg.norm(axis)
+        if ln < 1e-9:
+            return np.array([0.0, 1.0, 0.0]), np.pi
+        axis = axis / ln
+        ang = np.arccos(np.clip(np.asarray(axes) @ axis, -1.0, 1.0))
+        theta = float(np.minimum(np.max(ang + np.asarray(thetas)), np.pi))
+        return axis, theta
+
     block_power = np.zeros(n_blocks, np.float64)
+    block_axis = np.zeros((n_blocks, 3), np.float64)
+    block_theta = np.zeros(n_blocks, np.float64)
     for b in range(n_blocks):
-        block_power[b] = power[block_lights(b)].sum()
+        ids = block_lights(b)
+        block_power[b] = power[ids].sum()
+        if len(ids):
+            block_axis[b], block_theta[b] = cone_union(
+                nrm[ids], np.zeros(len(ids)), power[ids])
+        else:
+            block_axis[b] = (0.0, 1.0, 0.0)
+            block_theta[b] = np.pi
 
     node_power = np.zeros(bvh2.num_nodes, np.float64)
+    node_axis = np.zeros((bvh2.num_nodes, 3), np.float64)
+    node_theta = np.zeros(bvh2.num_nodes, np.float64)
+    node_done = np.zeros(bvh2.num_nodes, bool)
+
+    def subtree_cone(code: int):
+        """(power, axis, theta) of a subtree, memoized."""
+        if code == int(INVALID):
+            return 0.0, np.array([0.0, 1.0, 0.0]), 0.0
+        if code < 0:
+            b = ~code
+            return float(block_power[b]), block_axis[b], float(block_theta[b])
+        if not node_done[code]:
+            p0, a0, t0 = subtree_cone(int(bvh2.child[code, 0]))
+            p1, a1, t1 = subtree_cone(int(bvh2.child[code, 1]))
+            node_power[code] = p0 + p1
+            node_axis[code], node_theta[code] = cone_union(
+                [a0, a1], [t0, t1], [p0, p1])
+            node_done[code] = True
+        return (float(node_power[code]), node_axis[code],
+                float(node_theta[code]))
 
     def subtree_power(code: int) -> float:
-        if code == int(INVALID):
-            return 0.0
-        if code < 0:
-            return float(block_power[~code])
-        if node_power[code] == 0.0:
-            node_power[code] = subtree_power(int(bvh2.child[code, 0])) + subtree_power(
-                int(bvh2.child[code, 1])
-            )
-        return float(node_power[code])
+        return subtree_cone(code)[0]
 
     import sys
 
     old = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old, 100000))
     try:
-        subtree_power(0)
+        subtree_cone(0)
     finally:
         sys.setrecursionlimit(old)
 
@@ -117,6 +206,8 @@ def build_light_tree(
         row[28 : 28 + len(ids)] = centroid[ids, 0]
         row[42 : 42 + len(ids)] = centroid[ids, 1]
         row[56 : 56 + len(ids)] = centroid[ids, 2]
+        if len(ids):
+            row[70 : 70 + len(ids)] = _pack_oct_f16(_oct_encode_np(nrm[ids]))
         leaf_rows.append(row)
         return ~(len(leaf_rows) - 1)
 
@@ -131,6 +222,10 @@ def build_light_tree(
             row[1 * 16 + k] = c[1]
             row[2 * 16 + k] = c[2]
             row[3 * 16 + k] = 0.5 * float(np.linalg.norm(hi - lo))
+            _, c_axis, c_theta = subtree_cone(int(code))
+            row[6 * 16 + k] = float(_pack_oct_f16(
+                _oct_encode_np(np.asarray([c_axis])))[0])
+            row[7 * 16 + k] = float(np.cos(min(c_theta, np.pi)))
             row[4 * 16 + k] = subtree_power(int(code))
             if code < 0:
                 codes[k] = emit_leaf(int(code))
@@ -197,7 +292,8 @@ def sample_light_tree(
                 RandomTarget.LIGHT_TREE_LEVEL, pid, sid, dk * 8 + lvl
             )
 
-            # --- node interpretation: child by clamped-distance power ---
+            # --- node interpretation: child by clamped-distance power ×
+            # orientation-cone factor (reference device_light.c cones) ---
             dx = rowT[0:16] - px[None]
             dy = rowT[16:32] - py[None]
             dz = rowT[32:48] - pz[None]
@@ -206,6 +302,24 @@ def sample_light_tree(
             code16 = jax.lax.bitcast_convert_type(rowT[80:96], jnp.int32)
             d2 = dx * dx + dy * dy + dz * dz
             imp = pw / jnp.maximum(d2, jnp.maximum(rad * rad, 1e-8))
+            # cone factor: cos(max(θ − θ_o − θ_u, 0)) with θ the angle from
+            # the cone axis to (x − center), θ_u the cluster's subtended
+            # half-angle (sin θ_u = r/d); floored at CONE_EPS so every
+            # contributing light keeps a positive pdf
+            ax, ay, az = _unpack_oct_f16(rowT[96:112])
+            inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
+            cos_t = -(ax * dx + ay * dy + az * dz) * inv_d
+            cos_t = jnp.clip(cos_t, -1.0, 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            cos_o = jnp.clip(rowT[112:128], -1.0, 1.0)
+            sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 0.0))
+            c1 = jnp.where(cos_t >= cos_o, 1.0,
+                           cos_t * cos_o + sin_t * sin_o)
+            s1 = jnp.sqrt(jnp.maximum(1.0 - c1 * c1, 0.0))
+            sin_u = jnp.minimum(rad * inv_d, 1.0)
+            cos_u = jnp.sqrt(jnp.maximum(1.0 - sin_u * sin_u, 0.0))
+            c2 = jnp.where(c1 >= cos_u, 1.0, c1 * cos_u + s1 * sin_u)
+            imp = imp * jnp.maximum(c2, CONE_EPS)
             imp = jnp.where(code16 == INVALID, 0.0, imp)  # [16, m]
             tot = jnp.sum(imp, axis=0)
             cum = jnp.cumsum(imp, axis=0)
@@ -220,14 +334,20 @@ def sample_light_tree(
             )
             c_sel = jnp.sum(jnp.where(oh, code16, 0), axis=0)
 
-            # --- leaf interpretation: light by power / distance^2 ---
+            # --- leaf interpretation: light by power / distance² × the
+            # exact one-sided emission facing factor ---
             lslot = jax.lax.bitcast_convert_type(rowT[0:14], jnp.int32)
             lpw = rowT[14:28]
             ldx = rowT[28:42] - px[None]
             ldy = rowT[42:56] - py[None]
             ldz = rowT[56:70] - pz[None]
             ld2 = ldx * ldx + ldy * ldy + ldz * ldz
-            limp = jnp.where(lslot >= 0, lpw / jnp.maximum(ld2, 1e-8), 0.0)
+            lnx, lny, lnz = _unpack_oct_f16(rowT[70:84])
+            l_inv_d = jax.lax.rsqrt(jnp.maximum(ld2, 1e-12))
+            l_cos = -(lnx * ldx + lny * ldy + lnz * ldz) * l_inv_d
+            l_face = jnp.maximum(l_cos, CONE_EPS)
+            limp = jnp.where(
+                lslot >= 0, lpw * l_face / jnp.maximum(ld2, 1e-8), 0.0)
             ltot = jnp.sum(limp, axis=0)
             lcum = jnp.cumsum(limp, axis=0)
             lrt = r * ltot
