@@ -103,6 +103,74 @@ def generate_ocean_mesh(
     return corners, normals
 
 
+def _hash2_jnp(ix, iz, seed: int):
+    """jnp twin of _hash2 (bit-exact wraparound semantics)."""
+    import jax.numpy as jnp
+
+    h = (ix.astype(jnp.uint32) * jnp.uint32(374761393)
+         + iz.astype(jnp.uint32) * jnp.uint32(668265263)
+         + jnp.uint32(seed) * jnp.uint32(2246822519))
+    h ^= h >> 13
+    h = h * jnp.uint32(1274126177)
+    h ^= h >> 16
+    return (h >> 8).astype(jnp.float32) / 16777216.0
+
+
+def value_noise_jnp(x, z, seed: int = 0):
+    import jax.numpy as jnp
+
+    ix, iz = jnp.floor(x), jnp.floor(z)
+    fx, fz = x - ix, z - iz
+    sx = fx * fx * (3.0 - 2.0 * fx)
+    sz = fz * fz * (3.0 - 2.0 * fz)
+    ix = ix.astype(jnp.int32)
+    iz = iz.astype(jnp.int32)
+    v00 = _hash2_jnp(ix, iz, seed)
+    v10 = _hash2_jnp(ix + 1, iz, seed)
+    v01 = _hash2_jnp(ix, iz + 1, seed)
+    v11 = _hash2_jnp(ix + 1, iz + 1, seed)
+    return (v00 * (1 - sx) * (1 - sz) + v10 * sx * (1 - sz)
+            + v01 * (1 - sx) * sz + v11 * sx * sz)
+
+
+def ocean_fbm_jnp(x, z, octaves: int = 5, seed: int = 7):
+    """jnp twin of ocean_fbm — the caustic connection sampler must see the
+    SAME surface the tessellated mesh displaces (ocean caustics,
+    reference caustics.cuh / ocean_utils.cuh)."""
+    import jax.numpy as jnp
+
+    total = jnp.zeros_like(x)
+    amp, freq, norm = 0.5, 1.0, 0.0
+    for o in range(octaves):
+        total = total + amp * (
+            value_noise_jnp(x * freq + 13.7 * o, z * freq - 7.1 * o, seed + o)
+            - 0.5)
+        norm += amp
+        amp *= 0.5
+        freq *= 2.1
+    return total / max(norm, 1e-6)
+
+
+def ocean_height_normal_jnp(water, px, pz, h_eps: float = 1.0):
+    """Surface height y(x,z) and unit normal of the procedural ocean at
+    world positions — central differences at the mesh-cell scale so the
+    analytic normal tracks the tessellated facets. Returns (y, (nx,ny,nz))."""
+    import jax.numpy as jnp
+
+    f = water.frequency
+
+    def h(xx, zz):
+        return water.height + water.amplitude * ocean_fbm_jnp(xx * f, zz * f)
+
+    import jax
+
+    y = h(px, pz)
+    dhdx = (h(px + h_eps, pz) - h(px - h_eps, pz)) / (2.0 * h_eps)
+    dhdz = (h(px, pz + h_eps) - h(px, pz - h_eps)) / (2.0 * h_eps)
+    inv = jax.lax.rsqrt(dhdx * dhdx + 1.0 + dhdz * dhdz)
+    return y, (-dhdx * inv, inv, -dhdz * inv)
+
+
 # Jerlov water types: (absorption RGB 1/m, scattering 1/m) — standard
 # oceanographic coefficient classes (reference: JerlovWaterType enum).
 JERLOV_COEFFS = {

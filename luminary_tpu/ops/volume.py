@@ -116,12 +116,18 @@ def sample_fog_collision(fog: DeviceFog, origin, direction, t_surface,
 
 class DeviceWater(NamedTuple):
     """Ocean water body below `height` (reference: Jerlov water types,
-    cuda/volume.cuh ocean medium). v1 is absorption-only — exact exponential
-    transmittance applied per segment, no scattering events."""
+    cuda/volume.cuh ocean medium). Absorption-only medium — exact
+    exponential transmittance per segment — plus the procedural-surface
+    parameters the caustic connection sampler needs (ops/procedural.py
+    ocean_height_normal_jnp; reference caustics.cuh)."""
 
     active: jnp.ndarray  # bool scalar
     absorb: jnp.ndarray  # f32 [3] absorption 1/m
-    height: jnp.ndarray  # f32 water surface y
+    height: jnp.ndarray  # f32 mean water surface y
+    amplitude: jnp.ndarray  # f32 wave amplitude
+    frequency: jnp.ndarray  # f32 wave frequency
+    ior: jnp.ndarray  # f32 water refraction index
+    caustics_scale: jnp.ndarray  # f32 connection-disk scale
 
 
 def pack_water(ocean) -> "DeviceWater":
@@ -134,6 +140,11 @@ def pack_water(ocean) -> "DeviceWater":
         active=_np.bool_(bool(ocean.active)),
         absorb=_np.asarray(absorb, _np.float32),
         height=_np.float32(ocean.height),
+        amplitude=_np.float32(ocean.amplitude),
+        frequency=_np.float32(ocean.frequency),
+        ior=_np.float32(ocean.refractive_index),
+        caustics_scale=_np.float32(
+            getattr(ocean, "caustics_domain_scale", 0.5)),
     )
 
 

@@ -302,6 +302,18 @@ class Renderer:
                 ),
                 sun_ris=bool(getattr(s, 'sun_ris', True)
                              and int(self.scene.sky.mode) != 2),
+                # caustics: 1/4 of the entity's RIS count — our candidates
+                # each pay 5 FBM evaluations, the reference's are cheaper
+                ocean_caustics=bool(
+                    self.scene.ocean.active
+                    and getattr(self.scene.ocean, "caustics_active", False)
+                    and int(self.scene.sky.mode) != 2
+                ),
+                caustics_k=min(max(int(getattr(
+                    self.scene.ocean, "caustics_ris_sample_count", 32))
+                    // 4, 2), 32),
+                ocean_mat_id=(len(self.scene.materials)
+                              if self.scene.ocean.active else -1),
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)

@@ -130,6 +130,12 @@ class RenderConfig(NamedTuple):
     # Sun RIS second candidate (BSDF-proposed; reference
     # direct_lighting.cuh:21-119). Off for constant-color skies (no sun).
     sun_ris: bool = False
+    # Ocean sun caustics (reference: caustics.cuh + direct_lighting.cuh
+    # :121-243): RIS connection points on the wavy interface for underwater
+    # vertices; the ocean-exit disc suppression pairs with it.
+    ocean_caustics: bool = False
+    caustics_k: int = 8
+    ocean_mat_id: int = -1  # the procedural ocean material (exit detection)
 
 
 class GBufferMeta(NamedTuple):
@@ -268,6 +274,9 @@ def render_sample(
     prev_sun2 = jnp.zeros((n,), bool)
     prev_light_nee = jnp.zeros((n,), bool)
     prev_env_nee = jnp.zeros((n,), bool)
+    # bounce refracted UP through the ocean surface: its sun-disc hit is
+    # owned by the caustic strategy (render double-count suppression)
+    ocean_exit = jnp.zeros((n,), bool)
 
     gbuffer = GBufferMeta(
         depth=jnp.full((n,), MISS_DIST, jnp.float32),
@@ -357,6 +366,8 @@ def render_sample(
         w_sun = jnp.where(
             prev_delta | ~prev_sun_nee, 1.0, prev_pdf / den_sun
         )
+        if config.ocean_caustics:
+            w_sun = jnp.where(ocean_exit, 0.0, w_sun)
         miss_dir = vwhere(missed, direction, miss_dir)
         miss_thr_r = jnp.where(missed, thr_r, miss_thr_r)
         miss_thr_g = jnp.where(missed, thr_g, miss_thr_g)
@@ -876,25 +887,57 @@ def render_sample(
             twe_r, twe_g, twe_b = spec3(*water_transmittance(
                 scene.water, shadow_origin, env_dir, 1e7))
             w_mis_env = mis_balance(pdf_env, pdf_b_env)
-        # All NEE visibility queries ride ONE batched any-hit trace (2N or
-        # 3N rays, one lockstep walk): sun rays, then area-light rays, then
-        # env rays (reference fires them from one shadow kernel too,
-        # optix_kernel_shadow.cu).
+        # ---- NEE strategy 4: ocean sun caustics for underwater vertices
+        # (reference: caustics.cuh RIS connection points) ----
+        if config.ocean_caustics:
+            from ..ops.caustics import sample_caustic_connection
+
+            uw_lane = (nee_lane & scene.water.active
+                       & (shadow_origin.y < scene.water.height)
+                       & sun_nee_on)
+            cau_p, cau_u, cau_dist, cau_weight, cau_valid = \
+                sample_caustic_connection(
+                    scene.water, sun_v, shadow_origin,
+                    pixel_id, sample_id, depth, config.caustics_k)
+            cau_candidate = uw_lane & cau_valid
+            rays_traced = rays_traced + 2.0 * jnp.sum(
+                cau_candidate.astype(jnp.float32))
+        # All NEE visibility queries ride ONE batched any-hit trace (one
+        # lockstep walk): sun, area-light, env, and caustic rays (reference
+        # fires them from one shadow kernel too, optix_kernel_shadow.cu).
+        seg_o = [shadow_origin, shadow_origin]
         seg_d = [sun_dir_w, l_dir]
         seg_t = [jnp.full((n,), MISS_DIST), dist - 2.0 * _RAY_EPS]
         seg_a = [sun_candidate, light_candidate]
         if config.env_nee:
+            seg_o.append(shadow_origin)
             seg_d.append(env_dir)
             seg_t.append(jnp.full((n,), MISS_DIST))
             seg_a.append(env_candidate)
+        if config.ocean_caustics:
+            i_cau = len(seg_o)
+            # x → P (shortened: P sits ON the tessellated surface) and
+            # P → sun (offset off the interface)
+            seg_o.append(shadow_origin)
+            seg_d.append(cau_u)
+            seg_t.append(cau_dist * 0.95)
+            seg_a.append(cau_candidate)
+            seg_o.append(Vec3(cau_p.x + sun_v.x * 0.02,
+                              cau_p.y + sun_v.y * 0.02 + 0.02,
+                              cau_p.z + sun_v.z * 0.02))
+            seg_d.append(Vec3(jnp.broadcast_to(sun_v.x, (n,)),
+                              jnp.broadcast_to(sun_v.y, (n,)),
+                              jnp.broadcast_to(sun_v.z, (n,))))
+            seg_t.append(jnp.full((n,), MISS_DIST))
+            seg_a.append(cau_candidate)
         k_seg = len(seg_d)
 
         def _cat(parts):
             return jnp.concatenate(parts)
 
-        shadow_o = Vec3(_cat([shadow_origin.x] * k_seg),
-                        _cat([shadow_origin.y] * k_seg),
-                        _cat([shadow_origin.z] * k_seg))
+        shadow_o = Vec3(_cat([o.x for o in seg_o]),
+                        _cat([o.y for o in seg_o]),
+                        _cat([o.z for o in seg_o]))
         shadow_d = Vec3(_cat([d.x for d in seg_d]),
                         _cat([d.y for d in seg_d]),
                         _cat([d.z for d in seg_d]))
@@ -913,7 +956,7 @@ def render_sample(
                 chunk=config.chunk, active=shadow_act & ~occ,
             )
             tr_sun, tr_l = trans[:n], trans[n:2 * n]
-            tr_env = trans[2 * n:] if config.env_nee else 1.0
+            tr_env = trans[2 * n:3 * n] if config.env_nee else 1.0
         else:
             tr_sun = tr_l = tr_env = 1.0
         sun_w = jnp.where(sun_candidate & ~sun_occluded,
@@ -941,7 +984,7 @@ def render_sample(
         rad_g = rad_g + thr_g * fl_g * le_g * twl_g * l_w
         rad_b = rad_b + thr_b * fl_b * le_b * twl_b * l_w
         if config.env_nee:
-            env_occluded = occ[2 * n:]
+            env_occluded = occ[2 * n:3 * n]
             env_w = jnp.where(
                 env_candidate & ~env_occluded,
                 w_mis_env / jnp.maximum(pdf_env, 1e-12) * t_fog_env * tr_env,
@@ -950,6 +993,24 @@ def render_sample(
             rad_r = rad_r + thr_r * fe_r * env_le.x * twe_r * env_w
             rad_g = rad_g + thr_g * fe_g * env_le.y * twe_g * env_w
             rad_b = rad_b + thr_b * fe_b * env_le.z * twe_b * env_w
+        if config.ocean_caustics:
+            cau_blocked = (occ[i_cau * n:(i_cau + 1) * n]
+                           | occ[(i_cau + 1) * n:(i_cau + 2) * n])
+            (fc_r, fc_g, fc_b), _pdf_c = frame_eval(
+                lane_mat, frame, lane_mat.roughness, cau_u)
+            phase_c = hg_phase(dot(direction, cau_u), fog.g)
+            fc_r = jnp.where(vol_lane, phase_c, fc_r)
+            fc_g = jnp.where(vol_lane, phase_c, fc_g)
+            fc_b = jnp.where(vol_lane, phase_c, fc_b)
+            # the whole x→P segment is underwater: Jerlov absorption
+            twc_r, twc_g, twc_b = spec3(
+                jnp.exp(-scene.water.absorb[0] * cau_dist),
+                jnp.exp(-scene.water.absorb[1] * cau_dist),
+                jnp.exp(-scene.water.absorb[2] * cau_dist))
+            c_w = jnp.where(cau_candidate & ~cau_blocked, cau_weight, 0.0)
+            rad_r = rad_r + thr_r * fc_r * sun_rad3[0] * twc_r * c_w
+            rad_g = rad_g + thr_g * fc_g * sun_rad3[1] * twc_g * c_w
+            rad_b = rad_b + thr_b * fc_b * sun_rad3[2] * twc_b * c_w
 
         # ---- bridge volume NEE: volume vertices connect to the winner
         # light through 1..bridge_vertices scattering events (reference:
@@ -1093,6 +1154,12 @@ def render_sample(
                 if config.env_nee else jnp.zeros((n,), bool))
             prev_env_nee = jnp.where(upd, env_on_lane,
                                      prev_env_nee & pass_thru)
+            if config.ocean_caustics:
+                is_ocean = mat_id == config.ocean_mat_id
+                ocean_exit = jnp.where(
+                    upd,
+                    hit_lane & transmitted & is_ocean & ~front_face,
+                    ocean_exit & pass_thru)
 
             # kill lanes with dead throughput
             wmax = jnp.maximum(jnp.abs(wr), jnp.maximum(jnp.abs(wg), jnp.abs(wb)))
@@ -1116,6 +1183,8 @@ def render_sample(
                           prev_sun2.astype(jnp.float32),
                           prev_light_nee.astype(jnp.float32),
                           prev_env_nee.astype(jnp.float32)]
+                if config.ocean_caustics:
+                    extras.append(ocean_exit.astype(jnp.float32))
                 if config.spectral:
                     extras += [collapsed.astype(jnp.float32),
                                lam3[0], lam3[1], lam3[2],
@@ -1159,14 +1228,21 @@ def render_sample(
                     cols[:, 26], jnp.int32)
                 medium = jax.lax.bitcast_convert_type(
                     cols[:, 27], jnp.uint32)
-                prev_sun_nee = cols[:, 28] > 0.5
-                prev_sun2 = cols[:, 29] > 0.5
-                prev_light_nee = cols[:, 30] > 0.5
-                prev_env_nee = cols[:, 31] > 0.5
+                ci = 28
+                prev_sun_nee = cols[:, ci] > 0.5
+                prev_sun2 = cols[:, ci + 1] > 0.5
+                prev_light_nee = cols[:, ci + 2] > 0.5
+                prev_env_nee = cols[:, ci + 3] > 0.5
+                ci += 4
+                if config.ocean_caustics:
+                    ocean_exit = cols[:, ci] > 0.5
+                    ci += 1
                 if config.spectral:
-                    collapsed = cols[:, 32] > 0.5
-                    lam3 = (cols[:, 33], cols[:, 34], cols[:, 35])
-                    lam_pdf3 = (cols[:, 36], cols[:, 37], cols[:, 38])
+                    collapsed = cols[:, ci] > 0.5
+                    lam3 = (cols[:, ci + 1], cols[:, ci + 2],
+                            cols[:, ci + 3])
+                    lam_pdf3 = (cols[:, ci + 4], cols[:, ci + 5],
+                                cols[:, ci + 6])
 
     # ---- deferred sky: one SH evaluation for all recorded misses ----
     safe_dir = vwhere(ever_missed, miss_dir, Vec3.of(0.0, 1.0, 0.0, like=miss_dir))
