@@ -259,6 +259,7 @@ def sample_light_tree(
     sample_id,
     dk: int,
     chunk: int = 1 << 18,
+    force: str | None = None,
 ):
     """One stochastic descent per lane from the shading point `pos`.
 
@@ -270,10 +271,45 @@ def sample_light_tree(
     would pad its minor axis 16 → 128 (9x memory blowup, measured OOM at 2M
     lanes). Big wavefronts run in lax.map chunks to bound the transposed
     row buffer ([128, chunk]).
+
+    `force` = "xla" | "pallas" selects the level-body implementation.
+    The default is the XLA body: unlike the traversal while-loop, the
+    unrolled descent is already gather-LATENCY-bound (measured round 3:
+    5.4 ms/level at 1M lanes of which 4.9 ms is the row gather +
+    transpose; the fused Pallas body in ops/light_tree_pallas.py came
+    out 0.75x because its augmented 176-col gather costs more than the
+    math it fuses — see tools/nee_probe.py).
     """
+    from .traverse import _use_pallas
+
     n = pos.x.shape[0]
     pixel_id = jnp.broadcast_to(jnp.asarray(pixel_id, jnp.uint32), (n,))
     sample_id = jnp.broadcast_to(jnp.asarray(sample_id, jnp.uint32), (n,))
+
+    use_pallas = force == "pallas"
+    if use_pallas:
+        from .light_tree_pallas import descend_pallas
+
+        interpret = force == "pallas" and not _use_pallas()
+
+        def run(args):
+            px, py, pz, pid, sid = args
+            return descend_pallas(
+                tree_rows, num_nodes, levels, Vec3(px, py, pz),
+                pid, sid, dk, interpret=interpret)
+
+        args = (pos.x, pos.y, pos.z, pixel_id, sample_id)
+        if n <= chunk:
+            return run(args)
+        pad = (-n) % chunk
+        if pad:
+            args = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]),
+                args)
+        reshaped = jax.tree_util.tree_map(
+            lambda x: x.reshape(-1, chunk), args)
+        out = jax.lax.map(run, reshaped)
+        return jax.tree_util.tree_map(lambda x: x.reshape(-1)[:n], out)
 
     def run(args):
         px, py, pz, pid, sid = args

@@ -21,11 +21,14 @@ PARTICLES_INSTANCE_ID = 0x7FFF0001
 
 
 def _hash2(ix: np.ndarray, iz: np.ndarray, seed: int) -> np.ndarray:
-    h = (ix.astype(np.uint32) * np.uint32(374761393)
-         + iz.astype(np.uint32) * np.uint32(668265263)
-         + np.uint32(seed) * np.uint32(2246822519))
-    h ^= h >> 13
-    h = h * np.uint32(1274126177)
+    # u32 wraparound is the hash's mixing mechanism — silence the numpy
+    # overflow warning deliberately so REAL overflows elsewhere stay loud
+    with np.errstate(over="ignore"):
+        h = (ix.astype(np.uint32) * np.uint32(374761393)
+             + iz.astype(np.uint32) * np.uint32(668265263)
+             + np.uint32(seed) * np.uint32(2246822519))
+        h ^= h >> 13
+        h = h * np.uint32(1274126177)
     h ^= h >> 16
     return (h >> 8).astype(np.float32) / 16777216.0
 

@@ -206,3 +206,34 @@ def test_descent_prefers_facing_lights():
     )
     facing_frac = (np.asarray(slot) < n_half).mean()
     assert facing_frac > 0.85, facing_frac
+
+
+def test_descent_pallas_matches_xla():
+    """The fused Pallas descent (ops/light_tree_pallas.py) must pick the
+    SAME slots with the SAME pdfs as the XLA path given identical randoms
+    (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from luminary_tpu.ops.vec import Vec3
+
+    centroid, corners, power, slots = _random_lights(n=300, seed=5)
+    tree = build_light_tree(centroid, corners, power, slots)
+    rng = np.random.default_rng(9)
+    n = 2048
+    pv = Vec3(jnp.asarray(rng.uniform(-20, 20, n).astype(np.float32)),
+              jnp.asarray(rng.uniform(-2, 8, n).astype(np.float32)),
+              jnp.asarray(rng.uniform(-20, 20, n).astype(np.float32)))
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    rows = jnp.asarray(tree.rows)
+    sx, px, vx = sample_light_tree(
+        rows, tree.num_nodes, tree.levels, pv, pid, jnp.uint32(4), 0,
+        force="xla")
+    sp, pp, vp = sample_light_tree(
+        rows, tree.num_nodes, tree.levels, pv, pid, jnp.uint32(4), 0,
+        force="pallas")
+    sx, sp = np.asarray(sx), np.asarray(sp)
+    agree = (sx == sp).mean()
+    assert agree > 0.999, agree  # fp-boundary flips only
+    same = (sx == sp) & np.asarray(vx) & np.asarray(vp)
+    np.testing.assert_allclose(
+        np.asarray(pp)[same], np.asarray(px)[same], rtol=1e-4)
