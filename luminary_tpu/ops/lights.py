@@ -33,10 +33,15 @@ class DeviceLights:
 
     Array fields:
       prob/alias/slot/select_pdf: alias table over L emissive triangles.
-      light_rows [L, 8]: denormalized alias rows — prob, own slot (bitcast
-        i32), own select_pdf, alias slot (bitcast), alias select_pdf, pad.
-        One draw = ONE row gather (gathers cost per INDEX on TPU; the alias
-        redirect would otherwise be a second dependent gather).
+      light_rows [L, 8]: denormalized alias rows — prob, own DENSE light
+        index (bitcast i32), own select_pdf, alias dense index (bitcast),
+        alias select_pdf, pad. One draw = ONE row gather (gathers cost per
+        INDEX on TPU; the alias redirect would otherwise be a second
+        dependent gather). Dense indices (not slot ids) so the follow-up
+        candidate-row gather reads the COMPACT [L, 18] table — a [P, 18]
+        slot-space table at 164k slots measured 73 ms per 2M-lane gather
+        (every row access DMAs a full 4 KB HBM tile) vs ~3 ms from a
+        VMEM-resident compact table.
       slot_select_pdf/slot_area [P]: per-slot MIS data for BSDF-sampled hits.
       tree_rows: unified light-tree table (dummy [1, 128] when absent).
     """
@@ -137,13 +142,15 @@ def pack_lights(
         tree_nodes = tree_levels = 0
         if len(slots) >= LIGHT_TREE_MIN_LIGHTS:
             v0s, e1s, e2s = tri_v0[slots], tri_e1[slots], tri_e2[slots]
+            # leaves store the DENSE light index (see light_rows note) —
+            # the real slot id rides the compact candidate row instead
             tree = build_light_tree(
                 centroid=(v0s + (e1s + e2s) / 3.0).astype(np.float32),
                 corners=np.stack(
                     [v0s, v0s + e1s, v0s + e2s], axis=1
                 ).astype(np.float32),
                 power=w.astype(np.float32),
-                slots=slots,
+                slots=np.arange(len(slots), dtype=np.int32),
             )
             tree_rows = tree.rows
             tree_nodes, tree_levels = tree.num_nodes, tree.levels
@@ -180,11 +187,12 @@ def pack_lights(
 
 def _pack_light_rows(prob, alias, slots, sel) -> np.ndarray:
     l = prob.shape[0]
+    dense = np.arange(l, dtype=np.int32)
     rows = np.zeros((l, 8), np.float32)
     rows[:, 0] = prob
-    rows[:, 1] = slots.astype(np.int32).view(np.float32)
+    rows[:, 1] = dense.view(np.float32)
     rows[:, 2] = sel
-    rows[:, 3] = slots[alias].astype(np.int32).view(np.float32)
+    rows[:, 3] = alias.astype(np.int32).view(np.float32)
     rows[:, 4] = sel[alias]
     return rows
 
@@ -205,15 +213,17 @@ def sample_light_point(
 
     Selection comes from the alias table by default, or from a caller-drawn
     candidate (`slot`/`pdf_select`/`sel_valid` — e.g. a light-tree descent,
-    ops/light_tree.py). Returns (light_slot [N], point Vec3, normal Vec3,
-    pdf_area [N], pdf_area_alias [N], emission (r, g, b) [N] arrays,
-    emission_valid [N], (b1, b2)). pdf_area is over the light surface:
-    select_pdf/area with the TRUE candidate pdf (the RIS resampling weight);
-    pdf_area_alias always uses the slot's alias-table pdf — the nominal MIS
-    pdf shared with the BSDF-hit side, whichever process drew the slot.
-    Everything per-slot comes from ONE slim light-row gather (`shade_rows`
-    here is the [P, 18] light_slot_rows table — LSR_* column map,
-    render/device_scene.py).
+    ops/light_tree.py) — in DENSE light-index space (0..L-1), never slot
+    space. Returns (light_slot [N] — the REAL leaf-slot id, point Vec3,
+    normal Vec3, pdf_area [N], pdf_area_alias [N], emission (r, g, b) [N]
+    arrays, emission_valid [N], (b1, b2)). pdf_area is over the light
+    surface: select_pdf/area with the TRUE candidate pdf (the RIS
+    resampling weight); pdf_area_alias always uses the light's alias-table
+    pdf — the nominal MIS pdf shared with the BSDF-hit side, whichever
+    process drew the light. Everything per-light comes from ONE slim
+    candidate-row gather (`shade_rows` here is the COMPACT [L, 18]
+    light_slot_rows table — LSR_* column map, render/device_scene.py;
+    compact so the gather source stays VMEM-resident).
     """
     from ..render.device_scene import (
         LSR_AREA,
@@ -222,6 +232,7 @@ def sample_light_point(
         LSR_EMISSION,
         LSR_FACE_N,
         LSR_SELECT_PDF,
+        LSR_SLOT,
         LSR_V0,
     )
 
@@ -233,18 +244,17 @@ def sample_light_point(
             # big-scene path: ONE light-row gather resolves the alias redirect
             lrow = lights.light_rows[idx]
             take_alias = r[..., 1] >= lrow[:, 0]
-            slot = jax.lax.bitcast_convert_type(
+            light_ix = jax.lax.bitcast_convert_type(
                 jnp.where(take_alias, lrow[:, 3], lrow[:, 1]), jnp.int32
             )
             pdf_select = jnp.where(take_alias, lrow[:, 4], lrow[:, 2])
         else:
             # small-table path: XLA lowers these gathers to cheap selects
             take_alias = r[..., 1] >= lights.prob[idx]
-            idx = jnp.where(take_alias, lights.alias[idx], idx)
-            slot = lights.slot[idx]
-            pdf_select = lights.select_pdf[idx]
+            light_ix = jnp.where(take_alias, lights.alias[idx], idx)
+            pdf_select = lights.select_pdf[light_ix]
     else:
-        slot = jnp.maximum(slot, 0)  # invalid lanes masked via sel_valid
+        light_ix = jnp.maximum(slot, 0)  # invalid lanes masked via sel_valid
 
     # Uniform barycentric point (sqrt warp)
     r2 = random_2d(RandomTarget.LIGHT_TRIANGLE, pixel_id, sample_id, depth)
@@ -252,7 +262,8 @@ def sample_light_point(
     b1 = 1.0 - su
     b2 = r2[..., 1] * su
     if shade_rows is not None:
-        row = shade_rows[slot]
+        row = shade_rows[light_ix]
+        slot = jax.lax.bitcast_convert_type(row[:, LSR_SLOT], jnp.int32)
         v0 = Vec3(row[:, LSR_V0], row[:, LSR_V0 + 1], row[:, LSR_V0 + 2])
         e1 = Vec3(row[:, LSR_E1], row[:, LSR_E1 + 1], row[:, LSR_E1 + 2])
         e2 = Vec3(row[:, LSR_E2], row[:, LSR_E2 + 1], row[:, LSR_E2 + 2])
@@ -264,6 +275,7 @@ def sample_light_point(
         alias_select = row[:, LSR_SELECT_PDF]
     else:
         # small-table path: XLA lowers these gathers to cheap selects
+        slot = lights.slot[light_ix]
         v0 = vgather(geo.bvh.tri_v0, slot)
         e1 = vgather(geo.bvh.tri_e1, slot)
         e2 = vgather(geo.bvh.tri_e2, slot)

@@ -158,9 +158,10 @@ class DeviceScene(NamedTuple):
     textures: "DeviceTextures"
     clouds: "DeviceClouds"
     shade_rows: jnp.ndarray  # f32 [P, 48] — see SHADE_* column map below
-    # Slim per-slot rows for NEE candidate evaluation (LSR_* columns): RIS
-    # gathers one of these per candidate, 3x less traffic than a shade row.
-    light_slot_rows: jnp.ndarray  # f32 [P, 18]
+    # Slim COMPACT per-light rows for NEE candidate evaluation (LSR_*
+    # columns): RIS gathers one of these per candidate; dense light-index
+    # order keeps the table VMEM-resident (see the LSR_* note below).
+    light_slot_rows: jnp.ndarray  # f32 [L, 18]
 
 
 # Shade-row column map: ONE gather per hit fetches everything shading needs.
@@ -196,42 +197,52 @@ SHADE_LOD_BASE = 48    # log2(PAGE_RES * sqrt(uv_area / world_area))
 SHADE_ABBE = 49        # dispersion Abbe number (spectral mode; 0 = none)
 SHADE_COLS = 56
 
-# light-sample row columns (light_slot_rows [P, 18])
+# light-sample row columns (light_slot_rows — COMPACT [L, 18], one row per
+# EMISSIVE triangle in dense light-index order, NOT per slot: a slot-space
+# table at 164k slots (84 MB tiled) measured 73 ms per 2M-lane gather
+# because every row access DMAs a full 4 KB HBM tile; the compact table
+# stays VMEM-resident for typical emitter counts (~3 ms).
 LSR_V0 = 0
 LSR_E1 = 3
 LSR_E2 = 6
 LSR_FACE_N = 9
 LSR_EMISSION = 12
 LSR_AREA = 15
-# The slot's ALIAS-table selection pdf — the nominal MIS pdf shared with the
-# BSDF-hit side (shade row SHADE_SEL_PDF), regardless of which RIS candidate
-# process (alias or light tree) actually drew the slot. Keeping MIS on one
-# pdf function for both strategies keeps the balance weights summing to 1.
+# The light's ALIAS-table selection pdf — the nominal MIS pdf shared with
+# the BSDF-hit side (shade row SHADE_SEL_PDF), regardless of which RIS
+# candidate process (alias or light tree) actually drew the light. Keeping
+# MIS on one pdf function for both strategies keeps the weights summing to 1.
 LSR_SELECT_PDF = 16
+LSR_SLOT = 17  # the light's REAL leaf-slot id (bitcast i32)
 LSR_COLS = 18
 
 
 def pack_light_slot_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
                          lights) -> np.ndarray:
-    """Slim [P, 16] rows with exactly what a NEE candidate needs."""
-    p = np.asarray(geo.material_id).shape[0]
-    rows = np.zeros((p, LSR_COLS), np.float32)
+    """Compact [L, 18] rows with exactly what a NEE candidate needs."""
+    slots = np.asarray(lights.slot).astype(np.int64)
+    l = max(len(slots), 1)
+    rows = np.zeros((l, LSR_COLS), np.float32)
+    if int(lights.num_lights) == 0:
+        return rows
+    s = slots
 
     def put3(col, v):
-        rows[:, col + 0] = np.asarray(v.x)
-        rows[:, col + 1] = np.asarray(v.y)
-        rows[:, col + 2] = np.asarray(v.z)
+        rows[:, col + 0] = np.asarray(v.x)[s]
+        rows[:, col + 1] = np.asarray(v.y)[s]
+        rows[:, col + 2] = np.asarray(v.z)[s]
 
     put3(LSR_V0, geo.bvh.tri_v0)
     put3(LSR_E1, geo.bvh.tri_e1)
     put3(LSR_E2, geo.bvh.tri_e2)
     put3(LSR_FACE_N, geo.face_normal)
-    m = np.asarray(geo.material_id).astype(np.int64)
+    m = np.asarray(geo.material_id).astype(np.int64)[s]
     rows[:, LSR_EMISSION + 0] = np.asarray(materials.emission_r)[m]
     rows[:, LSR_EMISSION + 1] = np.asarray(materials.emission_g)[m]
     rows[:, LSR_EMISSION + 2] = np.asarray(materials.emission_b)[m]
-    rows[:, LSR_AREA] = np.asarray(lights.slot_area)
-    rows[:, LSR_SELECT_PDF] = np.asarray(lights.slot_select_pdf)
+    rows[:, LSR_AREA] = np.asarray(lights.slot_area)[s]
+    rows[:, LSR_SELECT_PDF] = np.asarray(lights.select_pdf)
+    rows[:, LSR_SLOT] = s.astype(np.int32).view(np.float32)
     return rows
 
 
