@@ -277,6 +277,15 @@ def render_sample(
     # bounce refracted UP through the ocean surface: its sun-disc hit is
     # owned by the caustic strategy (render double-count suppression)
     ocean_exit = jnp.zeros((n,), bool)
+    # Reference bridges semantics (light_common.cuh:11-13, volume.cuh:262,
+    # direct_lighting.cuh:253/299): once a path phase-scatters in a volume,
+    # the bridge set at that FIRST vertex exclusively owns all geometry-
+    # light transport (orders 1..M); later vertices run no geometry NEE and
+    # collect no geometry emission, so the forward phase chain cannot
+    # double-count the same orders. Only materialized for M>=2 — M=1 keeps
+    # the exact direct/emission MIS pairing, which has no order overlap.
+    multi_bridge = config.use_bridges and config.bridge_vertices >= 2
+    vol_scattered = jnp.zeros((n,), bool) if multi_bridge else None
 
     gbuffer = GBufferMeta(
         depth=jnp.full((n,), MISS_DIST, jnp.float32),
@@ -611,6 +620,10 @@ def render_sample(
         add_emit = jnp.where(
             hit_lane & emissive & front_face & ~pass_thru, w_emit, 0.0
         )
+        if multi_bridge:
+            # emission disallowed after a volume scatter: those orders are
+            # covered exclusively by the first vertex's bridges
+            add_emit = jnp.where(vol_scattered, 0.0, add_emit)
         rad_r = rad_r + thr_r * em_r * add_emit
         rad_g = rad_g + thr_g * em_g * add_emit
         rad_b = rad_b + thr_b * em_b * add_emit
@@ -779,6 +792,9 @@ def render_sample(
                 & (vol_lane | (cos_s > 0.0))
                 & (dist > 1e-5)
             )
+            if multi_bridge:
+                # no geometry NEE (direct or bridged) after a volume scatter
+                cand_ok = cand_ok & ~vol_scattered
             # CHEAP geometric target: luminance x both cosines / d^2 — the
             # full BSDF is evaluated ONCE for the reservoir winner below
             # (reference light.cuh resamples with a simplified target too).
@@ -1041,9 +1057,15 @@ def render_sample(
                     jnp.maximum(b_lens[i] - 2.0 * _RAY_EPS, 0.0),
                     chunk=config.chunk, active=act_i,
                 )
-            # M=1 overlaps the phase-sampled emitter hit → MIS; M>1 orders
-            # are bridge-exclusive
-            w_mis_b = jnp.where(b_m == 1, sel_w_mis, 1.0)
+            if multi_bridge:
+                # all orders are bridge-exclusive here: vol_scattered kills
+                # the forward chain's geometry NEE and emitter hits, so even
+                # the sampled M=1 (direct) order has no overlapping estimator
+                w_mis_b = 1.0
+            else:
+                # M capped at 1: the bridge IS the direct connection, MIS-
+                # paired with the phase-sampled emitter hit as usual
+                w_mis_b = sel_w_mis
             # g per steradian = Le * phase_first * (w/pdf) * d^2 (the light
             # cosine folds into the area kernel and cancels against the
             # solid-angle Jacobian; M=1 reduces exactly to the direct form)
@@ -1160,6 +1182,9 @@ def render_sample(
                     upd,
                     hit_lane & transmitted & is_ocean & ~front_face,
                     ocean_exit & pass_thru)
+            if multi_bridge:
+                # sticky for the rest of the path (STATE_FLAG_VOLUME_SCATTERED)
+                vol_scattered = vol_scattered | vol_lane
 
             # kill lanes with dead throughput
             wmax = jnp.maximum(jnp.abs(wr), jnp.maximum(jnp.abs(wg), jnp.abs(wb)))
@@ -1185,6 +1210,8 @@ def render_sample(
                           prev_env_nee.astype(jnp.float32)]
                 if config.ocean_caustics:
                     extras.append(ocean_exit.astype(jnp.float32))
+                if multi_bridge:
+                    extras.append(vol_scattered.astype(jnp.float32))
                 if config.spectral:
                     extras += [collapsed.astype(jnp.float32),
                                lam3[0], lam3[1], lam3[2],
@@ -1236,6 +1263,9 @@ def render_sample(
                 ci += 4
                 if config.ocean_caustics:
                     ocean_exit = cols[:, ci] > 0.5
+                    ci += 1
+                if multi_bridge:
+                    vol_scattered = cols[:, ci] > 0.5
                     ci += 1
                 if config.spectral:
                     collapsed = cols[:, ci] > 0.5

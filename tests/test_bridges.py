@@ -133,11 +133,16 @@ def _mean_img(scene, samples=64):
 
 
 def test_fog_render_bridges_m1_matches_m4_energy():
+    """M>=2 uses the reference's exclusive coverage (light_common.cuh:11-13):
+    bridges at the first scatter vertex own orders 1..M; the forward chain
+    runs no geometry NEE / collects no geometry emission afterwards. That
+    drops orders >M and surface-mediated transport (slightly darker than the
+    fully-MIS'd M=1), but must NOT exceed M=1 — an overshoot means the
+    forward chain double-counts bridge orders again (ADVICE r2 #2).
+    Calibrated at 256 spp: M=2 -> 0.81x, M=4 -> 0.89x of M=1."""
     a = _mean_img(_fog_scene(1))
     b = _mean_img(_fog_scene(4))
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert a.mean() > 1e-4  # fog is lit
-    # M=4 adds orders 2..4 — more energy, but the same magnitude (no
-    # runaway weights from the pdf/Jacobian)
-    assert b.mean() >= a.mean() * 0.9
-    assert b.mean() < a.mean() * 2.5, (a.mean(), b.mean())
+    assert b.mean() >= a.mean() * 0.7, (a.mean(), b.mean())
+    assert b.mean() <= a.mean() * 1.15, (a.mean(), b.mean())
