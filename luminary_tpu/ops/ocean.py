@@ -114,7 +114,19 @@ def ocean_intersect(water, origin: Vec3, direction: Vec3, t_max,
         )
 
     st = jax.lax.fori_loop(0, iters, body, st)
-    return st["found"], st["t"]
+    # Far-field fallback: grazing rays can exhaust `iters` while still
+    # inside the band (the Lipschitz step is ~|g|/L per iteration, so a
+    # near-horizontal ray needs hundreds of steps to reach the horizon).
+    # Waves are sub-pixel at those distances — intersect the MEAN plane
+    # y = height instead of reporting a miss (which would show sky-ground
+    # color across the whole far ocean).
+    exhausted = feasible & ~st["done"]
+    dy_s = jnp.where(jnp.abs(direction.y) < 1e-9, 1e-9, direction.y)
+    t_plane = (water.height - origin.y) / dy_s
+    plane_ok = exhausted & (t_plane >= st["t"]) & (t_plane <= t1)
+    found = st["found"] | plane_ok
+    t = jnp.where(plane_ok, t_plane, st["t"])
+    return found, t
 
 
 def ocean_crosses(water, origin: Vec3, direction: Vec3, t_len,

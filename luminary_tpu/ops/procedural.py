@@ -97,10 +97,13 @@ def generate_ocean_mesh(
     n10 = vn[1:, :-1]
     n01 = vn[:-1, 1:]
     n11 = vn[1:, 1:]
-    t1 = np.stack([v00, v10, v11], axis=2).reshape(-1, 3, 3)
-    t2 = np.stack([v00, v11, v01], axis=2).reshape(-1, 3, 3)
-    n1 = np.stack([n00, n10, n11], axis=2).reshape(-1, 3, 3)
-    n2 = np.stack([n00, n11, n01], axis=2).reshape(-1, 3, 3)
+    # winding order: counter-clockwise seen from ABOVE so the geometric
+    # normal e1 x e2 points +y — front_face (and with it the air→water
+    # Fresnel/eta orientation) keys off the UNFLIPPED face normal
+    t1 = np.stack([v00, v11, v10], axis=2).reshape(-1, 3, 3)
+    t2 = np.stack([v00, v01, v11], axis=2).reshape(-1, 3, 3)
+    n1 = np.stack([n00, n11, n10], axis=2).reshape(-1, 3, 3)
+    n2 = np.stack([n00, n01, n11], axis=2).reshape(-1, 3, 3)
     corners = np.concatenate([t1, t2]).astype(np.float32)
     normals = np.concatenate([n1, n2]).astype(np.float32)
     return corners, normals

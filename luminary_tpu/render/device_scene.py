@@ -713,16 +713,21 @@ def flatten_instances(scene: Scene):
 
     proc_mat = len(scene.materials) if scene.materials else 1
     if scene.ocean.active:
-        oc_c, oc_n = generate_ocean_mesh(
-            scene.ocean, center_xz=(scene.camera.pos[0], scene.camera.pos[2])
-        )
-        t_o = oc_c.shape[0]
-        corners_l.append(oc_c)
-        normals_l.append(oc_n)
-        uvs_l.append(np.zeros((t_o, 3, 2), np.float32))
-        mats_l.append(np.full(t_o, proc_mat, np.int32))
-        insts_l.append(np.full(t_o, OCEAN_INSTANCE_ID, np.int32))
-        prims_l.append(np.arange(t_o, dtype=np.int32))
+        # analytic (default) oceans intersect in the integrator
+        # (ops/ocean.py) — only the tessellated opt-in emits geometry, but
+        # the material id is reserved either way (ocean_mat_id)
+        if getattr(scene.ocean, "tessellated", False):
+            oc_c, oc_n = generate_ocean_mesh(
+                scene.ocean,
+                center_xz=(scene.camera.pos[0], scene.camera.pos[2]),
+            )
+            t_o = oc_c.shape[0]
+            corners_l.append(oc_c)
+            normals_l.append(oc_n)
+            uvs_l.append(np.zeros((t_o, 3, 2), np.float32))
+            mats_l.append(np.full(t_o, proc_mat, np.int32))
+            insts_l.append(np.full(t_o, OCEAN_INSTANCE_ID, np.int32))
+            prims_l.append(np.arange(t_o, dtype=np.int32))
         proc_mat += 1
     if scene.particles.active:
         pc_c, pc_n = generate_particles(scene.particles)

@@ -314,6 +314,10 @@ class Renderer:
                     // 4, 2), 32),
                 ocean_mat_id=(len(self.scene.materials)
                               if self.scene.ocean.active else -1),
+                analytic_ocean=bool(
+                    self.scene.ocean.active
+                    and not getattr(self.scene.ocean, "tessellated", False)
+                ),
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)
@@ -325,11 +329,14 @@ class Renderer:
                 )
             )
 
-        # Ocean follow: the tessellated grid is centered on the camera at
-        # pack time (ops/procedural.generate_ocean_mesh, ±200 world units);
-        # fly past half that margin and the geometry must re-tessellate or
-        # the ocean silently ends.
-        if self.scene.ocean.active and self.device_scene is not None:
+        # Ocean follow (tessellated opt-in only — the analytic tier needs no
+        # recentering): the grid is centered on the camera at pack time
+        # (ops/procedural.generate_ocean_mesh, ±200 world units); fly past
+        # half that margin and the geometry must re-tessellate or the ocean
+        # silently ends.
+        if (self.scene.ocean.active
+                and getattr(self.scene.ocean, "tessellated", False)
+                and self.device_scene is not None):
             cx, cz = float(self.scene.camera.pos[0]), float(self.scene.camera.pos[2])
             ox, oz = getattr(self, "_ocean_center", (cx, cz))
             if max(abs(cx - ox), abs(cz - oz)) > 100.0:
@@ -558,8 +565,8 @@ class Renderer:
 
     def _render_adaptive(self, num_samples: int):
         from .adaptive import (
+            allocate_stage_tasks,
             block_error_map,
-            pick_stage_pixels,
             scatter_add_stage,
         )
 
@@ -584,6 +591,9 @@ class Renderer:
         chunk = self.config.chunk or 65536
         # subset strictly smaller than the frame so allocation is selective
         subset = min(n_pad, chunk) if n_pad > chunk else max(n_pad // 4, 16)
+        avg_rate = max(int(s.adaptive_sampling_avg_sampling_rate), 1)
+        max_rate = max(int(s.adaptive_sampling_max_sampling_rate), avg_rate)
+        rx0, ry0 = self._region[0], self._region[1]
         while lane_budget > 0:
             err = np.asarray(
                 block_error_map(
@@ -594,35 +604,55 @@ class Renderer:
                     jnp.float32(self.scene.camera.exposure),
                 )
             )
-            pix = pick_stage_pixels(err, rw, rh, subset)
-            if pix is None:
-                break
-            # fixed-size subset: tile the picked pixels to fill the wavefront
-            reps = int(np.ceil(subset / pix.size))
-            pix_full = np.tile(pix, reps)[:subset]
-            # duplicated pixels continue DIFFERENT sample indices
-            dup_rank = np.zeros(subset, np.int64)
-            if reps > 1:
-                dup_rank = (np.arange(subset) // pix.size).astype(np.int64)
-            counts = np.asarray(self.accum.sample_count)[pix_full]
             rounds = min(interval, max(lane_budget // subset, 1))
-            sample_ids = jnp.asarray(
-                counts.astype(np.uint32) + dup_rank.astype(np.uint32) * rounds
+            # proportional per-block counts (reference: compute_stage_sample
+            # _counts — count ∝ err/avg_err, clamped [1, max_rate]); the
+            # returned task list is the prefix-sum task generation analog
+            pix_all, rank_all = allocate_stage_tasks(
+                err, rw, rh, avg_rate, max_rate,
+                budget_tasks=max(lane_budget // rounds, subset),
             )
-            rx0, ry0 = self._region[0], self._region[1]
-            idx = jnp.asarray(pix_full.astype(np.int32))
-            px = jnp.asarray((rx0 + pix_full % rw).astype(np.int32))
-            py = jnp.asarray((ry0 + pix_full // rw).astype(np.int32))
-            rad, lsq = _subset_step(
-                self.device_scene, self.device_camera, self.config,
-                px, py, sample_ids, rounds,
-            )
-            r0, l0, c0 = scatter_add_stage(
-                self.accum.radiance, self.accum.lum_sq, self.accum.sample_count,
-                idx, rad, lsq, jnp.full((subset,), rounds, jnp.int32),
-            )
-            self.accum = AccumState(radiance=r0, lum_sq=l0, sample_count=c0)
-            lane_budget -= subset * rounds
+            if pix_all is None:
+                break
+            counts0 = np.asarray(self.accum.sample_count)
+            total = pix_all.size
+            n_slices = max((total + subset - 1) // subset, 1)
+            # pad the task list to a whole number of fixed-size wavefronts
+            # by wrapping — wrapped entries continue their pixel's rank
+            # sequence so no sample id repeats within the stage
+            pad_n = n_slices * subset - total
+            if pad_n:
+                max_rank = int(rank_all.max()) + 1
+                wraps = (pad_n + total - 1) // total
+                pads_p, pads_r = [], []
+                for j in range(1, wraps + 1):
+                    pads_p.append(pix_all)
+                    pads_r.append(rank_all + j * max_rank)
+                pix_all = np.concatenate([pix_all] + pads_p)[: n_slices * subset]
+                rank_all = np.concatenate([rank_all] + pads_r)[: n_slices * subset]
+            for sl in range(n_slices):
+                if lane_budget <= 0:
+                    break
+                pix_s = pix_all[sl * subset:(sl + 1) * subset]
+                rank_s = rank_all[sl * subset:(sl + 1) * subset]
+                sample_ids = jnp.asarray(
+                    counts0[pix_s].astype(np.uint32)
+                    + rank_s.astype(np.uint32) * rounds
+                )
+                idx = jnp.asarray(pix_s.astype(np.int32))
+                px = jnp.asarray((rx0 + pix_s % rw).astype(np.int32))
+                py = jnp.asarray((ry0 + pix_s // rw).astype(np.int32))
+                rad, lsq = _subset_step(
+                    self.device_scene, self.device_camera, self.config,
+                    px, py, sample_ids, rounds,
+                )
+                r0, l0, c0 = scatter_add_stage(
+                    self.accum.radiance, self.accum.lum_sq,
+                    self.accum.sample_count,
+                    idx, rad, lsq, jnp.full((subset,), rounds, jnp.int32),
+                )
+                self.accum = AccumState(radiance=r0, lum_sq=l0, sample_count=c0)
+                lane_budget -= subset * rounds
 
     @property
     def current_sample_time(self) -> float:

@@ -136,6 +136,12 @@ class RenderConfig(NamedTuple):
     ocean_caustics: bool = False
     caustics_k: int = 8
     ocean_mat_id: int = -1  # the procedural ocean material (exit detection)
+    # Analytic ocean surface (reference: cuda/ocean_utils.cuh — the
+    # reference never tessellates): closest hits via Lipschitz sphere
+    # trace, shadow classes via sign-change march (ops/ocean.py). Replaces
+    # the tessellated grid: no re-tessellation stalls, infinite extent,
+    # exact silhouettes. Ocean.tessellated opts back into the mesh.
+    analytic_ocean: bool = False
 
 
 class GBufferMeta(NamedTuple):
@@ -331,6 +337,27 @@ def render_sample(
             geo.bvh, origin, direction, chunk=config.chunk, active=active
         )
 
+        # ---- analytic ocean tier: march the heightfield up to the BVH hit
+        # and take the nearer surface (reference: ocean_utils.cuh solver
+        # running beside the OptiX trace) ----
+        if config.analytic_ocean:
+            from ..ops.ocean import ocean_intersect
+            from ..ops.traverse import Hit as _Hit
+
+            oc_found, oc_t = ocean_intersect(
+                scene.water, origin, direction,
+                jnp.where(hit.valid, hit.t, 1e7), active,
+            )
+            ocean_lane = oc_found
+            hit = _Hit(
+                t=jnp.where(oc_found, oc_t, hit.t),
+                slot=jnp.where(oc_found, 0, hit.slot),
+                u=jnp.where(oc_found, 0.0, hit.u),
+                v=jnp.where(oc_found, 0.0, hit.v),
+            )
+        else:
+            ocean_lane = None
+
         # ---- volume collision sampling (analog tracking; reference
         # VOLUME_EVENTS kernel, cuda/volume.cuh) ----
         t_media = jnp.where(hit.valid, hit.t, 1e7)
@@ -462,6 +489,44 @@ def render_sample(
             nee_area = lights.slot_area[slot]
             uvs = (vgather(geo.uv_u, slot), vgather(geo.uv_v, slot))
             tex_id = mats.albedo_tex[mat_id]
+        if config.analytic_ocean:
+            # ocean lanes carry a dummy slot — replace every slot-derived
+            # quantity with the analytic surface + the procedural ocean
+            # material row (device_scene.procedural_materials keeps the
+            # parameters in one place)
+            from ..ops.ocean import ocean_normal
+            from ..ops.procedural import OCEAN_INSTANCE_ID
+
+            o_n = ocean_normal(scene.water, hit_pos.x, hit_pos.z)
+            o_flip = jnp.where(dot(o_n, direction) > 0.0, -1.0, 1.0)
+            o_nf = Vec3(o_n.x * o_flip, o_n.y * o_flip, o_n.z * o_flip)
+            omid = config.ocean_mat_id
+            mat_id = jnp.where(ocean_lane, omid, mat_id)
+            mat_flags = jnp.where(
+                ocean_lane, jnp.uint32(MAT_FLAG_TRANSLUCENT), mat_flags)
+            instance_id = jnp.where(ocean_lane, OCEAN_INSTANCE_ID, instance_id)
+            ns = vwhere(ocean_lane, o_nf, ns)
+            ng = vwhere(ocean_lane, o_nf, ng)
+            ng_raw = vwhere(ocean_lane, o_n, ng_raw)
+            lane_mat = LaneMaterial(
+                albedo_r=jnp.where(ocean_lane, mats.albedo_r[omid],
+                                   lane_mat.albedo_r),
+                albedo_g=jnp.where(ocean_lane, mats.albedo_g[omid],
+                                   lane_mat.albedo_g),
+                albedo_b=jnp.where(ocean_lane, mats.albedo_b[omid],
+                                   lane_mat.albedo_b),
+                roughness=jnp.where(ocean_lane, mats.roughness[omid],
+                                    lane_mat.roughness),
+                metallic=jnp.where(ocean_lane, 0.0, lane_mat.metallic),
+                ior=jnp.where(ocean_lane, scene.water.ior, lane_mat.ior),
+                translucent=lane_mat.translucent | ocean_lane,
+                opacity=jnp.where(ocean_lane, 1.0, lane_mat.opacity),
+                thin_walled=lane_mat.thin_walled & ~ocean_lane,
+            )
+            em_r = jnp.where(ocean_lane, 0.0, em_r)
+            em_g = jnp.where(ocean_lane, 0.0, em_g)
+            em_b = jnp.where(ocean_lane, 0.0, em_b)
+            tex_id = jnp.where(ocean_lane, -1, tex_id)
         if config.use_textures:
             u0, v0 = uvs
             w_b = 1.0 - hit.u - hit.v
@@ -506,6 +571,12 @@ def render_sample(
                 metal_tex = mats.metallic_tex[mat_id]
                 normal_tex = mats.normal_tex[mat_id]
                 lum_tex = mats.luminance_tex[mat_id]
+            if config.analytic_ocean:
+                # dummy-slot rows: the ocean surface is untextured
+                rough_tex = jnp.where(ocean_lane, -1, rough_tex)
+                metal_tex = jnp.where(ocean_lane, -1, metal_tex)
+                normal_tex = jnp.where(ocean_lane, -1, normal_tex)
+                lum_tex = jnp.where(ocean_lane, -1, lum_tex)
             if config.use_aux_textures:
                 rr_, _, _, _ = sample_atlas(
                     scene.textures, rough_tex, uu, vv, lod=lod)
@@ -565,6 +636,8 @@ def render_sample(
 
             abbe_lane = (srow[:, SHADE_ABBE] if use_rows
                          else mats.abbe[mat_id])
+            if config.analytic_ocean:
+                abbe_lane = jnp.where(ocean_lane, 0.0, abbe_lane)
             a0, a1, a2 = spec3(lane_mat.albedo_r, lane_mat.albedo_g,
                                lane_mat.albedo_b)
             lane_mat = lane_mat._replace(
@@ -963,6 +1036,16 @@ def render_sample(
             geo.bvh, shadow_o, shadow_d, shadow_t,
             chunk=config.chunk, active=shadow_act,
         )
+        if config.analytic_ocean:
+            # the analytic surface occludes every shadow class; sign-change
+            # detection keeps the caustic segments (which END on the
+            # interface) unblocked by their own endpoint (ops/ocean.py)
+            from ..ops.ocean import ocean_crosses
+
+            occ = occ | ocean_crosses(
+                scene.water, shadow_o, shadow_d, shadow_t,
+                shadow_act & ~occ,
+            )
         sun_occluded, l_occluded = occ[:n], occ[n:2 * n]
         # cutout transparency along the shadow rays (alpha-aware shadows;
         # static no-op when the scene has no cutout materials)
@@ -1057,6 +1140,14 @@ def render_sample(
                     jnp.maximum(b_lens[i] - 2.0 * _RAY_EPS, 0.0),
                     chunk=config.chunk, active=act_i,
                 )
+                if config.analytic_ocean:
+                    from ..ops.ocean import ocean_crosses
+
+                    b_occ = b_occ | ocean_crosses(
+                        scene.water, b_starts[i], b_dirs[i],
+                        jnp.maximum(b_lens[i] - 2.0 * _RAY_EPS, 0.0),
+                        act_i & ~b_occ,
+                    )
             if multi_bridge:
                 # all orders are bridge-exclusive here: vol_scattered kills
                 # the forward chain's geometry NEE and emitter hits, so even

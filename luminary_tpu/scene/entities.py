@@ -218,6 +218,10 @@ class Ocean:
     caustics_domain_scale: float = 0.5
     multiscattering: bool = False
     triangle_light_contribution: bool = False
+    # False (default) = analytic heightfield raymarch in the integrator
+    # (reference: cuda/ocean_utils.cuh — the reference never tessellates);
+    # True = opt back into the legacy camera-centered tessellated grid.
+    tessellated: bool = False
 
 
 @dataclass

@@ -67,7 +67,7 @@ def test_underwater_floor_receives_caustic_light():
     from luminary_tpu.scene.mesh import Mesh
     from luminary_tpu.scene.scene import Scene
 
-    def build(caustics):
+    def build(caustics, tessellated=False):
         scene = Scene()
         scene.add_material(Material(albedo=(0.8, 0.8, 0.7, 1.0),
                                     roughness=1.0))
@@ -85,6 +85,7 @@ def test_underwater_floor_receives_caustic_light():
         ocean.height = 0.0
         ocean.amplitude = 0.2
         ocean.caustics_active = caustics
+        ocean.tessellated = tessellated
         scene.set_entity("ocean", ocean)
         sky = scene.get_entity("sky")
         sky.mode = SkyMode.DEFAULT
@@ -100,8 +101,8 @@ def test_underwater_floor_receives_caustic_light():
         scene.set_entity("camera", cam)
         return scene
 
-    def stats(caustics, samples=24):
-        r = Renderer(build(caustics), chunk=1 << 20)
+    def stats(caustics, samples=24, tessellated=False):
+        r = Renderer(build(caustics, tessellated), chunk=1 << 20)
         r.update()
         assert r.config.ocean_caustics == caustics
         r.render_samples(samples)
@@ -111,11 +112,29 @@ def test_underwater_floor_receives_caustic_light():
         return img
 
     on = stats(True)
+    on_tess = stats(True, tessellated=True)
     off = stats(False)
     assert np.isfinite(on).all() and (on >= 0).all()
-    # the caustic strategy carries real sun energy through the interface
-    # that the few-sample BSDF-only path almost never finds
-    assert on.mean() > 2.0 * off.mean(), (on.mean(), off.mean())
-    # spatial structure: the caustic pattern modulates the floor strongly
-    lum = on.sum(axis=1)
-    assert lum.max() > 2.0 * np.median(lum), (lum.max(), np.median(lum))
+    # A raw on-vs-off mean comparison is meaningless at 24 spp: without the
+    # caustic strategy the refracted-sun transport still exists, found by
+    # BSDF chance as rare huge-weight fireflies (measured off-mean 0.90
+    # dominated by ONE lum-700 pixel over a 0.027 median body). Gate on
+    # firefly-robust statistics instead:
+    on_lum = on.sum(axis=1)
+    off_lum = off.sum(axis=1)
+    on_med = np.median(on_lum)
+    # (1) both estimators agree on the image body (same sky-lit floor)
+    assert 0.5 < on_med / max(np.median(off_lum), 1e-9) < 2.0
+    # (2) the caustic pattern is present: strong bright-spot structure
+    assert on_lum.max() > 20.0 * max(on_med, 1e-9), (on_lum.max(), on_med)
+    # (3) the strategy ADDS energy above the body (sun light reaches the
+    # floor through the interface by NEE, not only by lucky BSDF hits)
+    assert on.mean() > 1.1 * on_med, (on.mean(), on_med)
+    # (4) ocean-exit suppression removes the giant off-mode fireflies: the
+    # worst on-mode pixel is far below the off-mode firefly scale
+    assert on_lum.max() < 0.5 * max(off_lum.max(), 1e-9), (
+        on_lum.max(), off_lum.max())
+    # (5) the analytic tier and the tessellated mesh agree on the caustic
+    # energy (same heightfield, same connection sampler)
+    assert 0.5 < on.mean() / max(on_tess.mean(), 1e-9) < 2.0, (
+        on.mean(), on_tess.mean())
