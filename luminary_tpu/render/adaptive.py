@@ -95,3 +95,59 @@ def pick_stage_pixels(
     xs = (bx[:, None, None] * BLOCK + np.arange(BLOCK)[None, None, :])
     pix = (ys * width + xs).reshape(-1)
     return pix[pix < width * height].astype(np.int32)
+
+
+def allocate_stage_tasks(
+    error_blocks: np.ndarray,
+    width: int,
+    height: int,
+    avg_rate: int,
+    max_rate: int = 32,
+    min_error: float = 1e-4,
+    budget_tasks: int | None = None,
+):
+    """Proportional per-block stage allocation (reference:
+    adaptive_sampling.cuh:199-218 compute_stage_sample_counts + the
+    prefix-sum task list of tasks_create_adaptive_sampling).
+
+    Every unconverged block receives `clamp(round(err/avg_err * avg_rate),
+    1, max_rate)` samples this stage; the returned task list repeats each
+    block's pixels once per sample, highest-error blocks first, truncated
+    to `budget_tasks`. Returns (pix, rank) — flat pixel indices plus each
+    entry's occurrence rank (its 0-based extra-sample index within the
+    stage) — or (None, None) when every block is converged.
+    """
+    flat = error_blocks.reshape(-1).astype(np.float64)
+    unconverged = flat > min_error
+    if not unconverged.any():
+        return None, None
+    # average over ALL blocks like the reference (avg_variance =
+    # sum_variance / num_blocks) — converged regions pull it down so the
+    # remaining hot blocks are weighted up
+    avg_err = flat.mean()
+    counts = np.rint(flat / max(avg_err, 1e-12) * avg_rate).astype(np.int64)
+    counts = np.clip(counts, 1, max_rate)
+    counts[~unconverged] = 0
+
+    hb, wb = error_blocks.shape
+    order = np.argsort(-flat, kind="stable")
+    order = order[counts[order] > 0]
+    if budget_tasks is not None:
+        keep = np.searchsorted(
+            np.cumsum(counts[order] * (BLOCK * BLOCK)),
+            max(budget_tasks, BLOCK * BLOCK))
+        order = order[: max(int(keep), 1)]
+
+    by, bx = np.divmod(order, wb)
+    ys = by[:, None, None] * BLOCK + np.arange(BLOCK)[None, :, None]
+    xs = bx[:, None, None] * BLOCK + np.arange(BLOCK)[None, None, :]
+    block_pix = (ys * width + xs).reshape(order.size, -1)  # [B, 16]
+
+    reps = counts[order]
+    pix = np.repeat(block_pix, reps, axis=0).reshape(-1)
+    # occurrence rank: 0..reps_b-1 for each repetition of a block's pixels
+    rank = np.concatenate(
+        [np.repeat(np.arange(r), BLOCK * BLOCK) for r in reps]
+    )
+    valid = pix < width * height
+    return pix[valid].astype(np.int32), rank[valid].astype(np.int64)

@@ -81,3 +81,46 @@ def test_adaptive_matches_uniform_mean():
     mu = ru.get_radiance().mean()
     ma = ra.get_radiance().mean()
     assert abs(mu - ma) / mu < 0.15, (mu, ma)
+
+
+def test_allocate_stage_tasks_proportional():
+    from luminary_tpu.render.adaptive import allocate_stage_tasks
+
+    err = np.zeros((4, 4), np.float64)
+    err[0, 0] = 0.4
+    err[1, 1] = 0.1
+    err[2, 2] = 0.1
+    pix, rank = allocate_stage_tasks(err, 16, 16, avg_rate=2, max_rate=8)
+    assert pix is not None
+    # all-block avg (reference semantics) = 0.6/16 = 0.0375 →
+    # counts = round(err/avg * 2) = [21→clamp 8, 5, 5]
+    ys, xs = np.divmod(pix, 16)
+    blocks = list(zip((ys // BLOCK).tolist(), (xs // BLOCK).tolist()))
+    from collections import Counter
+    c = Counter(blocks)
+    assert c[(0, 0)] == 8 * BLOCK * BLOCK
+    assert c[(1, 1)] == 5 * BLOCK * BLOCK
+    assert c[(2, 2)] == 5 * BLOCK * BLOCK
+    assert set(c) == {(0, 0), (1, 1), (2, 2)}  # converged blocks excluded
+    # ranks: each pixel's occurrences carry distinct 0..count-1 ranks
+    for p in np.unique(pix[:32]):
+        rs = sorted(rank[pix == p].tolist())
+        assert rs == list(range(len(rs)))
+
+
+def test_allocate_stage_tasks_clamps_and_budget():
+    from luminary_tpu.render.adaptive import allocate_stage_tasks
+
+    err = np.full((2, 2), 1e-6)
+    err[0, 0] = 100.0  # would want a huge count — clamped to max_rate
+    pix, rank = allocate_stage_tasks(err, 8, 8, avg_rate=2, max_rate=8)
+    assert rank.max() == 7  # max_rate clamp
+    # budget truncation keeps the highest-error block only
+    err2 = np.array([[1.0, 0.5], [0.25, 0.125]])
+    pix2, _ = allocate_stage_tasks(
+        err2, 8, 8, avg_rate=1, max_rate=8, budget_tasks=16)
+    ys, xs = np.divmod(pix2, 8)
+    assert set(zip((ys // BLOCK).tolist(), (xs // BLOCK).tolist())) == {(0, 0)}
+    # fully converged → None
+    assert allocate_stage_tasks(
+        np.zeros((2, 2)), 8, 8, avg_rate=2)[0] is None
