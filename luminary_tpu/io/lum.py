@@ -95,6 +95,14 @@ def _parse_general(c: LumFileContent, key: str, value: str) -> None:
         c.sample_count = _u(value)
     elif key == "OUTPUTFN":
         c.output_path = value.split()[0]
+    elif key == "AMBIENTN":
+        c.settings.ambient_nee = _b(value)
+    elif key == "SUNRIS__":
+        c.settings.sun_ris = _b(value)
+    elif key == "SPECTRAL":
+        c.settings.spectral_rendering = _b(value)
+    elif key == "AERIALPE":
+        c.settings.aerial_perspective = _b(value)
     elif key in ("NUMLIGHT", "DENOISER"):
         pass  # legacy, ignored (lum_v4.c NUMLIGHT case)
     else:
@@ -318,6 +326,8 @@ def _parse_ocean(c: LumFileContent, key: str, value: str) -> None:
         oc.multiscattering = _b(value)
     elif key == "LIGHTSON":
         oc.triangle_light_contribution = _b(value)
+    elif key == "TESSELLA":
+        oc.tessellated = _b(value)
     elif key in ("CHOPPY__", "SPEED___", "ANIMATED", "COLOR___", "EMISSIVE"):
         pass  # legacy keys
     else:
@@ -443,6 +453,10 @@ def write_lum_file(path: str, content: LumFileContent) -> None:
     emit("GENERAL", "WIDTH___", s.width)
     emit("GENERAL", "HEIGHT__", s.height)
     emit("GENERAL", "BOUNCES_", s.max_ray_depth)
+    emit("GENERAL", "AMBIENTN", s.ambient_nee)
+    emit("GENERAL", "SUNRIS__", s.sun_ris)
+    emit("GENERAL", "SPECTRAL", s.spectral_rendering)
+    emit("GENERAL", "AERIALPE", s.aerial_perspective)
     emit("CAMERA", "POSITION", *cam.pos)
     emit("CAMERA", "ROTATION", *cam.rotation)
     emit("CAMERA", "FOV_____", cam.thin_lens.fov)
@@ -490,6 +504,9 @@ def write_lum_file(path: str, content: LumFileContent) -> None:
     emit("OCEAN", "REFRACT_", oc.refractive_index)
     emit("OCEAN", "WATERTYP", int(oc.water_type))
     emit("OCEAN", "CAUSACTI", oc.caustics_active)
+    emit("OCEAN", "CAUSRISS", oc.caustics_ris_sample_count)
+    emit("OCEAN", "CAUSSCAL", oc.caustics_domain_scale)
+    emit("OCEAN", "TESSELLA", oc.tessellated)
     emit("OCEAN", "MULTISCA", oc.multiscattering)
     emit("OCEAN", "LIGHTSON", oc.triangle_light_contribution)
     emit("PARTICLE", "ACTIVE__", p.active)
@@ -498,6 +515,7 @@ def write_lum_file(path: str, content: LumFileContent) -> None:
     emit("PARTICLE", "ALBEDO__", *p.albedo)
     emit("PARTICLE", "SPEED___", p.speed)
     emit("PARTICLE", "DIRECTIO", p.direction_altitude, p.direction_azimuth)
+    emit("PARTICLE", "PHASEDIA", p.phase_diameter)
     emit("PARTICLE", "SEED____", p.seed)
     emit("PARTICLE", "SIZE____", p.size)
     emit("PARTICLE", "SIZEVARI", p.size_variation)

@@ -194,15 +194,17 @@ JERLOV_COEFFS = {
 
 
 def generate_particles(particles):
-    """Billboard quads (reference: PARTICLE_GENERATE fills a quad buffer in a
-    tiled unit cube scaled by particles.scale, cuda/particle.cuh).
+    """Billboard quads in TILE coordinates [0, scale)³ (reference:
+    PARTICLE_GENERATE fills a quad buffer in a tiled unit cube scaled by
+    particles.scale, cuda/particle.cuh:165-199; the trace kernel wraps ray
+    origins into the tile, optix_kernel_raytrace.cu:96-117).
 
     Returns (corners [T,3,3], normals [T,3,3]).
     """
     rng = np.random.default_rng(particles.seed)
     count = int(particles.count)
     scale = float(particles.scale)
-    centers = (rng.random((count, 3), np.float32) - 0.5) * scale
+    centers = rng.random((count, 3), np.float32) * scale
     sizes = (
         0.01 * particles.size * (1.0 + particles.size_variation * (rng.random(count, dtype=np.float32) - 0.5))
     ).astype(np.float32)

@@ -148,6 +148,22 @@ class DeviceSceneGeo(NamedTuple):
     face_normal: "Vec3"  # [P] geometric normal (world, unit)
 
 
+class DeviceParticles(NamedTuple):
+    """Tiled particle field (reference: device_particle.c quad buffer + the
+    tile-wrapped OptiX trace, optix_kernel_raytrace.cu:96-117): a SECOND
+    small BVH over the quad soup in tile coordinates [0, scale)³. The
+    integrator wraps per-lane ray origins (plus the per-sample motion
+    offset = unit_dir·speed·time, giving motion blur) into the tile and
+    runs the ordinary 16-wide traversal against this table. Particles are
+    NOT occluders (the reference likewise traces them only for delta
+    paths, "negligible contribution")."""
+
+    bvh: "DeviceBVH"  # quads in [0, scale)³
+    scale: jnp.ndarray  # f32 tile edge length
+    motion: jnp.ndarray  # f32 [3] direction · speed
+    albedo: jnp.ndarray  # f32 [3]
+
+
 class DeviceScene(NamedTuple):
     geo: DeviceSceneGeo
     materials: DeviceMaterials
@@ -162,6 +178,7 @@ class DeviceScene(NamedTuple):
     # columns): RIS gathers one of these per candidate; dense light-index
     # order keeps the table VMEM-resident (see the LSR_* note below).
     light_slot_rows: jnp.ndarray  # f32 [L, 18]
+    particles: "DeviceParticles | None" = None
 
 
 # Shade-row column map: ONE gather per hit fetches everything shading needs.
@@ -702,13 +719,12 @@ def flatten_instances(scene: Scene):
         insts_l.append(np.full(mesh.num_triangles, inst.id, np.int32))
         prims_l.append(np.arange(mesh.num_triangles, dtype=np.int32))
 
-    # Procedural geometry: tessellated ocean + particle billboards
-    # (reference: analytic ocean raymarch + particle GAS; see ops/procedural).
+    # Procedural geometry: the (opt-in) tessellated ocean. Particles live
+    # in their OWN tiled BVH (pack_particles_device) and the analytic ocean
+    # in the integrator tier (ops/ocean.py).
     from ..ops.procedural import (
         OCEAN_INSTANCE_ID,
-        PARTICLES_INSTANCE_ID,
         generate_ocean_mesh,
-        generate_particles,
     )
 
     proc_mat = len(scene.materials) if scene.materials else 1
@@ -729,15 +745,6 @@ def flatten_instances(scene: Scene):
             insts_l.append(np.full(t_o, OCEAN_INSTANCE_ID, np.int32))
             prims_l.append(np.arange(t_o, dtype=np.int32))
         proc_mat += 1
-    if scene.particles.active:
-        pc_c, pc_n = generate_particles(scene.particles)
-        t_p = pc_c.shape[0]
-        corners_l.append(pc_c)
-        normals_l.append(pc_n)
-        uvs_l.append(np.zeros((t_p, 3, 2), np.float32))
-        mats_l.append(np.full(t_p, proc_mat, np.int32))
-        insts_l.append(np.full(t_p, PARTICLES_INSTANCE_ID, np.int32))
-        prims_l.append(np.arange(t_p, dtype=np.int32))
 
     if not corners_l:
         return (
@@ -755,6 +762,43 @@ def flatten_instances(scene: Scene):
         np.concatenate(mats_l),
         np.concatenate(insts_l),
         np.concatenate(prims_l),
+    )
+
+
+def pack_particles_device(particles) -> "DeviceParticles | None":
+    """Quad soup → tile-space BVH (see DeviceParticles)."""
+    if not particles.active or int(particles.count) <= 0:
+        return None
+    from ..ops.procedural import generate_particles
+
+    corners, _normals = generate_particles(particles)
+    from ..bvh.native import build_bvh_native, build_wide_native
+
+    wide = build_wide_native(corners)
+    if wide is None:
+        bvh2 = build_bvh_native(corners, leaf_size=LEAF_SIZE)
+        if bvh2 is None:
+            bvh2 = build_bvh(corners, leaf_size=LEAF_SIZE)
+        wide = collapse_bvh8(bvh2)
+    order = wide.tri_order
+    valid = order >= 0
+    safe = np.where(valid, order, 0)
+    c = corners[safe].copy()
+    c[~valid] = 0.0
+    v0 = c[:, 0]
+    e1 = c[:, 1] - c[:, 0]
+    e2 = c[:, 2] - c[:, 0]
+    v0[~valid] = 0.0
+    e1[~valid] = 0.0
+    e2[~valid] = 0.0
+    motion = sun_direction(
+        float(particles.direction_azimuth), float(particles.direction_altitude)
+    ) * np.float32(particles.speed)
+    return DeviceParticles(
+        bvh=pack_device_bvh(wide, v0, e1, e2),
+        scale=np.float32(max(float(particles.scale), 1e-6)),
+        motion=motion.astype(np.float32),
+        albedo=np.asarray(particles.albedo, np.float32),
     )
 
 

@@ -318,6 +318,16 @@ class Renderer:
                     self.scene.ocean.active
                     and not getattr(self.scene.ocean, "tessellated", False)
                 ),
+                use_particles=bool(
+                    self.scene.particles.active
+                    and int(self.scene.particles.count) > 0
+                ),
+                particle_diameter=float(self.scene.particles.phase_diameter),
+                particle_mat_id=(
+                    len(self.scene.materials)
+                    + (1 if self.scene.ocean.active else 0)
+                    if self.scene.particles.active else -1
+                ),
             )
             n_pad = _round_up(n_pixels, chunk)
             idx = np.arange(n_pad, dtype=np.uint32)
@@ -410,6 +420,12 @@ class Renderer:
             textures = pack_textures(self.scene.textures)
         else:
             textures = self.device_scene.textures
+        if self.device_scene is None or flags & DirtyFlags.PARTICLES:
+            from .device_scene import pack_particles_device
+
+            dev_particles = pack_particles_device(self.scene.particles)
+        else:
+            dev_particles = self.device_scene.particles
         from ..utils.fastput import fast_device_put
 
         if self.device_scene is None or flags & (
@@ -432,6 +448,7 @@ class Renderer:
                 clouds=pack_clouds(self.scene.cloud),
                 shade_rows=shade_rows,
                 light_slot_rows=light_slot_rows,
+                particles=dev_particles,
             )
         )
         self.device_camera = pack_camera(self.scene.camera)

@@ -142,6 +142,12 @@ class RenderConfig(NamedTuple):
     # the tessellated grid: no re-tessellation stalls, infinite extent,
     # exact silhouettes. Ocean.tessellated opts back into the mesh.
     analytic_ocean: bool = False
+    # Tiled particle field (reference: particle.cuh + the tile-wrapped
+    # trace): second-BVH tier on delta paths, Jendersie-d'Eon phase
+    # scattering (ops/phase.py), per-sample time → motion blur.
+    use_particles: bool = False
+    particle_diameter: float = 50.0  # static: folds the JE phase fits
+    particle_mat_id: int = -1
 
 
 class GBufferMeta(NamedTuple):
@@ -358,6 +364,77 @@ def render_sample(
         else:
             ocean_lane = None
 
+        # ---- tiled particle tier: wrap lane origins (+ per-sample motion
+        # offset → motion blur) into the particle tile and trace the small
+        # quad BVH; delta paths only, like the reference
+        # (optix_kernel_raytrace.cu:96-117) ----
+        if config.use_particles:
+            from ..ops.traverse import Hit as _PHit
+
+            pt = scene.particles
+            p_gate = active if depth == 0 else (active & prev_delta)
+            # one consistent time per sample (reference
+            # RANDOM_TARGET_CAMERA_TIME); the depth index max_depth never
+            # collides with the per-depth PARTICLE_PHASE draws below
+            t_cam = random_1d(
+                RandomTarget.PARTICLE_PHASE, pixel_id, sample_id,
+                config.max_depth)
+            t_cur = jnp.where(hit.valid, hit.t, 1e7)
+            # march up to 3 tile segments: wrap the running origin into the
+            # tile, trace bounded by the tile-exit distance, hop the
+            # boundary. One tile alone goes blind the moment the wrapped
+            # origin sits on a face with the ray leaving through it.
+            seg_o = Vec3(
+                origin.x + pt.motion[0] * t_cam,
+                origin.y + pt.motion[1] * t_cam,
+                origin.z + pt.motion[2] * t_cam,
+            )
+            t_base = jnp.zeros((n,), jnp.float32)
+            p_t = jnp.full((n,), 1e30, jnp.float32)
+            p_found = jnp.zeros((n,), bool)
+            hop_eps = 1e-4 * pt.scale
+            for _seg in range(3):
+                wrapped = Vec3(
+                    jnp.mod(seg_o.x, pt.scale),
+                    jnp.mod(seg_o.y, pt.scale),
+                    jnp.mod(seg_o.z, pt.scale),
+                )
+                # distance to the tile exit along the ray (positive axes)
+                def _exit(wc, dc):
+                    tgt = jnp.where(dc > 0.0, pt.scale, 0.0)
+                    dc_s = jnp.where(jnp.abs(dc) < 1e-9, 1e-9, dc)
+                    return jnp.where(
+                        jnp.abs(dc) < 1e-9, 1e30, (tgt - wc) / dc_s)
+                t_exit = jnp.minimum(
+                    _exit(wrapped.x, direction.x),
+                    jnp.minimum(_exit(wrapped.y, direction.y),
+                                _exit(wrapped.z, direction.z)))
+                t_exit = jnp.maximum(t_exit, 0.0)
+                seg_act = p_gate & ~p_found & (t_base < t_cur)
+                h_s = trace_closest(
+                    pt.bvh, wrapped, direction,
+                    chunk=config.chunk, active=seg_act,
+                )
+                ok = seg_act & h_s.valid & (h_s.t <= t_exit + hop_eps)
+                p_t = jnp.where(ok, t_base + h_s.t, p_t)
+                p_found = p_found | ok
+                adv = t_exit + hop_eps
+                seg_o = Vec3(seg_o.x + direction.x * adv,
+                             seg_o.y + direction.y * adv,
+                             seg_o.z + direction.z * adv)
+                t_base = t_base + adv
+            particle_lane = p_gate & p_found & (p_t < t_cur)
+            hit = _PHit(
+                t=jnp.where(particle_lane, p_t, hit.t),
+                slot=jnp.where(particle_lane, 0, hit.slot),
+                u=jnp.where(particle_lane, 0.0, hit.u),
+                v=jnp.where(particle_lane, 0.0, hit.v),
+            )
+            if ocean_lane is not None:
+                ocean_lane = ocean_lane & ~particle_lane
+        else:
+            particle_lane = None
+
         # ---- volume collision sampling (analog tracking; reference
         # VOLUME_EVENTS kernel, cuda/volume.cuh) ----
         t_media = jnp.where(hit.valid, hit.t, 1e7)
@@ -527,6 +604,39 @@ def render_sample(
             em_g = jnp.where(ocean_lane, 0.0, em_g)
             em_b = jnp.where(ocean_lane, 0.0, em_b)
             tex_id = jnp.where(ocean_lane, -1, tex_id)
+        if config.use_particles:
+            # particle lanes scatter by phase function — the normal is
+            # irrelevant; face it toward the ray so front_face/cos guards
+            # stay harmless on these lanes
+            p_n = Vec3(-direction.x, -direction.y, -direction.z)
+            mat_id = jnp.where(particle_lane, config.particle_mat_id, mat_id)
+            mat_flags = jnp.where(particle_lane, jnp.uint32(0), mat_flags)
+            from ..ops.procedural import PARTICLES_INSTANCE_ID
+
+            instance_id = jnp.where(
+                particle_lane, PARTICLES_INSTANCE_ID, instance_id)
+            ns = vwhere(particle_lane, p_n, ns)
+            ng = vwhere(particle_lane, p_n, ng)
+            ng_raw = vwhere(particle_lane, p_n, ng_raw)
+            pt = scene.particles
+            lane_mat = LaneMaterial(
+                albedo_r=jnp.where(particle_lane, pt.albedo[0],
+                                   lane_mat.albedo_r),
+                albedo_g=jnp.where(particle_lane, pt.albedo[1],
+                                   lane_mat.albedo_g),
+                albedo_b=jnp.where(particle_lane, pt.albedo[2],
+                                   lane_mat.albedo_b),
+                roughness=jnp.where(particle_lane, 1.0, lane_mat.roughness),
+                metallic=jnp.where(particle_lane, 0.0, lane_mat.metallic),
+                ior=jnp.where(particle_lane, 1.0, lane_mat.ior),
+                translucent=lane_mat.translucent & ~particle_lane,
+                opacity=jnp.where(particle_lane, 1.0, lane_mat.opacity),
+                thin_walled=lane_mat.thin_walled & ~particle_lane,
+            )
+            em_r = jnp.where(particle_lane, 0.0, em_r)
+            em_g = jnp.where(particle_lane, 0.0, em_g)
+            em_b = jnp.where(particle_lane, 0.0, em_b)
+            tex_id = jnp.where(particle_lane, -1, tex_id)
         if config.use_textures:
             u0, v0 = uvs
             w_b = 1.0 - hit.u - hit.v
@@ -577,6 +687,11 @@ def render_sample(
                 metal_tex = jnp.where(ocean_lane, -1, metal_tex)
                 normal_tex = jnp.where(ocean_lane, -1, normal_tex)
                 lum_tex = jnp.where(ocean_lane, -1, lum_tex)
+            if config.use_particles:
+                rough_tex = jnp.where(particle_lane, -1, rough_tex)
+                metal_tex = jnp.where(particle_lane, -1, metal_tex)
+                normal_tex = jnp.where(particle_lane, -1, normal_tex)
+                lum_tex = jnp.where(particle_lane, -1, lum_tex)
             if config.use_aux_textures:
                 rr_, _, _, _ = sample_atlas(
                     scene.textures, rough_tex, uu, vv, lod=lod)
@@ -638,6 +753,8 @@ def render_sample(
                          else mats.abbe[mat_id])
             if config.analytic_ocean:
                 abbe_lane = jnp.where(ocean_lane, 0.0, abbe_lane)
+            if config.use_particles:
+                abbe_lane = jnp.where(particle_lane, 0.0, abbe_lane)
             a0, a1, a2 = spec3(lane_mat.albedo_r, lane_mat.albedo_g,
                                lane_mat.albedo_b)
             lane_mat = lane_mat._replace(
@@ -732,6 +849,16 @@ def render_sample(
         fs_g = jnp.where(vol_lane, phase_sun, fs_g)
         fs_b = jnp.where(vol_lane, phase_sun, fs_b)
         pdf_b_sun = jnp.where(vol_lane, phase_sun, pdf_b_sun)
+        if config.use_particles:
+            # particle lanes: Jendersie-d'Eon phase x albedo (reference
+            # bsdf.cuh MATERIAL_PARTICLE); the phase IS the bounce pdf
+            from ..ops.phase import je_phase
+
+            pj = je_phase(dot(direction, sun_dir_s), config.particle_diameter)
+            fs_r = jnp.where(particle_lane, lane_mat.albedo_r * pj, fs_r)
+            fs_g = jnp.where(particle_lane, lane_mat.albedo_g * pj, fs_g)
+            fs_b = jnp.where(particle_lane, lane_mat.albedo_b * pj, fs_b)
+            pdf_b_sun = jnp.where(particle_lane, pj, pdf_b_sun)
         pdf_sun = 1.0 / SUN_SOLID_ANGLE
         cand1_ok = sun_nee_on & (vol_lane | (dot(sun_dir_s, ns) > 0.0))
         phat1 = 0.2126 * fs_r + 0.7152 * fs_g + 0.0722 * fs_b
@@ -743,6 +870,9 @@ def render_sample(
             )
             sun2_on = (sun_nee_on & ~vol_lane & ~lane_mat.translucent
                        & ~is_delta2 & ~trans2)
+            if config.use_particles:
+                # phase lanes take the single cone candidate, like volumes
+                sun2_on = sun2_on & ~particle_lane
             cand2_ok = (sun2_on & (dot(wi_b2, sun_v) >= SUN_COS_RADIUS)
                         & (dot(wi_b2, ns) > 0.0))
             (f2_r, f2_g, f2_b), pdf_eval2 = frame_eval(
@@ -910,6 +1040,14 @@ def render_sample(
         fl_g = jnp.where(vol_lane, phase_l, fl_g)
         fl_b = jnp.where(vol_lane, phase_l, fl_b)
         pdf_b_l = jnp.where(vol_lane, phase_l, pdf_b_l)
+        if config.use_particles:
+            from ..ops.phase import je_phase
+
+            pj_l = je_phase(dot(direction, sel_dir), config.particle_diameter)
+            fl_r = jnp.where(particle_lane, lane_mat.albedo_r * pj_l, fl_r)
+            fl_g = jnp.where(particle_lane, lane_mat.albedo_g * pj_l, fl_g)
+            fl_b = jnp.where(particle_lane, lane_mat.albedo_b * pj_l, fl_b)
+            pdf_b_l = jnp.where(particle_lane, pj_l, pdf_b_l)
         sel_w_mis = mis_balance(sel_pdf_sa, pdf_b_l)
         le_r, le_g, le_b = sel_le
         l_dir, dist = sel_dir, sel_dist
@@ -957,6 +1095,15 @@ def render_sample(
             fe_g = jnp.where(vol_lane, phase_env, fe_g)
             fe_b = jnp.where(vol_lane, phase_env, fe_b)
             pdf_b_env = jnp.where(vol_lane, phase_env, pdf_b_env)
+            if config.use_particles:
+                from ..ops.phase import je_phase
+
+                pj_e = je_phase(
+                    dot(direction, env_dir), config.particle_diameter)
+                fe_r = jnp.where(particle_lane, lane_mat.albedo_r * pj_e, fe_r)
+                fe_g = jnp.where(particle_lane, lane_mat.albedo_g * pj_e, fe_g)
+                fe_b = jnp.where(particle_lane, lane_mat.albedo_b * pj_e, fe_b)
+                pdf_b_env = jnp.where(particle_lane, pj_e, pdf_b_env)
             env_candidate = (
                 nee_lane
                 & (pdf_env > 1e-12)
@@ -1101,6 +1248,14 @@ def render_sample(
             fc_r = jnp.where(vol_lane, phase_c, fc_r)
             fc_g = jnp.where(vol_lane, phase_c, fc_g)
             fc_b = jnp.where(vol_lane, phase_c, fc_b)
+            if config.use_particles:
+                from ..ops.phase import je_phase
+
+                pj_c = je_phase(
+                    dot(direction, cau_u), config.particle_diameter)
+                fc_r = jnp.where(particle_lane, lane_mat.albedo_r * pj_c, fc_r)
+                fc_g = jnp.where(particle_lane, lane_mat.albedo_g * pj_c, fc_g)
+                fc_b = jnp.where(particle_lane, lane_mat.albedo_b * pj_c, fc_b)
             # the whole x→P segment is underwater: Jerlov absorption
             twc_r, twc_g, twc_b = spec3(
                 jnp.exp(-scene.water.absorb[0] * cau_dist),
@@ -1205,6 +1360,31 @@ def render_sample(
             )
             # volume lanes bounce by HG phase sampling (pdf == phase → the
             # phase/pdf ratio is 1, so weight is unity)
+            # particle lanes bounce by JE phase sampling (perfect importance
+            # sampling → weight is exactly the albedo; reference bsdf.cuh
+            # MATERIAL_PARTICLE). Overrides transmitted BEFORE the medium
+            # update so a garbage material_sample can't push the stack.
+            if config.use_particles:
+                from ..ops.phase import je_phase, je_sample_direction
+
+                r_p1 = random_1d(
+                    RandomTarget.PARTICLE_PHASE, pixel_id, sample_id, depth)
+                r_p2 = random_1d(
+                    RandomTarget.VOLUME_PHASE, pixel_id, sample_id, depth)
+                r_pc = random_1d(
+                    RandomTarget.BSDF_CHOICE, pixel_id, sample_id, depth)
+                wi_p = je_sample_direction(
+                    direction, config.particle_diameter, r_p1, r_p2, r_pc)
+                wi = vwhere(particle_lane, wi_p, wi)
+                wr = jnp.where(particle_lane, lane_mat.albedo_r, wr)
+                wg = jnp.where(particle_lane, lane_mat.albedo_g, wg)
+                wb = jnp.where(particle_lane, lane_mat.albedo_b, wb)
+                pdf = jnp.where(
+                    particle_lane,
+                    je_phase(dot(direction, wi_p), config.particle_diameter),
+                    pdf)
+                is_delta = jnp.where(particle_lane, False, is_delta)
+                transmitted = jnp.where(particle_lane, False, transmitted)
             wi_vol = sample_hg_direction(direction, fog.g, pixel_id, sample_id, depth)
             pdf_vol = hg_phase(dot(direction, wi_vol), fog.g)
             wi = vwhere(vol_lane, wi_vol, wi)

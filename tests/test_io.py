@@ -157,6 +157,16 @@ def test_lum_reference_example_parses():
 
 def test_lum_write_roundtrip(tmp_path):
     c = parse_lum(LUM_TEXT, base_dir=str(tmp_path))
+    # flip the round-3 estimator/tier toggles off their defaults so the
+    # round-trip proves they persist (GENERAL AMBIENTN/SUNRIS__/SPECTRAL/
+    # AERIALPE, OCEAN TESSELLA/CAUSRISS, PARTICLE PHASEDIA)
+    c.settings.ambient_nee = False
+    c.settings.sun_ris = False
+    c.settings.spectral_rendering = True
+    c.settings.aerial_perspective = False
+    c.ocean.tessellated = True
+    c.ocean.caustics_ris_sample_count = 12
+    c.particles.phase_diameter = 7.5
     p = str(tmp_path / "out.lum")
     write_lum_file(p, c)
     c2 = read_lum_file(p)
@@ -165,6 +175,13 @@ def test_lum_write_roundtrip(tmp_path):
     assert c2.sky.constant_color == c.sky.constant_color
     assert c2.ocean.height == c.ocean.height
     assert c2.cloud.low.coverage == c.cloud.low.coverage
+    assert c2.settings.ambient_nee is False
+    assert c2.settings.sun_ris is False
+    assert c2.settings.spectral_rendering is True
+    assert c2.settings.aerial_perspective is False
+    assert c2.ocean.tessellated is True
+    assert c2.ocean.caustics_ris_sample_count == 12
+    assert c2.particles.phase_diameter == pytest.approx(7.5)
 
 
 def test_lum_rejects_garbage():

@@ -44,7 +44,8 @@ def test_particles_generation():
     p = Particles(active=True, count=100, scale=10.0, size=1.0, seed=3)
     corners, normals = generate_particles(p)
     assert corners.shape == (200, 3, 3)  # 2 tris per quad
-    assert np.abs(corners).max() <= 5.5  # inside the scaled cube (+size)
+    # tile coordinates [0, scale)³ (+ quad half-size margin)
+    assert corners.min() >= -0.5 and corners.max() <= 10.5
 
 
 def test_water_transmittance_depth_colored():
@@ -88,17 +89,35 @@ def test_ocean_scene_renders():
 
 
 def test_particles_scene_renders():
-    scene = sun_plane_scene(16, 16)
-    p = scene.get_entity("particles")
-    p.active = True
-    p.count = 500
-    p.scale = 8.0
-    p.size = 20.0
-    scene.set_entity("particles", p)
-    r = Renderer(scene, chunk=256)
+    """Particle tier: visible on primaries (gbuffer id), phase-scattered,
+    finite; motion (speed > 0) perturbs the image (per-sample time)."""
+    def build(speed):
+        scene = sun_plane_scene(16, 16)
+        p = scene.get_entity("particles")
+        p.active = True
+        p.count = 500
+        p.scale = 8.0
+        p.size = 30.0
+        p.speed = speed
+        scene.set_entity("particles", p)
+        return scene
+
+    r = Renderer(build(0.0), chunk=256)
     r.render_samples(4)
     rad = r.get_radiance()
     assert np.all(np.isfinite(rad))
+    # a dense field of big particles must show up in the primary gbuffer
+    from luminary_tpu.ops.procedural import PARTICLES_INSTANCE_ID
+
+    ids = {r.get_pixel_info(x, y)["instance_id"]
+           for x in range(0, 16, 2) for y in range(0, 16, 2)}
+    assert PARTICLES_INSTANCE_ID in ids, ids
+    # motion blur: a fast field samples different tile offsets per sample
+    r2 = Renderer(build(200.0), chunk=256)
+    r2.render_samples(4)
+    rad2 = r2.get_radiance()
+    assert np.all(np.isfinite(rad2))
+    assert not np.allclose(rad, rad2)
 
 
 # ---- analytic ocean tier (ops/ocean.py; reference: ocean_utils.cuh) ----
