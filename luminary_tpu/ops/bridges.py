@@ -113,15 +113,35 @@ def sample_bridge(
         Vec3.of(0.0, 0.0, 1.0, like=to_light),
     )
 
-    # vertex count ~ uniform over 1..max_vertices (the reference importance-
-    # samples from a distance-keyed LUT; uniform keeps the estimator
-    # unbiased, the LUT is a variance refinement)
+    # vertex count ~ truncated Poisson in the optical distance s0 = σ_t·d:
+    # in a homogeneous medium the number of interior collisions over
+    # optical depth s0 is Poisson(s0), so P(n) ∝ s0^(n-1)/(n-1)! over
+    # n = 1..M — the analytic stand-in for the reference's distance-keyed
+    # embedded LUT (light_bridges.cuh:68-139, bridge_lut.bin): short
+    # connections favor the direct order, optically thick ones the high
+    # orders. The sampled pdf folds into path_pdf, so only variance moves.
     if max_vertices > 1:
         r_m = random_1d(RandomTarget.BRIDGE_VERTEX_COUNT, pixel_id, sample_id, depth)
-        m = 1 + jnp.minimum(
-            (r_m * max_vertices).astype(jnp.int32), max_vertices - 1
-        )
-        count_pdf = 1.0 / max_vertices
+        s0 = jnp.asarray(sigma_t, jnp.float32) * target
+        log_s0 = jnp.log(jnp.maximum(s0, 1e-6))
+        lf = 0.0
+        log_w = []
+        for nn in range(max_vertices):
+            if nn >= 2:
+                import math as _math
+
+                lf += _math.log(nn)
+            log_w.append(nn * log_s0 - lf)
+        lw = jnp.stack(log_w, axis=0)  # [M, N]
+        lw = lw - jnp.max(lw, axis=0, keepdims=True)
+        w_cnt = jnp.exp(lw)
+        cdf = jnp.cumsum(w_cnt, axis=0)
+        tot = cdf[-1]
+        u = r_m * tot
+        m = 1 + jnp.sum((u > cdf).astype(jnp.int32), axis=0)
+        m = jnp.clip(m, 1, max_vertices)
+        count_pdf = jnp.take_along_axis(
+            w_cnt, (m - 1)[None, :], axis=0)[0] / tot
     else:
         m = jnp.ones((n,), jnp.int32)
         count_pdf = 1.0

@@ -129,16 +129,25 @@ class Hit(NamedTuple):
         return self.slot >= 0
 
 
-def pack_device_bvh(wide, v0, e1, e2, slot_alpha=None) -> DeviceBVH:
+def pack_device_bvh(wide, v0, e1, e2, slot_alpha=None,
+                    slot_cut_grid=None) -> DeviceBVH:
     """WideBVH (bvh/wide.py) + slot triangles [P, 3] → DeviceBVH.
 
     slot_alpha (f32 [P], optional): per-slot opacity (material base alpha ×
     mean albedo-texture alpha). Slots with alpha < 1 are CUTOUT triangles:
     they are degenerated out of the shadow leaf rows (binary occlusion sees
     opaque geometry only) and collected into `cut_tris` for the dense
-    transmission pass (reference: optix_anyhit transparency accumulation;
-    the per-triangle mean alpha plays the role of the reference's opacity
-    micromap states, device_omm.c).
+    transmission pass (reference: optix_anyhit transparency accumulation).
+
+    slot_cut_grid (u16 [P, 64], optional): per-slot 8x8 barycentric-cell
+    MEAN-alpha micro-grid — the TPU analog of the reference's opacity
+    micromap states (device_omm.c / micromap.cuh): instead of 2-bit
+    opaque/transparent/unknown states feeding hardware OMMs, each cell
+    stores its local mean alpha (u16-quantized, ±8e-6), which drops
+    straight into the stochastic transparency model and resolves
+    partially-cut triangles (a leaf card blocks where the leaf is and
+    passes where it is not, rather than applying a uniform 0.5
+    everywhere). Packed as 32 bitcast f32 columns appended to `cut_tris`.
 
     All leaves stay numpy; the caller ships them via fast_device_put.
     """
@@ -155,11 +164,16 @@ def pack_device_bvh(wide, v0, e1, e2, slot_alpha=None) -> DeviceBVH:
         )
         ids = np.nonzero(cut)[0]
         tc = (len(ids) + 7) // 8 * 8
-        cut_tris = np.zeros((tc, 12), np.float32)
+        ncol = 44 if slot_cut_grid is not None else 12
+        cut_tris = np.zeros((tc, ncol), np.float32)
         cut_tris[: len(ids), 0:3] = v0[ids]
         cut_tris[: len(ids), 3:6] = e1[ids]
         cut_tris[: len(ids), 6:9] = e2[ids]
         cut_tris[: len(ids), 9] = slot_alpha[ids]
+        if slot_cut_grid is not None:
+            g = np.ascontiguousarray(slot_cut_grid[ids], np.uint16)
+            w32 = g.view(np.uint32).reshape(len(ids), 32)
+            cut_tris[: len(ids), 12:44] = w32.view(np.float32)
 
     def v3(a):
         return Vec3(
@@ -706,10 +720,21 @@ def trace_transmission(
         tv = Vec3(tris[:, 0:1], tris[:, 1:2], tris[:, 2:3])
         te1 = Vec3(tris[:, 3:4], tris[:, 4:5], tris[:, 5:6])
         te2 = Vec3(tris[:, 6:7], tris[:, 7:8], tris[:, 8:9])
-        t, _, _, hit = ray_triangle(o2, d2, tv, te1, te2, t_min=1e-4)
+        t, u, v, hit = ray_triangle(o2, d2, tv, te1, te2, t_min=1e-4)
         within = hit & (t <= tm[None, :]) & act[None, :]
-        return jnp.prod(
-            jnp.where(within, 1.0 - tris[:, 9:10], 1.0), axis=0
-        )
+        if tris.shape[1] >= 44:
+            # micro-alpha grid (OMM analog): local mean alpha of the 8x8
+            # barycentric cell the ray crosses, not the whole-triangle mean
+            s_i = jnp.clip((u * 8.0).astype(jnp.int32), 0, 7)
+            t_i = jnp.clip((v * 8.0).astype(jnp.int32), 0, 7)
+            cell = t_i * 8 + s_i  # [C, N]
+            words = jax.lax.bitcast_convert_type(
+                tris[:, 12:44], jnp.int32)  # [C, 32]
+            w = jnp.take_along_axis(words, cell >> 1, axis=1)
+            alpha = ((w >> ((cell & 1) * 16)) & 0xFFFF).astype(
+                jnp.float32) / 65535.0
+        else:
+            alpha = tris[:, 9:10]
+        return jnp.prod(jnp.where(within, 1.0 - alpha, 1.0), axis=0)
 
     return _chunked(run, n, chunk, (origin, direction, t_max, active))

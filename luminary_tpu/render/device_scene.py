@@ -765,6 +765,72 @@ def flatten_instances(scene: Scene):
     )
 
 
+def _cutout_micro_alpha(scene, mat_list, base_a, mat_slot, slot_uv,
+                        slot_alpha) -> np.ndarray:
+    """[P, 64] u8 micro-alpha grid for cutout slots (reference:
+    device_omm.c / micromap.cuh microtriangle states — see pack_device_bvh
+    for the state→mean-alpha re-design rationale).
+
+    Each cutout triangle's barycentric domain is divided into an 8x8
+    (u, v) cell grid; each cell stores the mean albedo-texture alpha over
+    a 2x2 sample stencil inside the cell (clamped to the u+v<=1 triangle),
+    times the material base alpha. Untextured cutouts get their uniform
+    base alpha.
+    """
+    P = mat_slot.shape[0]
+    grid = np.zeros((P, 64), np.uint16)
+    cut = np.nonzero(slot_alpha < 1.0)[0]
+    if cut.size == 0:
+        return grid
+    G, K = 8, 2
+    # barycentric sample points per cell: [64, K*K] for u and v
+    cell_s, cell_t = np.meshgrid(np.arange(G), np.arange(G), indexing="xy")
+    cell_s = cell_s.reshape(-1)  # cell = t*8 + s ordering (trace side)
+    cell_t = cell_t.reshape(-1)
+    off = (np.arange(K) + 0.5) / K
+    oi, oj = np.meshgrid(off, off, indexing="ij")
+    su = (cell_s[:, None] + oi.reshape(-1)[None, :]) / G  # [64, K²]
+    sv = (cell_t[:, None] + oj.reshape(-1)[None, :]) / G
+    # clamp into the barycentric triangle (diagonal cells sample the edge)
+    sv = np.minimum(sv, np.maximum(1.0 - su - 1e-4, 0.0))
+    sw = 1.0 - su - sv
+
+    mat_of = np.clip(mat_slot[cut], 0, len(mat_list) - 1)
+    base = base_a[mat_of]
+    tex_of = np.asarray([
+        int(mat_list[m].albedo_tex) if mat_list[m].albedo_tex != TEXTURE_NONE
+        else -1
+        for m in mat_of
+    ])
+    # default: uniform base alpha
+    grid[cut] = np.clip(
+        np.rint(base[:, None] * 65535.0), 0.0, 65535.0).astype(np.uint16)
+    for tid in np.unique(tex_of):
+        if tid < 0 or tid >= len(scene.textures):
+            continue
+        img = scene.textures[int(tid)].as_float()
+        if img.ndim != 3 or img.shape[-1] != 4:
+            continue
+        rows = np.nonzero(tex_of == tid)[0]
+        sids = cut[rows]
+        uv = slot_uv[sids]  # [R, 3, 2]
+        # texture uv at each barycentric sample: w·uv0 + u·uv1 + v·uv2
+        tu = (uv[:, None, None, 0, 0] * sw[None]
+              + uv[:, None, None, 1, 0] * su[None]
+              + uv[:, None, None, 2, 0] * sv[None])
+        tv_ = (uv[:, None, None, 0, 1] * sw[None]
+               + uv[:, None, None, 1, 1] * su[None]
+               + uv[:, None, None, 2, 1] * sv[None])
+        h, w = img.shape[0], img.shape[1]
+        xi = np.clip(((tu % 1.0) * w).astype(np.int64), 0, w - 1)
+        yi = np.clip(((tv_ % 1.0) * h).astype(np.int64), 0, h - 1)
+        a = img[yi, xi, 3]  # [R, 64, K²]
+        cellmean = a.mean(axis=2) * base[rows][:, None]
+        grid[sids] = np.clip(
+            np.rint(cellmean * 65535.0), 0.0, 65535.0).astype(np.uint16)
+    return grid
+
+
 def pack_particles_device(particles) -> "DeviceParticles | None":
     """Quad soup → tile-space BVH (see DeviceParticles)."""
     if not particles.active or int(particles.count) <= 0:
@@ -880,7 +946,7 @@ def pack_geometry(scene: Scene, topo=None) -> DeviceSceneGeo:
     # Slots below 1.0 are cutout triangles (alpha-test shadows; reference:
     # optix_anyhit.cuh / device_omm.c — see pack_device_bvh).
     mat_list = (scene.materials or []) + procedural_materials(scene)
-    slot_alpha = None
+    slot_alpha = slot_cut_grid = None
     if mat_list:
         base_a = np.asarray([m.albedo[3] for m in mat_list], np.float32)
         tex_a = np.ones(len(mat_list), np.float32)
@@ -897,11 +963,14 @@ def pack_geometry(scene: Scene, topo=None) -> DeviceSceneGeo:
                 np.clip(mat_slot, 0, len(mat_list) - 1)
             ].astype(np.float32)
             slot_alpha[~valid] = 1.0
+            slot_cut_grid = _cutout_micro_alpha(
+                scene, mat_list, base_a, mat_slot, slot_uv, slot_alpha)
 
     # numpy leaves: the caller ships the whole pytree to the device with a
     # single blob transfer (utils/fastput.py).
     return DeviceSceneGeo(
-        bvh=pack_device_bvh(wide, v0, e1, e2, slot_alpha=slot_alpha),
+        bvh=pack_device_bvh(wide, v0, e1, e2, slot_alpha=slot_alpha,
+                            slot_cut_grid=slot_cut_grid),
         n0=v3(slot_n[:, 0]),
         n1=v3(slot_n[:, 1]),
         n2=v3(slot_n[:, 2]),

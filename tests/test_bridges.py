@@ -146,3 +146,25 @@ def test_fog_render_bridges_m1_matches_m4_energy():
     assert a.mean() > 1e-4  # fog is lit
     assert b.mean() >= a.mean() * 0.7, (a.mean(), b.mean())
     assert b.mean() <= a.mean() * 1.15, (a.mean(), b.mean())
+
+
+def test_vertex_count_importance_tracks_optical_depth():
+    """The truncated-Poisson count importance (the reference LUT's analytic
+    stand-in) must favor the direct order for optically thin connections
+    and high orders for thick ones."""
+    n = 4096
+    view = _vec(n, 1.0, 0.0, 0.0)
+    x = _vec(n, 0.0, 0.0, 0.0)
+
+    def mean_m(dist, sigma_t):
+        y = _vec(n, 0.0, dist, 0.0)
+        (_, _, _, _, _, _, m) = sample_bridge(
+            x, y, view, 0.3, 0.9 * sigma_t, sigma_t, 4,
+            jnp.arange(n, dtype=jnp.uint32), jnp.uint32(1), 0,
+        )
+        return float(np.asarray(m).mean())
+
+    thin = mean_m(dist=0.5, sigma_t=0.2)   # s0 = 0.1
+    thick = mean_m(dist=8.0, sigma_t=2.0)  # s0 = 16
+    assert thin < 1.3, thin
+    assert thick > 3.3, thick

@@ -89,7 +89,8 @@ def test_transmission_query_products():
     d = Vec3(jnp.asarray([0.0, 0.0]), jnp.asarray([1.0, 1.0]),
              jnp.asarray([0.0, 0.0]))
     trans = np.asarray(trace_transmission(bvh, o, d, 1e7))
-    np.testing.assert_allclose(trans, [0.5, 1.0], atol=1e-6)
+    # u16 micro-grid quantization: +-1/131070 (pack_device_bvh)
+    np.testing.assert_allclose(trans, [0.5, 1.0], atol=2e-5)
     # binary occlusion must IGNORE the cutout card entirely
     occ = np.asarray(trace_occluded(bvh, o, d, jnp.asarray([1e7, 1e7])))
     assert not occ.any()
@@ -136,3 +137,60 @@ def test_half_alpha_card_halfway_between_opaque_and_none():
     assert abs(l_half - mid) < 0.25 * (l_none - l_opaque), (
         l_opaque, l_half, l_none,
     )
+
+
+def test_micro_alpha_grid_resolves_partial_cutout():
+    """OMM analog (pack_device_bvh slot_cut_grid): a card whose TEXTURE is
+    opaque on the left half (u < 0.5) and fully transparent on the right
+    must block shadow rays only through the opaque half. The old whole-
+    triangle mean alpha (0.5) attenuated both halves equally."""
+    import jax.numpy as jnp
+
+    from luminary_tpu.ops.traverse import trace_transmission
+    from luminary_tpu.ops.vec import Vec3
+    from luminary_tpu.render.device_scene import pack_geometry
+    from luminary_tpu.scene.mesh import Texture
+
+    scene = Scene()
+    img = np.zeros((64, 64, 4), np.uint8)
+    img[:, :, :3] = 200
+    img[:, :32, 3] = 255  # u < 0.5 opaque
+    tid = scene.add_texture(Texture(data=img, gamma=1.0))
+    scene.add_material(Material(albedo=(0.8, 0.2, 0.2, 1.0), roughness=1.0))
+    mat = scene.materials[0]
+    mat.albedo_tex = tid
+    scene.set_material(mat)
+    # unit quad in the xz plane at y=2, uv = (x, z)
+    verts = [(0, 2, 0), (1, 2, 0), (1, 2, 1), (0, 2, 1)]
+    tris = [[0, 1, 2], [0, 2, 3]]
+    uvs = np.asarray([
+        [[0, 0], [1, 0], [1, 1]],
+        [[0, 0], [1, 1], [0, 1]],
+    ], np.float32)
+    mesh = Mesh(
+        vertices=np.asarray(verts, np.float32),
+        triangles=np.asarray(tris, np.int32),
+        material_ids=np.zeros(2, np.uint16),
+        uvs=uvs,
+        name="halfcard",
+    )
+    scene.add_mesh(mesh)
+    inst = scene.new_instance()
+    inst.mesh_id = mesh.id
+    scene.set_instance(inst)
+    geo = pack_geometry(scene)
+    assert geo.bvh.cut_tris is not None
+    assert geo.bvh.cut_tris.shape[1] >= 44  # micro-grid columns present
+
+    def shoot(x, z):
+        n = 8
+        o = Vec3(jnp.full((n,), x, jnp.float32), jnp.zeros((n,), jnp.float32),
+                 jnp.full((n,), z, jnp.float32))
+        d = Vec3(jnp.zeros((n,)), jnp.ones((n,)), jnp.zeros((n,)))
+        tr = trace_transmission(geo.bvh, o, d, jnp.full((n,), 10.0))
+        return float(np.asarray(tr)[0])
+
+    assert shoot(0.2, 0.3) < 0.05   # through the opaque texture half
+    assert shoot(0.8, 0.3) > 0.95   # through the transparent half
+    assert shoot(0.2, 0.8) < 0.05   # second triangle, opaque half
+    assert shoot(0.8, 0.7) > 0.95
