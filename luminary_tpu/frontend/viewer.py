@@ -72,9 +72,26 @@ class _RawStdin:
         return out
 
 
+def _fold_escapes(keys: list[str]) -> list[str]:
+    """ESC [ X arrow sequences → their final letter (A/B/C/D)."""
+    out = []
+    i = 0
+    while i < len(keys):
+        if keys[i] == "\x1b" and i + 2 < len(keys) and keys[i + 1] == "[":
+            out.append(keys[i + 2])
+            i += 3
+        else:
+            out.append(keys[i])
+            i += 1
+    return out
+
+
 def run_viewer(host, cols: int = 96, rows: int = 40, max_fps: float = 8.0):
     """Drive the recurring-output loop against an ASYNC host."""
+    from .properties import PropertyPanel
+
     cam = host.get_camera()
+    panel = PropertyPanel()
     move, turn = 0.6, 0.12
     promise = host.request_output(sample_count=1 << 20)  # drives the loop
     sys.stdout.write(f"{_CSI}2J")  # clear
@@ -82,9 +99,15 @@ def run_viewer(host, cols: int = 96, rows: int = 40, max_fps: float = 8.0):
     with _RawStdin() as kb:
         while True:
             dirty = False
-            for k in kb.keys():
+            for k in _fold_escapes(kb.keys()):
                 if k == "q":
                     return promise
+                if panel.handle_key(k, host):
+                    # panel edits flow through set_<entity>; re-fetch the
+                    # camera so fly keys don't clobber a panel camera edit
+                    cam = host.get_camera()
+                    sys.stdout.write(f"{_CSI}2J")
+                    continue
                 p = list(cam.pos)
                 rx, ry, rz = cam.rotation
                 fwd = (-np.sin(ry) * np.cos(rx), np.sin(rx),
@@ -128,12 +151,14 @@ def run_viewer(host, cols: int = 96, rows: int = 40, max_fps: float = 8.0):
                 meta = host.get_image_meta(handle)
                 host.release_output(handle)
                 frame = _image_to_halfblocks(np.asarray(img), cols, rows)
-                sys.stdout.write(
-                    f"{_CSI}H" + frame
-                    + f"\n{_CSI}0m{meta['sample_count']:5d} spp   "
+                footer = (
+                    f"\n{_CSI}0m{meta['sample_count']:5d} spp   "
                     f"{host.current_sample_time * 1e3:7.1f} ms/sample   "
-                    "WASD/RF move  IJKL look  +/- exposure  q quit "
+                    "WASD/RF move  IJKL look  +/- exposure  e edit  q quit "
                 )
+                for line in panel.render(host):
+                    footer += "\n" + line + f"{_CSI}K"
+                sys.stdout.write(f"{_CSI}H" + frame + footer)
                 sys.stdout.flush()
                 last = now
             time.sleep(0.02)

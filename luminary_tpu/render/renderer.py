@@ -514,7 +514,11 @@ class Renderer:
 
     @property
     def sample_count(self) -> int:
-        """Effective (minimum completed) samples per pixel."""
+        """Effective (minimum completed) samples per pixel. 0 before the
+        first update() (the async worker may poll between construction and
+        the first render step)."""
+        if getattr(self, "_region", None) is None or self.accum is None:
+            return 0
         _, _, rw, rh = self._region
         return int(jnp.min(self.accum.sample_count[: rw * rh]))
 

@@ -26,10 +26,20 @@ def test_async_render_flow(obj_file):
         s.width = s.height = 16
         s.max_ray_depth = 2
         host.set_settings(s)
+        # constant-color sky: skips the sky bake + aerial/env-NEE/sun-RIS
+        # compile paths — this test gates the async plumbing, not the
+        # integrator, and the full DEFAULT-sky program now compiles in
+        # ~170 s on a cold CPU process (no XLA:CPU persistent cache)
+        from luminary_tpu.scene.entities import SkyMode
+
+        sky = host.get_sky()
+        sky.mode = SkyMode.CONSTANT_COLOR
+        sky.constant_color = (0.4, 0.5, 0.6)
+        host.set_sky(sky)
 
         promise = host.request_output(sample_count=8)
         handle = OUTPUT_HANDLE_INVALID
-        deadline = time.monotonic() + 120
+        deadline = time.monotonic() + 240
         while handle == OUTPUT_HANDLE_INVALID and time.monotonic() < deadline:
             handle = host.try_await_output(promise)
             time.sleep(0.02)
