@@ -96,21 +96,10 @@ def pack_textures(textures) -> DeviceTextures:
     return DeviceTextures(rows=rows, num_pages=np.int32(len(pages)))
 
 
-def sample_atlas(tex: DeviceTextures, tex_id, u, v, lod=None):
-    """Bilinear (optionally mipmapped) fetch. tex_id < 0 → white.
-
-    lod: per-lane mip level (float, clamped); None = level 0.
-    Two row gathers total: row(y0) and row(y1), each pairing (x, x+1).
-    """
-    present = tex_id >= 0
-    page = jnp.where(present, tex_id, 0)
-    if lod is None:
-        level = jnp.zeros_like(u, dtype=jnp.int32)
-    else:
-        level = jnp.clip(lod, 0.0, NUM_LEVELS - 1.0).astype(jnp.int32)
+def _bilinear_level(tex: DeviceTextures, page, level, u, v):
+    """One bilinear tap at an integer mip level: two row gathers."""
     res = (PAGE_RES >> level).astype(jnp.float32)
     lvl_off = jnp.asarray(np.asarray(LEVEL_OFFSET, np.int32))[level]
-
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
     x = uu * res - 0.5
@@ -128,7 +117,33 @@ def sample_atlas(tex: DeviceTextures, tex_id, u, v, lod=None):
     r1 = tex.rows[base + y1i * resi + x0i]
     top = r0[:, 0:4] * (1.0 - fx) + r0[:, 4:8] * fx
     bot = r1[:, 0:4] * (1.0 - fx) + r1[:, 4:8] * fx
-    out = top * (1.0 - fy) + bot * fy
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_atlas(tex: DeviceTextures, tex_id, u, v, lod=None,
+                 trilinear: bool = True):
+    """Mipmapped fetch. tex_id < 0 → white.
+
+    lod: per-lane mip level (float, clamped); None = level 0.
+    trilinear=True lerps the two straddling mip levels (the reference's
+    hardware trilinear, cuda/texture_utils.cuh) at 4 row gathers; False =
+    nearest level at 2 gathers (aux maps where level popping is invisible).
+    """
+    present = tex_id >= 0
+    page = jnp.where(present, tex_id, 0)
+    if lod is None:
+        out = _bilinear_level(
+            tex, page, jnp.zeros_like(u, dtype=jnp.int32), u, v)
+    else:
+        lodc = jnp.clip(lod, 0.0, NUM_LEVELS - 1.0)
+        l0 = lodc.astype(jnp.int32)
+        if trilinear:
+            l1 = jnp.minimum(l0 + 1, NUM_LEVELS - 1)
+            fl = (lodc - l0.astype(jnp.float32))[..., None]
+            out = (_bilinear_level(tex, page, l0, u, v) * (1.0 - fl)
+                   + _bilinear_level(tex, page, l1, u, v) * fl)
+        else:
+            out = _bilinear_level(tex, page, l0, u, v)
     w = present[..., None]
     out = jnp.where(w, out, 1.0)
     return out[..., 0], out[..., 1], out[..., 2], out[..., 3]

@@ -694,9 +694,11 @@ def render_sample(
                 lum_tex = jnp.where(particle_lane, -1, lum_tex)
             if config.use_aux_textures:
                 rr_, _, _, _ = sample_atlas(
-                    scene.textures, rough_tex, uu, vv, lod=lod)
+                    scene.textures, rough_tex, uu, vv, lod=lod,
+                    trilinear=False)
                 mm_, _, _, _ = sample_atlas(
-                    scene.textures, metal_tex, uu, vv, lod=lod)
+                    scene.textures, metal_tex, uu, vv, lod=lod,
+                    trilinear=False)
                 lane_mat = lane_mat._replace(
                     roughness=jnp.where(rough_tex >= 0, rr_,
                                         lane_mat.roughness),
@@ -704,13 +706,15 @@ def render_sample(
                                        lane_mat.metallic),
                 )
                 lr_, lg_, lb_, _ = sample_atlas(
-                    scene.textures, lum_tex, uu, vv, lod=lod)
+                    scene.textures, lum_tex, uu, vv, lod=lod,
+                    trilinear=False)
                 em_r = jnp.where(lum_tex >= 0, em_r * lr_, em_r)
                 em_g = jnp.where(lum_tex >= 0, em_g * lg_, em_g)
                 em_b = jnp.where(lum_tex >= 0, em_b * lb_, em_b)
                 # tangent-space normal map perturbs the shading normal
                 nx_, ny_, nz_, _ = sample_atlas(
-                    scene.textures, normal_tex, uu, vv, lod=lod)
+                    scene.textures, normal_tex, uu, vv, lod=lod,
+                    trilinear=False)
                 du1 = u0.y - u0.x
                 dv1 = v0.y - v0.x
                 du2 = u0.z - u0.x

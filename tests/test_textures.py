@@ -90,6 +90,33 @@ def test_mip_pyramid_converges_to_mean():
     assert (abs(fine[0, 0] - 0.5) > 0.3) or (abs(fine[1, 0] - 0.5) > 0.3)
 
 
+def test_trilinear_blends_between_levels():
+    """Fractional LOD lerps the two straddling mip levels (reference:
+    hardware trilinear filtering, cuda/texture_utils.cuh)."""
+    import jax
+
+    tex = Texture(data=checker(), gamma=1.0)
+    dt = jax.device_put(pack_textures([tex]))
+    ids = jnp.zeros((1,), jnp.int32)
+    u = jnp.asarray([0.37])
+    v = jnp.asarray([0.61])
+
+    def tap(lod, trilinear=True):
+        return np.asarray(sample_atlas(
+            dt, ids, u, v, lod=jnp.asarray([lod]), trilinear=trilinear))
+
+    l2 = tap(2.0)
+    l3 = tap(3.0)
+    mid = tap(2.5)
+    exp = 0.5 * (l2 + l3)
+    assert np.allclose(mid, exp, atol=1e-5), (mid, exp)
+    # nearest-level mode truncates to the lower level
+    near = tap(2.6, trilinear=False)
+    assert np.allclose(near, l2, atol=1e-5)
+    # integer lods agree between the two modes
+    assert np.allclose(tap(1.0), tap(1.0, trilinear=False), atol=1e-6)
+
+
 def test_bilinear_interpolates_gradient():
     import jax
 
