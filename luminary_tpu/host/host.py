@@ -517,11 +517,26 @@ class Host:
             stats = d.memory_stats() or {}
         except Exception:
             pass
+        # elasticity state (reference: LuminaryDeviceInfo is_enabled /
+        # is_unavailable; renderer.set_device_enable)
+        states = (self._renderer.device_states()
+                  if self._renderer is not None else [])
+        state = states[device_id] if device_id < len(states) else "enabled"
+        enabled_ids = [i for i, s in enumerate(states) if s == "enabled"]
+        main_id = enabled_ids[0] if enabled_ids else 0
         return {
-            "is_main_device": device_id == 0,
-            "is_unavailable": False,
-            "is_enabled": True,
+            "is_main_device": device_id == main_id,
+            "is_unavailable": state == "unavailable",
+            "is_enabled": state == "enabled",
             "name": f"{d.platform}:{d.device_kind}",
             "memory_size": stats.get("bytes_limit", 0),
             "allocated_memory_size": stats.get("bytes_in_use", 0),
         }
+
+    def set_device_enable(self, device_id: int, enable: bool) -> None:
+        """Hot-enable/disable a mesh device (reference:
+        luminary_host_set_device_enable, host.h:36). The mesh re-forms over
+        the enabled subset, the first enabled device becomes the main
+        (re-election), and the render restarts."""
+        with self._renderer_lock:
+            self.renderer.set_device_enable(device_id, enable)

@@ -103,6 +103,8 @@ def _parse_general(c: LumFileContent, key: str, value: str) -> None:
         c.settings.spectral_rendering = _b(value)
     elif key == "AERIALPE":
         c.settings.aerial_perspective = _b(value)
+    elif key == "BLUENOIS":
+        c.settings.blue_noise = _b(value)
     elif key in ("NUMLIGHT", "DENOISER"):
         pass  # legacy, ignored (lum_v4.c NUMLIGHT case)
     else:
@@ -457,6 +459,7 @@ def write_lum_file(path: str, content: LumFileContent) -> None:
     emit("GENERAL", "SUNRIS__", s.sun_ris)
     emit("GENERAL", "SPECTRAL", s.spectral_rendering)
     emit("GENERAL", "AERIALPE", s.aerial_perspective)
+    emit("GENERAL", "BLUENOIS", s.blue_noise)
     emit("CAMERA", "POSITION", *cam.pos)
     emit("CAMERA", "ROTATION", *cam.rotation)
     emit("CAMERA", "FOV_____", cam.thin_lens.fov)

@@ -77,10 +77,10 @@ def pack_camera(camera) -> DeviceCamera:
     )
 
 
-def _sample_aperture(cam: DeviceCamera, pixel_id, sample_id) -> Vec3:
+def _sample_aperture(cam: DeviceCamera, pixel_id, sample_id, bn=None) -> Vec3:
     """Aperture point in lens units (reference: camera_thin_lens.cuh
     camera_thin_lens_sample_aperture). Weight forced to 1 like the reference."""
-    r = random_2d(RandomTarget.LENS, pixel_id, sample_id)
+    r = random_2d(RandomTarget.LENS, pixel_id, sample_id, bn=bn)
     r0, r1 = r[..., 0], r[..., 1]
     aperture = cam.aperture_size * CAMERA_COMMON_INV_SCALE
 
@@ -93,7 +93,7 @@ def _sample_aperture(cam: DeviceCamera, pixel_id, sample_id) -> Vec3:
     # Bladed aperture: uniform point in the triangle fan sector
     blades = cam.aperture_blade_count.astype(jnp.float32)
     blade = jnp.floor(
-        random_1d(RandomTarget.LENS_BLADE, pixel_id, sample_id) * blades
+        random_1d(RandomTarget.LENS_BLADE, pixel_id, sample_id, bn=bn) * blades
     )
     a = jnp.sqrt(r0)
     u = 1.0 - a
@@ -118,6 +118,7 @@ def generate_camera_rays(
     pixel_y: jnp.ndarray,
     pixel_id: jnp.ndarray,
     sample_id,
+    bn=None,
 ):
     """Thin-lens primary rays for a pixel wavefront → (origin, direction)
     component-SoA Vec3s in world space."""
@@ -141,7 +142,7 @@ def generate_camera_rays(
     scale = -focal_len / to_focal.z
     focal_point = to_focal * scale
 
-    aperture_point = _sample_aperture(cam, pixel_id, sample_id)
+    aperture_point = _sample_aperture(cam, pixel_id, sample_id, bn=bn)
     direction = normalize(focal_point - aperture_point)
 
     # To world space (reference: camera.cuh:30-36).

@@ -260,6 +260,7 @@ def sample_light_tree(
     dk: int,
     chunk: int = 1 << 18,
     force: str | None = None,
+    bn=None,
 ):
     """One stochastic descent per lane from the shading point `pos`.
 
@@ -312,7 +313,8 @@ def sample_light_tree(
         return jax.tree_util.tree_map(lambda x: x.reshape(-1)[:n], out)
 
     def run(args):
-        px, py, pz, pid, sid = args
+        px, py, pz, pid, sid, *bnc = args
+        bnl = tuple(bnc) if bnc else None
         m = px.shape[0]
         node = jnp.zeros((m,), jnp.int32)
         pdf = jnp.ones((m,), jnp.float32)
@@ -325,7 +327,7 @@ def sample_light_tree(
         for lvl in range(levels + 1):
             rowT = tree_rows[node].T  # [128, m] — THE gather
             r = random_1d(
-                RandomTarget.LIGHT_TREE_LEVEL, pid, sid, dk * 8 + lvl
+                RandomTarget.LIGHT_TREE_LEVEL, pid, sid, dk * 8 + lvl, bn=bnl
             )
 
             # --- node interpretation: child by clamped-distance power ×
@@ -417,7 +419,8 @@ def sample_light_tree(
         valid = (slot >= 0) & (pdf > 0.0)
         return slot, pdf, valid
 
-    args = (pos.x, pos.y, pos.z, pixel_id, sample_id)
+    args = (pos.x, pos.y, pos.z, pixel_id, sample_id) + (
+        tuple(bn) if bn is not None else ())
     if n <= chunk:
         return run(args)
     pad = (-n) % chunk

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .random import RandomTarget, random_2d
+from .random import RandomTarget, random_1d, random_2d
 from .vec import Vec3, gather as vgather
 
 
@@ -48,7 +48,8 @@ class DeviceLights:
 
     def __init__(self, prob, alias, slot, select_pdf, light_rows,
                  slot_select_pdf, slot_area, num_lights, total_power,
-                 tree_rows, tree_num_nodes: int = 0, tree_levels: int = 0):
+                 tree_rows, micro_rows=None, tree_num_nodes: int = 0,
+                 tree_levels: int = 0, has_micro: bool = False):
         self.prob = prob
         self.alias = alias
         self.slot = slot
@@ -59,8 +60,15 @@ class DeviceLights:
         self.num_lights = num_lights
         self.total_power = total_power
         self.tree_rows = tree_rows
+        # micro_rows [L, 16]: per-light emission-texture cell weights for
+        # microtriangle point importance (reference: light_microtriangle.cuh
+        # 64-microtriangle emission sampling — here 16 equal-area cells of
+        # the sqrt-warp domain). Dummy [1, 16] when has_micro is False.
+        self.micro_rows = (micro_rows if micro_rows is not None
+                           else np.ones((1, 16), np.float32))
         self.tree_num_nodes = tree_num_nodes
         self.tree_levels = tree_levels
+        self.has_micro = has_micro
 
     @property
     def has_tree(self) -> bool:
@@ -70,13 +78,15 @@ class DeviceLights:
         return (
             (self.prob, self.alias, self.slot, self.select_pdf,
              self.light_rows, self.slot_select_pdf, self.slot_area,
-             self.num_lights, self.total_power, self.tree_rows),
-            (self.tree_num_nodes, self.tree_levels),
+             self.num_lights, self.total_power, self.tree_rows,
+             self.micro_rows),
+            (self.tree_num_nodes, self.tree_levels, self.has_micro),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, aux[0], aux[1])
+        return cls(*leaves[:10], micro_rows=leaves[10], tree_num_nodes=aux[0],
+                   tree_levels=aux[1], has_micro=aux[2])
 
 
 def build_alias_table(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -108,9 +118,15 @@ def pack_lights(
     emission: np.ndarray,  # [M,3] per-material pre-scaled emission
     emissive_flags: np.ndarray,  # [M] bool
     valid_slot: np.ndarray,  # [P] bool (not padding)
+    tex_lum_mean: np.ndarray | None = None,  # [P] luminance-map triangle mean
+    micro_w: np.ndarray | None = None,  # [P, 16] luminance-map cell weights
 ) -> DeviceLights:
     """Collect emissive triangles (reference: device_light.c light-fragment
-    caching; texture-emission integration lands with texture support)."""
+    caching). tex_lum_mean carries the per-triangle mean of the material's
+    luminance map (the reference's GPU texture-emission integrator,
+    device_light.c:1952-2018) into the selection importance — alias table
+    AND light tree; the estimator itself applies the true texel at the
+    sampled point, so this only reshapes variance."""
     p = tri_v0.shape[0]
     mat = material_id.astype(np.int64)
     is_light = valid_slot & emissive_flags[mat]
@@ -123,6 +139,8 @@ def pack_lights(
         0.2126 * emission[mat, 0] + 0.7152 * emission[mat, 1] + 0.0722 * emission[mat, 2]
     ).astype(np.float32)
     power = area * lum * np.pi  # one-sided diffuse emitter power
+    if tex_lum_mean is not None:
+        power = power * tex_lum_mean.astype(np.float32)
 
     slot_select_pdf = np.zeros(p, np.float32)
     if len(slots):
@@ -154,6 +172,16 @@ def pack_lights(
             )
             tree_rows = tree.rows
             tree_nodes, tree_levels = tree.num_nodes, tree.levels
+        micro_rows = None
+        has_micro = False
+        if micro_w is not None:
+            micro_rows = micro_w[slots].astype(np.float32)  # [L, 16]
+            # only enable when some light's map actually varies — a uniform
+            # map reduces to uniform point sampling at pure extra cost
+            spread = micro_rows.max(axis=1) - micro_rows.min(axis=1)
+            has_micro = bool((spread > 1e-3 * micro_rows.max(axis=1)).any())
+            if not has_micro:
+                micro_rows = None
         return DeviceLights(
             prob=prob,
             alias=alias,
@@ -165,8 +193,10 @@ def pack_lights(
             num_lights=np.int32(len(slots)),
             total_power=np.float32(total),
             tree_rows=tree_rows,
+            micro_rows=micro_rows,
             tree_num_nodes=tree_nodes,
             tree_levels=tree_levels,
+            has_micro=has_micro,
         )
     return DeviceLights(
         prob=np.ones((1,), np.float32),
@@ -208,6 +238,7 @@ def sample_light_point(
     slot=None,
     pdf_select=None,
     sel_valid=None,
+    bn=None,
 ):
     """Draw one light triangle + a uniform point on it.
 
@@ -238,7 +269,8 @@ def sample_light_point(
 
     if slot is None:
         l = lights.prob.shape[0]
-        r = random_2d(RandomTarget.LIGHT_TREE, pixel_id, sample_id, depth)
+        r = random_2d(RandomTarget.LIGHT_TREE, pixel_id, sample_id, depth,
+                      bn=bn)
         idx = jnp.minimum((r[..., 0] * l).astype(jnp.int32), l - 1)
         if shade_rows is not None:
             # big-scene path: ONE light-row gather resolves the alias redirect
@@ -256,11 +288,38 @@ def sample_light_point(
     else:
         light_ix = jnp.maximum(slot, 0)  # invalid lanes masked via sel_valid
 
-    # Uniform barycentric point (sqrt warp)
-    r2 = random_2d(RandomTarget.LIGHT_TRIANGLE, pixel_id, sample_id, depth)
-    su = jnp.sqrt(jnp.clip(r2[..., 0], 1e-8, 1.0))
+    # Point on the triangle: uniform sqrt warp, optionally importance-
+    # warped into one of 16 equal-area cells of the warp domain by the
+    # light's emission-texture cell weights (reference:
+    # light_microtriangle.cuh 64-microtriangle emission sampling; consumes
+    # RandomTarget.MICROTRIANGLE). The TRUE point pdf gains the cell factor
+    # (RIS weight / estimator); the alias-nominal MIS pdf stays area-uniform
+    # on both strategies, so MIS weights still sum to 1.
+    r2 = random_2d(RandomTarget.LIGHT_TRIANGLE, pixel_id, sample_id, depth,
+                   bn=bn)
+    r1u, r2u = r2[..., 0], r2[..., 1]
+    micro_factor = None
+    if lights.has_micro:
+        mrow = lights.micro_rows[jnp.maximum(light_ix, 0)]  # [N, 16]
+        mr = random_1d(RandomTarget.MICROTRIANGLE, pixel_id, sample_id,
+                       depth, bn=bn)
+        cum = jnp.cumsum(mrow, axis=1)
+        tot = cum[:, -1]
+        pick = jnp.minimum(
+            jnp.sum((cum <= (mr * tot)[:, None]).astype(jnp.int32), axis=1),
+            15)
+        oh = jnp.arange(16, dtype=jnp.int32)[None, :] == pick[:, None]
+        w_c = jnp.sum(jnp.where(oh, mrow, 0.0), axis=1)
+        ok_m = tot > 0.0
+        p_cell = jnp.where(ok_m, w_c / jnp.maximum(tot, 1e-30), 1.0)
+        ci = (pick // 4).astype(jnp.float32)
+        cj = (pick % 4).astype(jnp.float32)
+        r1u = jnp.where(ok_m, (ci + r1u) * 0.25, r1u)
+        r2u = jnp.where(ok_m, (cj + r2u) * 0.25, r2u)
+        micro_factor = jnp.where(ok_m & (p_cell > 0.0), p_cell * 16.0, 1.0)
+    su = jnp.sqrt(jnp.clip(r1u, 1e-8, 1.0))
     b1 = 1.0 - su
-    b2 = r2[..., 1] * su
+    b2 = r2u * su
     if shade_rows is not None:
         row = shade_rows[light_ix]
         slot = jax.lax.bitcast_convert_type(row[:, LSR_SLOT], jnp.int32)
@@ -288,6 +347,13 @@ def sample_light_point(
     point = v0 + e1 * b1 + e2 * b2
     pdf_area = pdf_select / jnp.maximum(area, 1e-12)
     pdf_area_alias = alias_select / jnp.maximum(area, 1e-12)
+    if micro_factor is not None:
+        # the micro factor enters BOTH the true pdf (estimator/RIS) and the
+        # alias-nominal MIS pdf — the hit side evaluates the same factor
+        # from its shade row (SHADE_MICRO cols), keeping the two strategies'
+        # nominal pdfs one function of the point (weights sum to 1)
+        pdf_area = pdf_area * micro_factor
+        pdf_area_alias = pdf_area_alias * micro_factor
     ok = lights.num_lights > 0
     ok = (ok & sel_valid) if sel_valid is not None else (ok & (pdf_select > 0.0))
     return slot, point, n, pdf_area, pdf_area_alias, emission, ok, (b1, b2)

@@ -169,7 +169,7 @@ def material_eval(mat: LaneMaterial, ns: Vec3, wo: Vec3, wi: Vec3):
 
 
 def material_sample(mat: LaneMaterial, fr: ShadingFrame, ns: Vec3, wo: Vec3,
-                    pixel_id, sample_id, depth, eta_rel=None):
+                    pixel_id, sample_id, depth, eta_rel=None, bn=None):
     """Sample an outgoing direction.
 
     eta_rel: per-lane n_transmitted / n_incident for the translucent lobe,
@@ -179,8 +179,10 @@ def material_sample(mat: LaneMaterial, fr: ShadingFrame, ns: Vec3, wo: Vec3,
     Returns (wi Vec3, weight (r,g,b) = f·cos/pdf, pdf, is_delta, transmitted).
     """
     wo_l = fr.wo_l
-    r_choice = random_1d(RandomTarget.BSDF_CHOICE, pixel_id, sample_id, depth)
-    r2 = random_2d(RandomTarget.BSDF_REFLECTION, pixel_id, sample_id, depth)
+    r_choice = random_1d(RandomTarget.BSDF_CHOICE, pixel_id, sample_id, depth,
+                         bn=bn)
+    r2 = random_2d(RandomTarget.BSDF_REFLECTION, pixel_id, sample_id, depth,
+                   bn=bn)
 
     # --- opaque path: specular or diffuse ---
     choose_spec = r_choice < fr.p_spec

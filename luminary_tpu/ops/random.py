@@ -19,6 +19,7 @@ and is what actually drives convergence — with two generator backends:
 
 from __future__ import annotations
 
+import os
 from enum import IntEnum
 
 import jax.numpy as jnp
@@ -98,13 +99,25 @@ def _to_float(bits: jnp.ndarray) -> jnp.ndarray:
     return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
-def random_1d(target, pixel_id, sample_id, depth=0) -> jnp.ndarray:
-    """One uniform float in [0,1) per element of pixel_id."""
+def random_1d(target, pixel_id, sample_id, depth=0, bn=None) -> jnp.ndarray:
+    """One uniform float in [0,1) per element of pixel_id.
+
+    bn: optional (bx, by) uint32 blue-noise pair from blue_base() — switches
+    the draw to the reference's Sobol + blue-noise Cranley-Patterson
+    construction (random.cuh random_2D_base); pixel_id is then unused.
+    """
+    if bn is not None:
+        return _blue_sobol(target, sample_id, depth, bn)[..., 0]
     return _to_float(_key(target, pixel_id, sample_id, depth))
 
 
-def random_2d(target, pixel_id, sample_id, depth=0) -> jnp.ndarray:
-    """[..., 2] uniform floats; second dim decorrelated by one extra round."""
+def random_2d(target, pixel_id, sample_id, depth=0, bn=None) -> jnp.ndarray:
+    """[..., 2] uniform floats; second dim decorrelated by one extra round.
+
+    bn: see random_1d.
+    """
+    if bn is not None:
+        return _blue_sobol(target, sample_id, depth, bn)
     h = _key(target, pixel_id, sample_id, depth)
     h2 = (h ^ jnp.uint32(0x68BC21EB)) * jnp.uint32(0x846CA68B)
     h2 ^= h2 >> 16
@@ -152,6 +165,120 @@ def _laine_karras(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
 def _nested_uniform_scramble(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
     """Owen scrambling of the MSB-first digit tree via the LK permutation."""
     return _reverse_bits(_laine_karras(_reverse_bits(x), seed))
+
+
+# ---------------------------------------------------------------------------
+# Blue-noise Cranley-Patterson rotation (reference: random.cuh
+# random_2D_base — every draw is a pixel-INDEPENDENT scrambled-Sobol point
+# plus a per-pixel blue-noise shift; pixel decorrelation comes entirely from
+# the mask, which makes the per-pixel ERROR field blue instead of white).
+# ---------------------------------------------------------------------------
+
+# R2 Kronecker constants in u32 fixed point (random.cuh R2_PHI1/R2_PHI2).
+_R2_PHI1 = np.uint32(3242174889)
+_R2_PHI2 = np.uint32(2447445413)
+
+_BN_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "..", "data", "bluenoise_128.npy"
+)
+_BN_CACHE = None
+BN_CHANNELS = 16
+
+
+def load_bluenoise() -> np.ndarray:
+    """[16, 128, 128] uint32 fixed-point blue-noise rank masks (host numpy;
+    generated by tools/gen_bluenoise.py — void-and-cluster, the same family
+    as the reference's embedded masks, device_embedded.h bluenoise).
+    16 INDEPENDENT channels: per-dimension decorrelation needs distinct mask
+    data — measured: value-rotating one shared mask leaves |corr| up to 0.44
+    between dimensions, and toroidal shears whiten the spectrum entirely."""
+    global _BN_CACHE
+    if _BN_CACHE is None:
+        f = np.load(_BN_PATH)  # [C, 128, 128] f32 in [0,1)
+        _BN_CACHE = (f * np.float32(2.0**32)).astype(np.int64).astype(np.uint32)
+    return _BN_CACHE
+
+
+def blue_base(pixel_x, pixel_y):
+    """Per-lane uint32 mask values for this pixel: a tuple of C [N] arrays.
+
+    C flat gathers per SAMPLE (computed once at task creation; every draw
+    then picks its channels STATICALLY, costing pure arithmetic). The
+    reference instead re-reads one mask with per-dimension COORDINATE
+    offsets (random.cuh:308-312) — a gather per draw, free on GPU texture
+    caches but not on TPU."""
+    mask = load_bluenoise()
+    flat = jnp.asarray(mask.reshape(mask.shape[0], -1))  # [C, 16384]
+    idx = (
+        (jnp.asarray(pixel_y, jnp.uint32) & jnp.uint32(127)) * jnp.uint32(128)
+        + (jnp.asarray(pixel_x, jnp.uint32) & jnp.uint32(127))
+    ).astype(jnp.int32)
+    return tuple(flat[c][idx] for c in range(mask.shape[0]))
+
+
+# Static channel-pair assignment. Targets drawn at the SAME vertex on the
+# same lanes must not share a channel (their error patterns would align);
+# targets on disjoint lanes or disjoint pipeline stages may. Unlisted
+# targets derive a pair from their index.
+_BN_ASSIGN = {
+    RandomTarget.BSDF_CHOICE: (0, 1),
+    RandomTarget.BSDF_REFLECTION: (1, 2),
+    RandomTarget.BSDF_REFRACTION: (2, 3),
+    RandomTarget.LIGHT_RIS: (3, 4),
+    RandomTarget.LIGHT_TREE: (4, 5),
+    RandomTarget.LIGHT_TRIANGLE: (6, 7),
+    RandomTarget.LIGHT_SUN: (8, 9),
+    RandomTarget.LIGHT_AMBIENT: (10, 11),
+    RandomTarget.RUSSIAN_ROULETTE: (12, 13),
+    RandomTarget.ALPHA_TEST: (13, 14),
+    RandomTarget.EMISSION_INDEX: (14, 15),
+    RandomTarget.LIGHT_TREE_LEVEL: (15, 0),
+    # camera-stage targets never co-occur with the depth>=2-only ones
+    RandomTarget.LENS: (12, 13),
+    RandomTarget.LENS_BLADE: (14, 15),
+    RandomTarget.WAVELENGTH: (5, 6),
+    # volume/particle lanes are disjoint from surface-BSDF lanes
+    RandomTarget.VOLUME_PHASE: (7, 8),
+    RandomTarget.PARTICLE_PHASE: (9, 10),
+    RandomTarget.VOLUME_DISTANCE: (11, 12),
+}
+
+
+def _bn_pick(target, depth):
+    """Static (channel_x, channel_y) for a draw; depth hops by 7 (coprime to
+    16) so consecutive bounces of one target decorrelate too."""
+    cx, cy = _BN_ASSIGN.get(
+        RandomTarget(int(target)) if int(target) < int(RandomTarget.NUM_TARGETS)
+        else -1,
+        (int(target) * 2 % BN_CHANNELS, (int(target) * 2 + 9) % BN_CHANNELS),
+    )
+    d = int(depth)
+    return (cx + 7 * d) % BN_CHANNELS, (cy + 7 * d) % BN_CHANNELS
+
+
+def _blue_sobol(target, sample_id, depth, bn) -> jnp.ndarray:
+    """Owen-scrambled Sobol (0,2) point shared by ALL pixels of a sample
+    (seeded by the dimension index only) + per-pixel blue-noise shift from
+    this dimension's own mask channel (u32 adds wrap = exact mod-1 toroidal
+    shift). Uniform marginals are preserved exactly, so every estimator
+    stays unbiased. `depth` must be a static python int (it selects the
+    channel at trace time)."""
+    cx, cy = _bn_pick(target, depth)
+    bx, by = bn[cx], bn[cy]
+    dim = jnp.uint32(int(target) + int(_DEPTH_STRIDE) * int(depth))
+    salt = _mix(dim * jnp.uint32(0x9E3779B9) + jnp.uint32(0xFCBD6E15))
+    idx = jnp.asarray(sample_id, jnp.uint32)
+    shuffled = _nested_uniform_scramble(idx, _mix(salt))
+    x = _reverse_bits(shuffled)
+    y = _sobol_dim2(shuffled)
+    x = _nested_uniform_scramble(x, _mix(salt ^ jnp.uint32(0x1D8E4464)))
+    y = _nested_uniform_scramble(y, _mix(salt ^ jnp.uint32(0x58F482D5)))
+    # R2 value rotation on top: same-channel collisions (hash overflow /
+    # depth hops) land rotated rather than identical
+    rot = dim + jnp.uint32(1)
+    x = x + bx + rot * jnp.asarray(_R2_PHI1)
+    y = y + by + rot * jnp.asarray(_R2_PHI2)
+    return jnp.stack([_to_float(x), _to_float(y)], axis=-1)
 
 
 def quasi_2d(target, pixel_id, sample_id, depth=0) -> jnp.ndarray:

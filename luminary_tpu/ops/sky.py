@@ -340,7 +340,7 @@ def aerial_fetch(sky, direction: Vec3, dist):
     return tr, ins
 
 
-def sample_env_direction(sky, pixel_id, sample_id, depth):
+def sample_env_direction(sky, pixel_id, sample_id, depth, bn=None):
     """Draw a direction toward the environment by cell importance
     (reference: direct_lighting ambient + sky_hdri.cuh importance).
 
@@ -354,7 +354,8 @@ def sample_env_direction(sky, pixel_id, sample_id, depth):
     k = sky.env_alias_rows.shape[0]
     ch = sky.env_ch.astype(jnp.float32)
     cw = sky.env_cw.astype(jnp.float32)
-    r = random_2d(RandomTarget.LIGHT_AMBIENT, pixel_id, sample_id, 2 * depth)
+    r = random_2d(RandomTarget.LIGHT_AMBIENT, pixel_id, sample_id, 2 * depth,
+                  bn=bn)
     idx = jnp.minimum((r[..., 0] * k).astype(jnp.int32), k - 1)
     row = sky.env_alias_rows[idx]  # [N, 8]
     take_alias = r[..., 1] >= row[:, 0]
@@ -364,7 +365,7 @@ def sample_env_direction(sky, pixel_id, sample_id, depth):
     cy = (cell // sky.env_cw).astype(jnp.float32)
     cx = (cell % sky.env_cw).astype(jnp.float32)
     j = random_2d(RandomTarget.LIGHT_AMBIENT, pixel_id, sample_id,
-                  2 * depth + 1)
+                  2 * depth + 1, bn=bn)
     # uniform within the cell's solid angle: phi uniform, cos(theta) uniform
     # between the band edges (the pdf/sr is constant per cell by build)
     phi = (cx + j[..., 0]) / cw * (2.0 * jnp.pi)

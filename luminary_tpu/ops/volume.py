@@ -57,9 +57,11 @@ def hg_phase(cos_theta, g):
     )
 
 
-def sample_hg_direction(w_in: Vec3, g, pixel_id, sample_id, depth) -> Vec3:
+def sample_hg_direction(w_in: Vec3, g, pixel_id, sample_id, depth,
+                        bn=None) -> Vec3:
     """Sample the HG phase about the incoming propagation direction w_in."""
-    r2 = random_2d(RandomTarget.VOLUME_PHASE, pixel_id, sample_id, depth)
+    r2 = random_2d(RandomTarget.VOLUME_PHASE, pixel_id, sample_id, depth,
+                   bn=bn)
     g_safe = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
     sq = (1.0 - g_safe * g_safe) / (1.0 - g_safe + 2.0 * g_safe * r2[..., 0])
     cos_t = (1.0 + g_safe * g_safe - sq * sq) / (2.0 * g_safe)

@@ -9,10 +9,12 @@ from .sky import SUN_ANGULAR_RADIUS
 from .vec import Vec3, normalize, orthonormal_basis
 
 
-def sample_sun_direction(sun_dir: Vec3, pixel_id, sample_id, depth) -> Vec3:
+def sample_sun_direction(sun_dir: Vec3, pixel_id, sample_id, depth,
+                         bn=None) -> Vec3:
     """Uniform direction in the solar cone (reference: direct_lighting.cuh
     solid-angle sun sampling)."""
-    r2 = random_2d(RandomTarget.LIGHT_SUN, pixel_id, sample_id, depth)
+    r2 = random_2d(RandomTarget.LIGHT_SUN, pixel_id, sample_id, depth,
+                   bn=bn)
     cos_max = jnp.cos(SUN_ANGULAR_RADIUS)
     cos_t = 1.0 - r2[..., 0] * (1.0 - cos_max)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))

@@ -212,7 +212,12 @@ SHADE_NORMAL_TEX = 46  # bitcast i32
 SHADE_LUM_TEX = 47     # bitcast i32
 SHADE_LOD_BASE = 48    # log2(PAGE_RES * sqrt(uv_area / world_area))
 SHADE_ABBE = 49        # dispersion Abbe number (spectral mode; 0 = none)
-SHADE_COLS = 56
+SHADE_MICRO = 56       # 56:72 normalized emission-texture cell weights
+#                        (16·w/Σw over the 4x4 sqrt-warp grid): the BSDF-hit
+#                        side's share of the micro point-importance MIS
+#                        nominal pdf (reference: light_microtriangle.cuh).
+#                        Written only when lights.has_micro.
+SHADE_COLS = 72
 
 # light-sample row columns (light_slot_rows — COMPACT [L, 18], one row per
 # EMISSIVE triangle in dense light-index order, NOT per slot: a slot-space
@@ -264,10 +269,21 @@ def pack_light_slot_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
 
 
 def pack_shade_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
-                    lights) -> np.ndarray:
-    """Denormalized per-slot shade rows [P, 48] (numpy; see column map)."""
+                    lights, tex_res=None) -> np.ndarray:
+    """Denormalized per-slot shade rows [P, SHADE_COLS] (numpy; see column
+    map). tex_res: per-texture level-0 page resolution
+    (ops/textures.py page_resolutions) for the mip LOD base — PAGE_RES
+    when absent."""
     p = np.asarray(geo.material_id).shape[0]
     rows = np.zeros((p, SHADE_COLS), np.float32)
+    if getattr(lights, "has_micro", False):
+        # scatter the dense [L, 16] micro weights to slot space, normalized
+        # so the hit side multiplies SEL_PDF/AREA directly (16·w/Σw)
+        mr = np.asarray(lights.micro_rows)
+        micro_n = np.ones((p, 16), np.float32)
+        micro_n[np.asarray(lights.slot)] = (
+            16.0 * mr / np.maximum(mr.sum(axis=1, keepdims=True), 1e-20))
+        rows[:, SHADE_MICRO:SHADE_MICRO + 16] = micro_n
 
     def put3(col, v):
         rows[:, col + 0] = np.asarray(v.x)
@@ -308,8 +324,17 @@ def pack_shade_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
     rows[:, SHADE_NORMAL_TEX] = np.asarray(materials.normal_tex)[m].view(np.float32)
     rows[:, SHADE_LUM_TEX] = np.asarray(materials.luminance_tex)[m].view(np.float32)
 
-    # mip LOD base: log2(PAGE_RES * sqrt(uv_area / world_area)) per slot
+    # mip LOD base: log2(res_tex * sqrt(uv_area / world_area)) per slot,
+    # using the slot's albedo texture's OWN page resolution
     from ..ops.textures import PAGE_RES
+
+    if tex_res is not None and len(tex_res):
+        at = np.asarray(materials.albedo_tex)[m]
+        res_slot = np.where(
+            at >= 0, np.asarray(tex_res)[np.maximum(at, 0)], PAGE_RES
+        ).astype(np.float64)
+    else:
+        res_slot = np.float64(PAGE_RES)
 
     e1 = np.stack([np.asarray(geo.bvh.tri_e1.x), np.asarray(geo.bvh.tri_e1.y),
                    np.asarray(geo.bvh.tri_e1.z)], -1)
@@ -327,7 +352,7 @@ def pack_shade_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
     uv_area2 = np.abs(du1 * dv2 - du2 * dv1)
     rows[:, SHADE_LOD_BASE] = np.where(
         uv_area2 > 1e-20,
-        np.log2(PAGE_RES * np.sqrt(uv_area2 / world_area2) + 1e-20),
+        np.log2(res_slot * np.sqrt(uv_area2 / world_area2) + 1e-20),
         0.0,
     ).astype(np.float32)
 
@@ -983,9 +1008,88 @@ def pack_geometry(scene: Scene, topo=None) -> DeviceSceneGeo:
     )
 
 
-def pack_lights_for(geo: DeviceSceneGeo, materials: DeviceMaterials):
+def _emission_tex_means(scene, geo, materials):
+    """Per-slot emission-texture importance of textured emitters (reference:
+    the GPU texture-emission integrator LIGHT_COMPUTE_INTENSITY,
+    device_light.c:1952-2018 + light_microtriangle.cuh). Pack-time numpy:
+    256 stratified points of the sqrt-warp domain per triangle, nearest-texel
+    repeat-wrap fetch of the linear-float source. Returns (mean [P],
+    cells [P, 16]) — the triangle's mean multiplier (selection importance)
+    and per-cell weights of the 4x4 warp-domain grid (point importance,
+    ops/lights.py micro sampling) — or (None, None) when no material uses a
+    luminance map."""
+    lum_tex = np.asarray(materials.luminance_tex)
+    emissive = (np.asarray(materials.flags) & MAT_FLAG_EMISSIVE) != 0
+    if not np.any(emissive & (lum_tex >= 0)):
+        return None, None
+    mat_ids = np.asarray(geo.material_id).astype(np.int64)
+    tids = np.where(emissive[mat_ids], lum_tex[mat_ids], -1)
+    valid = np.asarray(geo.prim_id) >= 0
+    mult = np.ones(mat_ids.shape[0], np.float32)
+    cells = np.ones((mat_ids.shape[0], 16), np.float32)
+
+    # 16x16 stratified (r1, r2) grid; cell (i, j) = point block
+    # [4i:4i+4, 4j:4j+4] — the runtime warps a uniform cell draw with
+    # r1' = (i + u)/4 (ops/lights.py), so pack and sampler share the grid
+    g = (np.arange(16, dtype=np.float64) + 0.5) / 16.0
+    r1, r2 = np.meshgrid(g, g, indexing="ij")
+    su = np.sqrt(r1.ravel())
+    b1 = (1.0 - su).astype(np.float32)  # [256]
+    b2 = (r2.ravel() * su).astype(np.float32)
+    b0 = 1.0 - b1 - b2
+
+    uu = np.stack([np.asarray(geo.uv_u.x), np.asarray(geo.uv_u.y),
+                   np.asarray(geo.uv_u.z)], axis=-1)  # [P, 3]
+    vv = np.stack([np.asarray(geo.uv_v.x), np.asarray(geo.uv_v.y),
+                   np.asarray(geo.uv_v.z)], axis=-1)
+
+    # 2D-page texture ids only (3D noise textures are skipped by the atlas)
+    page_of = {}
+    page = 0
+    for i, tex in enumerate(scene.textures):
+        if tex.as_float().ndim == 4:
+            continue
+        page_of[i] = page
+        page += 1
+
+    for tid in np.unique(tids[valid & (tids >= 0)]):
+        if int(tid) not in page_of:
+            continue
+        f = scene.textures[int(tid)].as_float()
+        if f.shape[-1] == 1:
+            lum = f[..., 0]
+        else:
+            lum = (0.2126 * f[..., 0] + 0.7152 * f[..., 1]
+                   + 0.0722 * f[..., 2])
+        h, w = lum.shape[:2]
+        sel = np.nonzero(valid & (tids == tid))[0]
+        u = (uu[sel, 0:1] * b0[None] + uu[sel, 1:2] * b1[None]
+             + uu[sel, 2:3] * b2[None])  # [S, 64]
+        v = (vv[sel, 0:1] * b0[None] + vv[sel, 1:2] * b1[None]
+             + vv[sel, 2:3] * b2[None])
+        xi = np.clip(((u - np.floor(u)) * w).astype(np.int64), 0, w - 1)
+        yi = np.clip(((v - np.floor(v)) * h).astype(np.int64), 0, h - 1)
+        vals = lum[yi, xi].astype(np.float32)  # [S, 256]
+        mean = vals.mean(axis=1)
+        # floor: any emitter with a nonzero texel stays selectable (the
+        # estimator is unbiased for any positive selection pdf)
+        mult[sel] = np.maximum(mean, 1e-3)
+        c = vals.reshape(-1, 4, 4, 4, 4).mean(axis=(2, 4))  # [S, 4, 4]
+        c = c.reshape(-1, 16)
+        # floor each cell at 2% of the row max: a bright texel the 16-point
+        # cell estimate missed must still be reachable (pdf > 0 everywhere
+        # Le might be > 0 — bias guard, not a variance choice)
+        floor = 0.02 * c.max(axis=1, keepdims=True) + 1e-6
+        cells[sel] = np.maximum(c, floor)
+    return mult, cells
+
+
+def pack_lights_for(geo: DeviceSceneGeo, materials: DeviceMaterials,
+                    scene=None):
     """Emissive-triangle light set over the packed geometry (reference:
-    device_light.c build, here alias-table based — see ops/lights.py)."""
+    device_light.c build, here alias-table based — see ops/lights.py).
+    scene: when given, textured emitters weight their selection importance
+    by the luminance map's triangle mean (_emission_tex_means)."""
     from ..ops.lights import pack_lights
 
     def arr3(v):
@@ -1001,6 +1105,10 @@ def pack_lights_for(geo: DeviceSceneGeo, materials: DeviceMaterials):
         ],
         axis=-1,
     )
+    tex_lum_mean, micro_w = (
+        _emission_tex_means(scene, geo, materials) if scene is not None
+        else (None, None)
+    )
     return pack_lights(
         tri_v0=arr3(geo.bvh.tri_v0),
         tri_e1=arr3(geo.bvh.tri_e1),
@@ -1009,6 +1117,8 @@ def pack_lights_for(geo: DeviceSceneGeo, materials: DeviceMaterials):
         emission=emission,
         emissive_flags=(np.asarray(materials.flags) & MAT_FLAG_EMISSIVE) != 0,
         valid_slot=np.asarray(geo.prim_id) >= 0,
+        tex_lum_mean=tex_lum_mean,
+        micro_w=micro_w,
     )
 
 
@@ -1017,12 +1127,12 @@ def pack_scene(scene: Scene) -> DeviceScene:
     device_manager.c:281-513 does this incrementally — incrementality comes
     with the dirty-flag-driven renderer update)."""
     from ..ops.clouds import pack_clouds
-    from ..ops.textures import pack_textures
+    from ..ops.textures import pack_textures, page_resolutions
     from ..ops.volume import pack_fog, pack_water
 
     geo = pack_geometry(scene)
     materials = pack_materials(scene)
-    lights = pack_lights_for(geo, materials)
+    lights = pack_lights_for(geo, materials, scene=scene)
     ds = DeviceScene(
         geo=geo,
         materials=materials,
@@ -1032,7 +1142,9 @@ def pack_scene(scene: Scene) -> DeviceScene:
         water=pack_water(scene.ocean),
         textures=pack_textures(scene.textures),
         clouds=pack_clouds(scene.cloud),
-        shade_rows=pack_shade_rows(geo, materials, lights),
+        shade_rows=pack_shade_rows(
+            geo, materials, lights,
+            tex_res=page_resolutions(scene.textures)),
         light_slot_rows=pack_light_slot_rows(geo, materials, lights),
     )
     from ..utils.fastput import fast_device_put

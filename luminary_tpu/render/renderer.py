@@ -211,6 +211,19 @@ class Renderer:
         self.scene = scene
         self.chunk = chunk
         self.mesh = mesh
+        # device elasticity state (reference: device_manager.c:529-572 hot
+        # enable/disable + device.h:83 DEVICE_STATE_UNAVAILABLE): the
+        # original mesh device list is immutable; the live mesh is re-formed
+        # over the enabled subset, and the first enabled device is the main
+        # (re-election = list order).
+        self._mesh_devices = (
+            list(np.asarray(mesh.devices).reshape(-1)) if mesh is not None
+            else None
+        )
+        self._device_state = (
+            ["enabled"] * len(self._mesh_devices)
+            if self._mesh_devices else None
+        )
         self._dist_step = None
         self._dist_config = None
         self.device_scene: DeviceScene | None = None
@@ -296,6 +309,7 @@ class Renderer:
                     )
                 ),
                 spectral=bool(getattr(s, "spectral_rendering", False)),
+                blue_noise=bool(getattr(s, "blue_noise", True)),
                 aerial=bool(
                     getattr(s, "aerial_perspective", True)
                     and int(self.scene.sky.mode) == 0
@@ -397,7 +411,7 @@ class Renderer:
         if self.device_scene is None or flags & (
             DirtyFlags.LIGHT_TREE | DirtyFlags.MESHES | DirtyFlags.INSTANCES | DirtyFlags.MATERIALS
         ):
-            lights = pack_lights_for(geo, materials)
+            lights = pack_lights_for(geo, materials, scene=self.scene)
         else:
             lights = self.device_scene.lights
         # K RIS candidates beyond the emitter count are pure waste (drawing
@@ -434,7 +448,11 @@ class Renderer:
         ):
             from .device_scene import pack_light_slot_rows, pack_shade_rows
 
-            shade_rows = pack_shade_rows(geo, materials, lights)
+            from ..ops.textures import page_resolutions
+
+            shade_rows = pack_shade_rows(
+                geo, materials, lights,
+                tex_res=page_resolutions(self.scene.textures))
             light_slot_rows = pack_light_slot_rows(geo, materials, lights)
         else:
             shade_rows = self.device_scene.shade_rows
@@ -465,6 +483,80 @@ class Renderer:
             lum_sq=jnp.zeros((n_pad,), jnp.float32),
             sample_count=jnp.zeros((n_pad,), jnp.int32),
         )
+
+    # -- device elasticity (reference: device_manager.c:529-572 hot device
+    # enable/disable with main re-election; failure detection analog of
+    # DEVICE_STATE_UNAVAILABLE, device.h:83) ---------------------------------
+
+    def set_device_enable(self, device_id: int, enable: bool):
+        """Hot-enable/disable a mesh device (reference:
+        luminary_host_set_device_enable, host.h:36 →
+        _device_manager_enable_device_queue_work). Re-forms the mesh over
+        the enabled subset (first enabled device is the main — re-election)
+        and restarts accumulation, matching the reference's INTEGRATION
+        dirty + render restart."""
+        from ..utils.errors import InvalidAPIArgumentError
+
+        if self._mesh_devices is None:
+            raise InvalidAPIArgumentError(
+                "set_device_enable requires a mesh renderer")
+        if not 0 <= device_id < len(self._mesh_devices):
+            raise InvalidAPIArgumentError(
+                f"device id {device_id} out of range")
+        state = self._device_state[device_id]
+        if state == "unavailable" and enable:
+            raise InvalidAPIArgumentError(
+                "Tried to enable an unavailable device.")
+        new_state = "enabled" if enable else "disabled"
+        if state == new_state:
+            return
+        self._device_state[device_id] = new_state
+        self._reform_mesh()
+
+    def device_states(self) -> list:
+        return list(self._device_state or [])
+
+    def _reform_mesh(self):
+        """Rebuild the live mesh over enabled devices + restart the render."""
+        from ..parallel.mesh import make_sample_mesh
+
+        enabled = [d for d, s in zip(self._mesh_devices, self._device_state)
+                   if s == "enabled"]
+        if not enabled:
+            raise RuntimeError("no devices left enabled")
+        self.mesh = make_sample_mesh(enabled)
+        self._dist_step = None  # the step is specialized per mesh
+        self._dist_config = None
+        if self._px is not None:
+            self.start_new_render()
+
+    def _probe_mesh_devices(self) -> list:
+        """Which mesh devices still respond (tiny computation per device)."""
+        alive = []
+        for d, s in zip(self._mesh_devices, self._device_state):
+            if s != "enabled":
+                continue
+            try:
+                x = jax.device_put(jnp.ones((8,), jnp.float32), d)
+                jax.block_until_ready(x + 1.0)
+                alive.append(d)
+            except Exception:
+                pass
+        return alive
+
+    def _recover_dead_devices(self) -> bool:
+        """Mark non-responding devices unavailable and re-form. Returns True
+        if any device was dropped (the render restarts on the new mesh)."""
+        alive = set(id(a) for a in self._probe_mesh_devices())
+        dropped = False
+        for i, (d, s) in enumerate(
+                zip(self._mesh_devices, self._device_state)):
+            if s == "enabled" and id(d) not in alive:
+                self._device_state[i] = "unavailable"
+                dropped = True
+        if dropped:
+            self._reform_mesh()
+        return dropped
 
     # -- undersampling preview (reference: kernels.cuh:19-43 undersampling
     # checkerboard + device.c undersampling state machine) -------------------
@@ -567,13 +659,27 @@ class Renderer:
         count = self.accum.sample_count
         base = self.sample_count
         steps = max((num_samples + n_axis - 1) // n_axis, 1)
-        for k in range(steps):
-            rad, lsq, gbuf, rays = self._dist_step(
-                self.device_scene, self.device_camera, px, py,
-                rad, lsq, jnp.uint32(base + k * n_axis),
-            )
-            count = count + n_axis
-        dev0 = jax.devices()[0]
+        try:
+            for k in range(steps):
+                rad, lsq, gbuf, rays = self._dist_step(
+                    self.device_scene, self.device_camera, px, py,
+                    rad, lsq, jnp.uint32(base + k * n_axis),
+                )
+                count = count + n_axis
+            jax.block_until_ready(rad)
+        except Exception:
+            # failure detection + elastic recovery (reference: device
+            # errors → DEVICE_STATE_UNAVAILABLE + render restart): probe
+            # the mesh, drop dead devices, restart the budget on the
+            # re-formed mesh. A failure with all devices alive is a real
+            # error and propagates.
+            if not self._mesh_devices or not self._recover_dead_devices():
+                raise
+            self.render_samples(num_samples)
+            return
+        # main device = first enabled mesh device (re-election by order)
+        dev0 = (np.asarray(self.mesh.devices).reshape(-1)[0]
+                if self.mesh is not None else jax.devices()[0])
         self.accum = AccumState(
             radiance=jax.device_put(rad, dev0),
             lum_sq=jax.device_put(lsq, dev0),

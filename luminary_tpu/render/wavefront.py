@@ -37,7 +37,7 @@ from ..ops.material import (
     make_frame,
     material_sample,
 )
-from ..ops.random import RandomTarget, random_1d
+from ..ops.random import RandomTarget, blue_base, random_1d
 from ..ops.sky import (
     SUN_ANGULAR_RADIUS,
     SUN_COS_RADIUS,
@@ -148,6 +148,11 @@ class RenderConfig(NamedTuple):
     use_particles: bool = False
     particle_diameter: float = 50.0  # static: folds the JE phase fits
     particle_mat_id: int = -1
+    # Blue-noise sampling (reference: random.cuh random_2D_base): every
+    # wired draw becomes a shared Sobol point + per-pixel blue-noise CP
+    # shift (ops/random.py blue_base/_blue_sobol). Costs BN_CHANNELS flat
+    # gathers per sample at task creation, nothing per draw.
+    blue_noise: bool = True
 
 
 class GBufferMeta(NamedTuple):
@@ -241,6 +246,10 @@ def render_sample(
     pixel_id = pixel_y.astype(jnp.uint32) * jnp.uint32(config.width) + pixel_x.astype(
         jnp.uint32
     )
+    # Per-pixel blue-noise base values: BN_CHANNELS flat gathers, ONCE per
+    # sample; every wired draw then shifts a shared Sobol point by its
+    # statically-assigned channel (reference: random.cuh random_2D_base).
+    bn = blue_base(pixel_x, pixel_y) if config.blue_noise else None
 
     if config.use_physical_camera and cam.phys is not None:
         from ..ops.camera_physical import generate_physical_camera_rays
@@ -252,7 +261,7 @@ def render_sample(
     else:
         origin, direction = generate_camera_rays(
             cam, config.width, config.height, pixel_x, pixel_y, pixel_id,
-            sample_id,
+            sample_id, bn=bn,
         )
         cw_r = cw_g = cw_b = None
 
@@ -317,7 +326,8 @@ def render_sample(
         from ..ops.spectral import sample_hero_wavelengths, uplift
         from ..ops.sky import sun_radiance_spectral
 
-        u_lam = random_1d(RandomTarget.WAVELENGTH, pixel_id, sample_id, 0)
+        u_lam = random_1d(RandomTarget.WAVELENGTH, pixel_id, sample_id, 0,
+                          bn=bn)
         lam3, lam_pdf3 = sample_hero_wavelengths(u_lam)
 
         def spec3(r, g, b):
@@ -775,7 +785,8 @@ def render_sample(
         # pass-through lanes skip emission + NEE and continue straight on
         # (keeping prev_pdf/prev_delta so MIS still sees the LAST real
         # vertex). Unbiased; costs one hash where no cutouts exist. ----
-        r_alpha = random_1d(RandomTarget.ALPHA_TEST, pixel_id, sample_id, depth)
+        r_alpha = random_1d(RandomTarget.ALPHA_TEST, pixel_id, sample_id, depth,
+                            bn=bn)
         pass_thru = hit_lane & (r_alpha >= lane_mat.opacity)
 
         # scatter-albedo loss at a volume collision
@@ -809,6 +820,25 @@ def render_sample(
         front_face = d_dot_ng < 0.0
         cos_light = jnp.abs(d_dot_ng)
         pdf_nee = light_pdf_from_row(nee_sel_pdf, nee_area, hit.t, cos_light)
+        if lights.has_micro:
+            # emission-texture point importance: fold the hit point's micro
+            # cell weight into the NEE nominal pdf (the sampler applies the
+            # identical factor — ops/lights.py; reference:
+            # light_microtriangle.cuh). Invert the sqrt warp at the hit
+            # barycentrics to find the cell.
+            from .device_scene import SHADE_MICRO
+
+            mic16 = (srow[:, SHADE_MICRO:SHADE_MICRO + 16] if use_rows
+                     else scene.shade_rows[slot][:,
+                                                 SHADE_MICRO:SHADE_MICRO + 16])
+            b1h, b2h = hit.u, hit.v
+            r1h = jnp.clip((1.0 - b1h) * (1.0 - b1h), 0.0, 0.999999)
+            r2h = jnp.clip(b2h / jnp.maximum(1.0 - b1h, 1e-6), 0.0, 0.999999)
+            cellh = ((r1h * 4.0).astype(jnp.int32) * 4
+                     + (r2h * 4.0).astype(jnp.int32))
+            ohh = jnp.arange(16, dtype=jnp.int32)[None, :] == cellh[:, None]
+            w_cell = jnp.sum(jnp.where(ohh, mic16, 0.0), axis=1)
+            pdf_nee = pdf_nee * w_cell
         w_emit = jnp.where(prev_delta | ~prev_light_nee, 1.0,
                            mis_balance(prev_pdf, pdf_nee))
         add_emit = jnp.where(
@@ -844,7 +874,8 @@ def render_sample(
             & (scene.sky.sun_dir[1] > -0.1)
             & (scene.sky.mode != 2)
         )
-        sun_dir_s = sample_sun_direction(sun_v, pixel_id, sample_id, depth)
+        sun_dir_s = sample_sun_direction(sun_v, pixel_id, sample_id, depth,
+                                         bn=bn)
         (fs_r, fs_g, fs_b), pdf_b_sun = frame_eval(
             lane_mat, frame, lane_mat.roughness, sun_dir_s
         )
@@ -871,6 +902,7 @@ def render_sample(
             # lanes; sub-stream +64 clears every per-depth stream)
             wi_b2, _w2_unused, pdf_s2, is_delta2, trans2 = material_sample(
                 lane_mat, frame, ns, wo, pixel_id, sample_id, depth + 64,
+                bn=bn,
             )
             sun2_on = (sun_nee_on & ~vol_lane & ~lane_mat.translucent
                        & ~is_delta2 & ~trans2)
@@ -896,7 +928,8 @@ def render_sample(
                 * phat2 / jnp.maximum(pdf_s2, 1e-12), 0.0)
             wsum_sun = w_s1 + w_s2
             r_spick = random_1d(
-                RandomTarget.EMISSION_INDEX, pixel_id, sample_id, depth)
+                RandomTarget.EMISSION_INDEX, pixel_id, sample_id, depth,
+                bn=bn)
             pick2 = (r_spick * wsum_sun < w_s2) & (w_s2 > 0.0)
             sun_dir_w = vwhere(pick2, wi_b2, sun_dir_s)
             fs_r = jnp.where(pick2, f2_r, fs_r)
@@ -962,7 +995,7 @@ def render_sample(
                 t_slot, t_pdf, t_valid = sample_light_tree(
                     lights.tree_rows, lights.tree_num_nodes,
                     lights.tree_levels, shadow_origin,
-                    pixel_id, sample_id, dk,
+                    pixel_id, sample_id, dk, bn=bn,
                 )
                 cand = dict(slot=t_slot, pdf_select=t_pdf, sel_valid=t_valid)
             else:
@@ -972,7 +1005,7 @@ def render_sample(
                 sample_light_point(
                     lights, scene.light_slot_rows if use_rows else None,
                     pixel_id, sample_id, dk,
-                    geo=geo, materials=mats, **cand,
+                    geo=geo, materials=mats, bn=bn, **cand,
                 )
             to_light = l_point - shadow_origin
             dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 0.0))
@@ -1020,7 +1053,8 @@ def render_sample(
             if k == 0:
                 take = w_k > 0.0
             else:
-                r_k = random_1d(RandomTarget.LIGHT_RIS, pixel_id, sample_id, dk)
+                r_k = random_1d(RandomTarget.LIGHT_RIS, pixel_id, sample_id, dk,
+                                bn=bn)
                 take = (r_k * wsum < w_k) & (w_k > 0.0)
             sel_phat = jnp.where(take, phat, sel_phat)
             sel_pdf_sa = jnp.where(take, pdf_mis_sa, sel_pdf_sa)
@@ -1091,7 +1125,7 @@ def render_sample(
             from ..ops.sky import sample_env_direction
 
             env_dir, pdf_env = sample_env_direction(
-                scene.sky, pixel_id, sample_id, depth)
+                scene.sky, pixel_id, sample_id, depth, bn=bn)
             (fe_r, fe_g, fe_b), pdf_b_env = frame_eval(
                 lane_mat, frame, lane_mat.roughness, env_dir)
             phase_env = hg_phase(dot(direction, env_dir), fog.g)
@@ -1350,7 +1384,7 @@ def render_sample(
             eta_rel = n_trans / jnp.maximum(cur_ior, 1e-6)
             wi, (wr, wg, wb), pdf, is_delta, transmitted = material_sample(
                 lane_mat, frame, ns, wo, pixel_id, sample_id, depth,
-                eta_rel=eta_rel,
+                eta_rel=eta_rel, bn=bn,
             )
             do_trans = active & hit_lane & transmitted & ~pass_thru
             medium = jnp.where(
@@ -1372,11 +1406,14 @@ def render_sample(
                 from ..ops.phase import je_phase, je_sample_direction
 
                 r_p1 = random_1d(
-                    RandomTarget.PARTICLE_PHASE, pixel_id, sample_id, depth)
+                    RandomTarget.PARTICLE_PHASE, pixel_id, sample_id, depth,
+                    bn=bn)
                 r_p2 = random_1d(
-                    RandomTarget.VOLUME_PHASE, pixel_id, sample_id, depth)
+                    RandomTarget.VOLUME_PHASE, pixel_id, sample_id, depth,
+                    bn=bn)
                 r_pc = random_1d(
-                    RandomTarget.BSDF_CHOICE, pixel_id, sample_id, depth)
+                    RandomTarget.BSDF_CHOICE, pixel_id, sample_id, depth,
+                    bn=bn)
                 wi_p = je_sample_direction(
                     direction, config.particle_diameter, r_p1, r_p2, r_pc)
                 wi = vwhere(particle_lane, wi_p, wi)
@@ -1389,7 +1426,8 @@ def render_sample(
                     pdf)
                 is_delta = jnp.where(particle_lane, False, is_delta)
                 transmitted = jnp.where(particle_lane, False, transmitted)
-            wi_vol = sample_hg_direction(direction, fog.g, pixel_id, sample_id, depth)
+            wi_vol = sample_hg_direction(direction, fog.g, pixel_id, sample_id,
+                                         depth, bn=bn)
             pdf_vol = hg_phase(dot(direction, wi_vol), fog.g)
             wi = vwhere(vol_lane, wi_vol, wi)
             wr = jnp.where(vol_lane, 1.0, wr)
@@ -1469,7 +1507,8 @@ def render_sample(
             if depth >= 2:
                 tmax = jnp.maximum(thr_r, jnp.maximum(thr_g, thr_b))
                 p_continue = jnp.clip(tmax, 0.05, 1.0)
-                r = random_1d(RandomTarget.RUSSIAN_ROULETTE, pixel_id, sample_id, depth)
+                r = random_1d(RandomTarget.RUSSIAN_ROULETTE, pixel_id, sample_id,
+                              depth, bn=bn)
                 active = active & (r < p_continue)
                 inv_p = 1.0 / p_continue
                 thr_r, thr_g, thr_b = thr_r * inv_p, thr_g * inv_p, thr_b * inv_p
@@ -1491,6 +1530,9 @@ def render_sample(
                     extras += [collapsed.astype(jnp.float32),
                                lam3[0], lam3[1], lam3[2],
                                lam_pdf3[0], lam_pdf3[1], lam_pdf3[2]]
+                if config.blue_noise:
+                    extras += [jax.lax.bitcast_convert_type(b, jnp.float32)
+                               for b in bn]
                 cols = jnp.stack([
                     origin.x, origin.y, origin.z,
                     direction.x, direction.y, direction.z,
@@ -1548,6 +1590,13 @@ def render_sample(
                             cols[:, ci + 3])
                     lam_pdf3 = (cols[:, ci + 4], cols[:, ci + 5],
                                 cols[:, ci + 6])
+                    ci += 7
+                if config.blue_noise:
+                    bn = tuple(
+                        jax.lax.bitcast_convert_type(cols[:, ci + i],
+                                                     jnp.uint32)
+                        for i in range(len(bn)))
+                    ci += len(bn)
 
     # ---- deferred sky: one SH evaluation for all recorded misses ----
     safe_dir = vwhere(ever_missed, miss_dir, Vec3.of(0.0, 1.0, 0.0, like=miss_dir))

@@ -128,6 +128,11 @@ class RendererSettings:
     # (tasks_sort analog; measured net-negative on the benchmark scene, so
     # opt-in).
     wavefront_sorting: bool = False
+    # Blue-noise sampling (reference: random.cuh random_2D_base — Sobol +
+    # per-pixel blue-noise Cranley-Patterson shift for every draw, making
+    # low-spp error distribute as blue noise across the screen). The
+    # reference has no toggle; ours exists for A/B measurement.
+    blue_noise: bool = True
     undersampling: int = 3
     supersampling: int = 1
     enable_adaptive_sampling: bool = False
