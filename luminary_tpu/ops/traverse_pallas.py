@@ -50,6 +50,7 @@ State packing (per G packets, PACKET=16 rays each):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -77,12 +78,19 @@ GB = 512
 # stays for future scenes where divergence dominates.
 SORT_EVERY = 0
 
+# Keep the per-iteration row gather in [G, 128] layout and transpose inside
+# the kernel: the gather's row DMAs stay contiguous and the 4 MB XLA
+# relayout per iteration disappears. Measured on the tree-tier 1080p bench:
+# 3250 → 3044 ms/sample (-6%). Env A/B flag kept for re-measurement.
+ROW_MAJOR = os.environ.get("LUM_TRAV_ROWMAJOR", "1") == "1"
+
 
 def _pad8(d: int) -> int:
     return (d + 7) // 8 * 8
 
 
-def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float):
+def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
+                      row_major: bool = False):
     """The fused traversal-body kernel (one XLA while iteration).
 
     Section structure (each skippable per block):
@@ -115,9 +123,15 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float):
 
         kid_iota = jax.lax.broadcasted_iota(jnp.int32, (BRANCH, 1), 0)
 
+        def _rowT():
+            # row_major: the gather stays [G, 128] at XLA level (contiguous
+            # row DMAs, no 4 MB HBM relayout per iteration) and each active
+            # section transposes its block in VMEM instead.
+            return rowt_ref[:].T if row_major else rowt_ref[:]
+
         @pl.when(has_node)
         def _slab_section():
-            rowT = rowt_ref[:]                  # [128, GB]
+            rowT = _rowT()                      # [128, GB]
             fetch = sti_ref[0:1]
             restore = sti_ref[2:3]
             ox = rays_ref[0:16]
@@ -166,7 +180,7 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float):
 
         @pl.when(has_leaf)
         def _mt_section():
-            rowT = rowt_ref[:]
+            rowT = _rowT()
             fetch = sti_ref[0:1]
             ox = rays_ref[0:16]
             oy = rays_ref[16:32]
@@ -302,18 +316,26 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("any_hit", "m_nodes", "d_pad", "t_min", "interpret"),
+    static_argnames=("any_hit", "m_nodes", "d_pad", "t_min", "interpret",
+                     "row_major"),
 )
 def _run_body(nblk, sti, stf, rays, rowT, *, any_hit, m_nodes, d_pad,
-              t_min, interpret):
-    g = rowT.shape[1]
+              t_min, interpret, row_major=False):
+    g = rowT.shape[0] if row_major else rowT.shape[1]
     si = 56 + 2 * d_pad
     grid = g // GB
-    kernel = _make_body_kernel(any_hit, m_nodes, d_pad, t_min)
+    kernel = _make_body_kernel(any_hit, m_nodes, d_pad, t_min,
+                               row_major=row_major)
 
     def imap(i, nblk_ref):
         return (0, jnp.minimum(i, nblk_ref[0]))
 
+    def imap_rows(i, nblk_ref):
+        return (jnp.minimum(i, nblk_ref[0]), 0)
+
+    row_spec = (pl.BlockSpec((GB, 128), imap_rows, memory_space=pltpu.VMEM)
+                if row_major else
+                pl.BlockSpec((128, GB), imap, memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
@@ -321,7 +343,7 @@ def _run_body(nblk, sti, stf, rays, rowT, *, any_hit, m_nodes, d_pad,
             pl.BlockSpec((si, GB), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((32, GB), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((176, GB), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, GB), imap, memory_space=pltpu.VMEM),
+            row_spec,
         ],
         out_specs=[
             pl.BlockSpec((si, GB), imap, memory_space=pltpu.VMEM),
@@ -436,10 +458,15 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
             sti, stf, rays, nblk = jax.lax.cond(
                 it % sort_every == 0, do_sort, no_sort, (sti, stf, rays))
         fetch = jnp.where(sti[5] == 0, sti[0], 0)
-        rowT = rows[fetch].T                              # [128, G]
+        # ROW_MAJOR: hand the kernel the gather result as-is ([G, 128],
+        # contiguous per-row DMAs) and let it transpose each block in VMEM;
+        # otherwise transpose at XLA level (one [G,128]→[128,G] relayout
+        # per iteration).
+        rowT = rows[fetch] if ROW_MAJOR else rows[fetch].T
         sti, stf = _run_body(
             nblk, sti, stf, rays, rowT, any_hit=any_hit, m_nodes=m_nodes,
-            d_pad=d_pad, t_min=t_min, interpret=interpret)
+            d_pad=d_pad, t_min=t_min, interpret=interpret,
+            row_major=ROW_MAJOR)
         return (sti, stf, rays, nblk, it + 1)
 
     nblk0 = jnp.asarray([nblocks], jnp.int32)

@@ -332,6 +332,10 @@ class Renderer:
                     self.scene.ocean.active
                     and not getattr(self.scene.ocean, "tessellated", False)
                 ),
+                # water in-scattering (reference volume.cuh ocean medium):
+                # always on with the ocean — Jerlov scattering is small but
+                # physical (underwater light shafts, haze)
+                water_scatter=bool(self.scene.ocean.active),
                 use_particles=bool(
                     self.scene.particles.active
                     and int(self.scene.particles.count) > 0

@@ -51,8 +51,11 @@ from ..ops.vec import Vec3, dot, gather as vgather, normalize, vwhere
 from ..ops.volume import (
     fog_transmittance,
     hg_phase,
+    ocean_phase,
     sample_fog_collision,
     sample_hg_direction,
+    sample_ocean_phase_direction,
+    sample_water_collision,
     water_transmittance,
 )
 from ..ops.wavefront_utils import ray_sort_key, sample_sun_direction
@@ -153,6 +156,12 @@ class RenderConfig(NamedTuple):
     # shift (ops/random.py blue_base/_blue_sobol). Costs BN_CHANNELS flat
     # gathers per sample at task creation, nothing per draw.
     blue_noise: bool = True
+    # Ocean water in-scattering (reference: volume.cuh ocean volume —
+    # Jerlov scalar scattering + the molecular/particle phase mixture,
+    # ocean_utils.cuh:355-433). Scatter-only analog tracking composed with
+    # fog by min-event; NEE shadow segments fold σ_s into the water
+    # transmittance. On whenever the ocean is active.
+    water_scatter: bool = False
 
 
 class GBufferMeta(NamedTuple):
@@ -451,7 +460,29 @@ def render_sample(
         collided, t_col = sample_fog_collision(
             fog, origin, direction, t_media, pixel_id, sample_id, depth
         )
+        if config.water_scatter:
+            # min-event composition with the water medium: the nearer of two
+            # independent exponential collisions IS a sample of the summed
+            # rate where the media overlap, so this stays unbiased even if
+            # the fog slab dips below the waterline.
+            coll_w, t_col_w = sample_water_collision(
+                scene.water, origin, direction, t_media,
+                pixel_id, sample_id, depth, bn=bn)
+            water_wins = coll_w & (~collided | (t_col_w < t_col))
+            t_col = jnp.where(water_wins, t_col_w, t_col)
+            collided = collided | coll_w
+            vol_water = active & water_wins
+        else:
+            vol_water = None
         vol_lane = active & collided
+
+        def vol_phase(cos_t):
+            """Per-lane volume phase: the ocean's molecular/particle mixture
+            on water-scatter lanes, the fog HG elsewhere."""
+            p = hg_phase(cos_t, fog.g)
+            if config.water_scatter:
+                p = jnp.where(vol_water, ocean_phase(cos_t, scene.water), p)
+            return p
         missed = active & ~hit.valid & ~collided
         hit_lane = active & hit.valid & ~collided
 
@@ -789,8 +820,11 @@ def render_sample(
                             bn=bn)
         pass_thru = hit_lane & (r_alpha >= lane_mat.opacity)
 
-        # scatter-albedo loss at a volume collision
+        # scatter-albedo loss at a volume collision (water events carry
+        # weight 1: scatter-only tracking; absorption is per-segment)
         vol_alb = jnp.where(vol_lane, fog.scatter_albedo, 1.0)
+        if config.water_scatter:
+            vol_alb = jnp.where(vol_water, 1.0, vol_alb)
         thr_r, thr_g, thr_b = thr_r * vol_alb, thr_g * vol_alb, thr_b * vol_alb
 
         if depth == 0:
@@ -879,7 +913,7 @@ def render_sample(
         (fs_r, fs_g, fs_b), pdf_b_sun = frame_eval(
             lane_mat, frame, lane_mat.roughness, sun_dir_s
         )
-        phase_sun = hg_phase(dot(direction, sun_dir_s), fog.g)
+        phase_sun = vol_phase(dot(direction, sun_dir_s))
         fs_r = jnp.where(vol_lane, phase_sun, fs_r)
         fs_g = jnp.where(vol_lane, phase_sun, fs_g)
         fs_b = jnp.where(vol_lane, phase_sun, fs_b)
@@ -960,7 +994,8 @@ def render_sample(
                 layers=config.cloud_layers,
             )
         tws_r, tws_g, tws_b = spec3(*water_transmittance(
-            scene.water, shadow_origin, sun_dir_w, 1e7
+            scene.water, shadow_origin, sun_dir_w, 1e7,
+            with_scatter=config.water_scatter,
         ))
 
         # ---- NEE strategy 2: emissive triangles — RIS over K alias-drawn
@@ -1073,7 +1108,7 @@ def render_sample(
         (fl_r, fl_g, fl_b), pdf_b_l = frame_eval(
             lane_mat, frame, lane_mat.roughness, sel_dir
         )
-        phase_l = hg_phase(dot(direction, sel_dir), fog.g)
+        phase_l = vol_phase(dot(direction, sel_dir))
         fl_r = jnp.where(vol_lane, phase_l, fl_r)
         fl_g = jnp.where(vol_lane, phase_l, fl_g)
         fl_b = jnp.where(vol_lane, phase_l, fl_b)
@@ -1128,7 +1163,7 @@ def render_sample(
                 scene.sky, pixel_id, sample_id, depth, bn=bn)
             (fe_r, fe_g, fe_b), pdf_b_env = frame_eval(
                 lane_mat, frame, lane_mat.roughness, env_dir)
-            phase_env = hg_phase(dot(direction, env_dir), fog.g)
+            phase_env = vol_phase(dot(direction, env_dir))
             fe_r = jnp.where(vol_lane, phase_env, fe_r)
             fe_g = jnp.where(vol_lane, phase_env, fe_g)
             fe_b = jnp.where(vol_lane, phase_env, fe_b)
@@ -1159,7 +1194,8 @@ def render_sample(
                 env_le = sky_radiance(scene.sky, env_dir, include_sun=False)
             t_fog_env = fog_transmittance(fog, shadow_origin, env_dir, 1e7)
             twe_r, twe_g, twe_b = spec3(*water_transmittance(
-                scene.water, shadow_origin, env_dir, 1e7))
+                scene.water, shadow_origin, env_dir, 1e7,
+                with_scatter=config.water_scatter))
             w_mis_env = mis_balance(pdf_env, pdf_b_env)
         # ---- NEE strategy 4: ocean sun caustics for underwater vertices
         # (reference: caustics.cuh RIS connection points) ----
@@ -1251,7 +1287,8 @@ def render_sample(
         rad_b = rad_b + thr_b * fs_b * sun_rad3[2] * tws_b * sun_w
         t_fog_l = fog_transmittance(fog, shadow_origin, l_dir, dist)
         twl_r, twl_g, twl_b = spec3(*water_transmittance(
-            scene.water, shadow_origin, l_dir, dist
+            scene.water, shadow_origin, l_dir, dist,
+            with_scatter=config.water_scatter,
         ))
         # winner light emission → slot wavelengths (covers the bridge
         # estimator below too)
@@ -1259,6 +1296,10 @@ def render_sample(
         direct_lane = light_candidate & (
             ~vol_lane if config.use_bridges else True
         )
+        if config.use_bridges and config.water_scatter:
+            # bridges model FOG chains; water-scatter vertices connect
+            # directly (reference: bridges are fog-volume tasks only)
+            direct_lane = direct_lane | (vol_water & light_candidate)
         l_w = jnp.where(
             direct_lane & ~l_occluded,
             sel_w_mis * t_fog_l * ris_w * tr_l,
@@ -1282,7 +1323,7 @@ def render_sample(
                            | occ[(i_cau + 1) * n:(i_cau + 2) * n])
             (fc_r, fc_g, fc_b), _pdf_c = frame_eval(
                 lane_mat, frame, lane_mat.roughness, cau_u)
-            phase_c = hg_phase(dot(direction, cau_u), fog.g)
+            phase_c = vol_phase(dot(direction, cau_u))
             fc_r = jnp.where(vol_lane, phase_c, fc_r)
             fc_g = jnp.where(vol_lane, phase_c, fc_g)
             fc_b = jnp.where(vol_lane, phase_c, fc_b)
@@ -1294,11 +1335,15 @@ def render_sample(
                 fc_r = jnp.where(particle_lane, lane_mat.albedo_r * pj_c, fc_r)
                 fc_g = jnp.where(particle_lane, lane_mat.albedo_g * pj_c, fc_g)
                 fc_b = jnp.where(particle_lane, lane_mat.albedo_b * pj_c, fc_b)
-            # the whole x→P segment is underwater: Jerlov absorption
+            # the whole x→P segment is underwater: Jerlov absorption (+
+            # scattering extinction when water in-scattering is on — this
+            # is a shadow-class segment, not an analog-tracked one)
+            cau_sig = (scene.water.scatter
+                       if config.water_scatter else 0.0)
             twc_r, twc_g, twc_b = spec3(
-                jnp.exp(-scene.water.absorb[0] * cau_dist),
-                jnp.exp(-scene.water.absorb[1] * cau_dist),
-                jnp.exp(-scene.water.absorb[2] * cau_dist))
+                jnp.exp(-(scene.water.absorb[0] + cau_sig) * cau_dist),
+                jnp.exp(-(scene.water.absorb[1] + cau_sig) * cau_dist),
+                jnp.exp(-(scene.water.absorb[2] + cau_sig) * cau_dist))
             c_w = jnp.where(cau_candidate & ~cau_blocked, cau_weight, 0.0)
             rad_r = rad_r + thr_r * fc_r * sun_rad3[0] * twc_r * c_w
             rad_g = rad_g + thr_g * fc_g * sun_rad3[1] * twc_g * c_w
@@ -1324,6 +1369,8 @@ def render_sample(
                 )
             )
             b_lane = vol_lane & light_candidate
+            if config.water_scatter:
+                b_lane = b_lane & ~vol_water
             b_occ = jnp.zeros((n,), bool)
             for i in range(config.bridge_vertices):
                 act_i = b_lane & (i < b_m) & ~b_occ
@@ -1428,7 +1475,14 @@ def render_sample(
                 transmitted = jnp.where(particle_lane, False, transmitted)
             wi_vol = sample_hg_direction(direction, fog.g, pixel_id, sample_id,
                                          depth, bn=bn)
-            pdf_vol = hg_phase(dot(direction, wi_vol), fog.g)
+            if config.water_scatter:
+                wi_vol = vwhere(
+                    vol_water,
+                    sample_ocean_phase_direction(
+                        direction, scene.water, pixel_id, sample_id, depth,
+                        bn=bn),
+                    wi_vol)
+            pdf_vol = vol_phase(dot(direction, wi_vol))
             wi = vwhere(vol_lane, wi_vol, wi)
             wr = jnp.where(vol_lane, 1.0, wr)
             wg = jnp.where(vol_lane, 1.0, wg)
@@ -1497,7 +1551,11 @@ def render_sample(
                     ocean_exit & pass_thru)
             if multi_bridge:
                 # sticky for the rest of the path (STATE_FLAG_VOLUME_SCATTERED)
-                vol_scattered = vol_scattered | vol_lane
+                # — fog events only: water-scatter vertices are outside the
+                # bridge estimator's coverage, their forward chain stays on
+                marked = (vol_lane & ~vol_water if config.water_scatter
+                          else vol_lane)
+                vol_scattered = vol_scattered | marked
 
             # kill lanes with dead throughput
             wmax = jnp.maximum(jnp.abs(wr), jnp.maximum(jnp.abs(wg), jnp.abs(wb)))

@@ -9,10 +9,15 @@ each) and excluded.
 Usage: python tools/perf_traverse.py [n_rays]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# NOT via PYTHONPATH: an inherited PYTHONPATH breaks the axon jax-plugin
+# entry-point registration on the bench host
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def sphere_grid_scene(nx=19, nz=19):
