@@ -257,29 +257,51 @@ def sample_light_point(
     compact so the gather source stays VMEM-resident).
     """
     from ..render.device_scene import (
+        LSR_ALIAS_PROB,
+        LSR_ALIAS_ROW,
         LSR_AREA,
+        LSR_COLS,
         LSR_E1,
         LSR_E2,
         LSR_EMISSION,
         LSR_FACE_N,
+        LSR_FUSED_COLS,
+        LSR_FUSED_MICRO_COLS,
+        LSR_MICRO_ALIAS,
+        LSR_MICRO_OWN,
         LSR_SELECT_PDF,
         LSR_SLOT,
         LSR_V0,
     )
 
+    row = None          # the candidate's 18-col LSR block, when already fetched
+    mrow_fused = None   # the candidate's raw micro weights, when already fetched
+    light_ix = None
     if slot is None:
         l = lights.prob.shape[0]
         r = random_2d(RandomTarget.LIGHT_TREE, pixel_id, sample_id, depth,
                       bn=bn)
         idx = jnp.minimum((r[..., 0] * l).astype(jnp.int32), l - 1)
-        if shade_rows is not None:
-            # big-scene path: ONE light-row gather resolves the alias redirect
-            lrow = lights.light_rows[idx]
-            take_alias = r[..., 1] >= lrow[:, 0]
-            light_ix = jax.lax.bitcast_convert_type(
-                jnp.where(take_alias, lrow[:, 3], lrow[:, 1]), jnp.int32
-            )
-            pdf_select = jnp.where(take_alias, lrow[:, 4], lrow[:, 2])
+        if shade_rows is not None and shade_rows.shape[1] >= LSR_FUSED_COLS:
+            # big-scene path: ONE fused row gather serves the whole alias
+            # candidate — acceptance prob, both possible 18-col blocks, and
+            # (when present) both micro-weight blocks ride the same row, so
+            # the redirect and the candidate fetch are a per-column select
+            # instead of a second dependent gather (tools/nee_probe.py
+            # measured the two dependent gathers as ~all of the
+            # ~5 ms/candidate cost).
+            rf = shade_rows[idx]
+            take_alias = (r[..., 1] >= rf[:, LSR_ALIAS_PROB])[:, None]
+            row = jnp.where(
+                take_alias, rf[:, LSR_ALIAS_ROW:LSR_ALIAS_ROW + LSR_COLS],
+                rf[:, 0:LSR_COLS])
+            pdf_select = row[:, LSR_SELECT_PDF]
+            if (lights.has_micro
+                    and shade_rows.shape[1] >= LSR_FUSED_MICRO_COLS):
+                mrow_fused = jnp.where(
+                    take_alias,
+                    rf[:, LSR_MICRO_ALIAS:LSR_MICRO_ALIAS + 16],
+                    rf[:, LSR_MICRO_OWN:LSR_MICRO_OWN + 16])
         else:
             # small-table path: XLA lowers these gathers to cheap selects
             take_alias = r[..., 1] >= lights.prob[idx]
@@ -300,7 +322,8 @@ def sample_light_point(
     r1u, r2u = r2[..., 0], r2[..., 1]
     micro_factor = None
     if lights.has_micro:
-        mrow = lights.micro_rows[jnp.maximum(light_ix, 0)]  # [N, 16]
+        mrow = (mrow_fused if mrow_fused is not None
+                else lights.micro_rows[jnp.maximum(light_ix, 0)])  # [N, 16]
         mr = random_1d(RandomTarget.MICROTRIANGLE, pixel_id, sample_id,
                        depth, bn=bn)
         cum = jnp.cumsum(mrow, axis=1)
@@ -321,7 +344,8 @@ def sample_light_point(
     b1 = 1.0 - su
     b2 = r2u * su
     if shade_rows is not None:
-        row = shade_rows[light_ix]
+        if row is None:  # tree-candidate path: fetch the block by dense id
+            row = shade_rows[light_ix]
         slot = jax.lax.bitcast_convert_type(row[:, LSR_SLOT], jnp.int32)
         v0 = Vec3(row[:, LSR_V0], row[:, LSR_V0 + 1], row[:, LSR_V0 + 2])
         e1 = Vec3(row[:, LSR_E1], row[:, LSR_E1 + 1], row[:, LSR_E1 + 2])

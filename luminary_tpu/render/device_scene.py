@@ -237,34 +237,64 @@ LSR_AREA = 15
 LSR_SELECT_PDF = 16
 LSR_SLOT = 17  # the light's REAL leaf-slot id (bitcast i32)
 LSR_COLS = 18
+# Fused alias-candidate extension (see sample_light_point, ops/lights.py):
+# an alias draw needs prob[j] + the 18-col block of EITHER j or alias[j].
+# Denormalizing the alias partner's whole block into the row turns the two
+# DEPENDENT gathers per RIS candidate (alias cell -> light row) into ONE
+# gather + a per-column select — gathers cost per INDEX on TPU with row
+# width nearly free to 128 cols (docs/PERF_NOTES.md), so the wider row is
+# ~free while the dependent-gather latency halves (tools/nee_probe.py: the
+# two gathers were ~all of the ~5 ms/candidate cost).
+LSR_ALIAS_PROB = 18      # alias acceptance prob of uniform cell j
+LSR_ALIAS_ROW = 19       # cols 19:37 — the 18-col block of alias[j]
+LSR_FUSED_COLS = 37
+LSR_MICRO_OWN = 37       # cols 37:53 — raw micro cell weights of j
+LSR_MICRO_ALIAS = 53     # cols 53:69 — raw micro cell weights of alias[j]
+LSR_FUSED_MICRO_COLS = 69
 
 
 def pack_light_slot_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
                          lights) -> np.ndarray:
-    """Compact [L, 18] rows with exactly what a NEE candidate needs."""
+    """Compact fused light rows: [L, 37] ([L, 69] with micro weights).
+
+    cols 0:18 are the classic LSR block for dense light j (tree-candidate
+    gathers read only these); cols 18+ fuse the alias table so one gather
+    serves a whole alias-drawn RIS candidate.
+    """
     slots = np.asarray(lights.slot).astype(np.int64)
     l = max(len(slots), 1)
-    rows = np.zeros((l, LSR_COLS), np.float32)
+    base = np.zeros((l, LSR_COLS), np.float32)
+    ncols = LSR_FUSED_MICRO_COLS if lights.has_micro else LSR_FUSED_COLS
     if int(lights.num_lights) == 0:
-        return rows
+        return np.zeros((l, ncols), np.float32)
     s = slots
 
     def put3(col, v):
-        rows[:, col + 0] = np.asarray(v.x)[s]
-        rows[:, col + 1] = np.asarray(v.y)[s]
-        rows[:, col + 2] = np.asarray(v.z)[s]
+        base[:, col + 0] = np.asarray(v.x)[s]
+        base[:, col + 1] = np.asarray(v.y)[s]
+        base[:, col + 2] = np.asarray(v.z)[s]
 
     put3(LSR_V0, geo.bvh.tri_v0)
     put3(LSR_E1, geo.bvh.tri_e1)
     put3(LSR_E2, geo.bvh.tri_e2)
     put3(LSR_FACE_N, geo.face_normal)
     m = np.asarray(geo.material_id).astype(np.int64)[s]
-    rows[:, LSR_EMISSION + 0] = np.asarray(materials.emission_r)[m]
-    rows[:, LSR_EMISSION + 1] = np.asarray(materials.emission_g)[m]
-    rows[:, LSR_EMISSION + 2] = np.asarray(materials.emission_b)[m]
-    rows[:, LSR_AREA] = np.asarray(lights.slot_area)[s]
-    rows[:, LSR_SELECT_PDF] = np.asarray(lights.select_pdf)
-    rows[:, LSR_SLOT] = s.astype(np.int32).view(np.float32)
+    base[:, LSR_EMISSION + 0] = np.asarray(materials.emission_r)[m]
+    base[:, LSR_EMISSION + 1] = np.asarray(materials.emission_g)[m]
+    base[:, LSR_EMISSION + 2] = np.asarray(materials.emission_b)[m]
+    base[:, LSR_AREA] = np.asarray(lights.slot_area)[s]
+    base[:, LSR_SELECT_PDF] = np.asarray(lights.select_pdf)
+    base[:, LSR_SLOT] = s.astype(np.int32).view(np.float32)
+
+    alias = np.asarray(lights.alias).astype(np.int64)
+    rows = np.zeros((l, ncols), np.float32)
+    rows[:, :LSR_COLS] = base
+    rows[:, LSR_ALIAS_PROB] = np.asarray(lights.prob)
+    rows[:, LSR_ALIAS_ROW:LSR_ALIAS_ROW + LSR_COLS] = base[alias]
+    if lights.has_micro:
+        mr = np.asarray(lights.micro_rows).astype(np.float32)
+        rows[:, LSR_MICRO_OWN:LSR_MICRO_OWN + 16] = mr
+        rows[:, LSR_MICRO_ALIAS:LSR_MICRO_ALIAS + 16] = mr[alias]
     return rows
 
 
