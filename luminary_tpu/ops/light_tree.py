@@ -325,7 +325,11 @@ def sample_light_tree(
         kid14 = jnp.arange(TREE_LEAF, dtype=jnp.int32)[:, None]
 
         for lvl in range(levels + 1):
-            rowT = tree_rows[node].T  # [128, m] — THE gather
+            if lvl == 0:
+                # every lane starts at the root — broadcast, not gather
+                rowT = jnp.broadcast_to(tree_rows[0][:, None], (128, m))
+            else:
+                rowT = tree_rows[node].T  # [128, m] — THE gather
             r = random_1d(
                 RandomTarget.LIGHT_TREE_LEVEL, pid, sid, dk * 8 + lvl, bn=bnl
             )
@@ -373,31 +377,37 @@ def sample_light_tree(
             c_sel = jnp.sum(jnp.where(oh, code16, 0), axis=0)
 
             # --- leaf interpretation: light by power / distance² × the
-            # exact one-sided emission facing factor ---
-            lslot = jax.lax.bitcast_convert_type(rowT[0:14], jnp.int32)
-            lpw = rowT[14:28]
-            ldx = rowT[28:42] - px[None]
-            ldy = rowT[42:56] - py[None]
-            ldz = rowT[56:70] - pz[None]
-            ld2 = ldx * ldx + ldy * ldy + ldz * ldz
-            lnx, lny, lnz = _unpack_oct_f16(rowT[70:84])
-            l_inv_d = jax.lax.rsqrt(jnp.maximum(ld2, 1e-12))
-            l_cos = -(lnx * ldx + lny * ldy + lnz * ldz) * l_inv_d
-            l_face = jnp.maximum(l_cos, CONE_EPS)
-            limp = jnp.where(
-                lslot >= 0, lpw * l_face / jnp.maximum(ld2, 1e-8), 0.0)
-            ltot = jnp.sum(limp, axis=0)
-            lcum = jnp.cumsum(limp, axis=0)
-            lrt = r * ltot
-            lpick = jnp.minimum(
-                jnp.sum((lcum <= lrt[None]).astype(jnp.int32), axis=0),
-                TREE_LEAF - 1,
-            )
-            loh = kid14 == lpick[None]
-            p_l = jnp.sum(jnp.where(loh, limp, 0.0), axis=0) / jnp.maximum(
-                ltot, 1e-30
-            )
-            s_sel = jnp.sum(jnp.where(loh, lslot, 0), axis=0)
+            # exact one-sided emission facing factor (statically skipped at
+            # level 0: the root is always a node) ---
+            if lvl == 0:
+                ltot = jnp.zeros((m,), jnp.float32)
+                p_l = jnp.zeros((m,), jnp.float32)
+                s_sel = jnp.zeros((m,), jnp.int32)
+            else:
+                lslot = jax.lax.bitcast_convert_type(rowT[0:14], jnp.int32)
+                lpw = rowT[14:28]
+                ldx = rowT[28:42] - px[None]
+                ldy = rowT[42:56] - py[None]
+                ldz = rowT[56:70] - pz[None]
+                ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                lnx, lny, lnz = _unpack_oct_f16(rowT[70:84])
+                l_inv_d = jax.lax.rsqrt(jnp.maximum(ld2, 1e-12))
+                l_cos = -(lnx * ldx + lny * ldy + lnz * ldz) * l_inv_d
+                l_face = jnp.maximum(l_cos, CONE_EPS)
+                limp = jnp.where(
+                    lslot >= 0, lpw * l_face / jnp.maximum(ld2, 1e-8), 0.0)
+                ltot = jnp.sum(limp, axis=0)
+                lcum = jnp.cumsum(limp, axis=0)
+                lrt = r * ltot
+                lpick = jnp.minimum(
+                    jnp.sum((lcum <= lrt[None]).astype(jnp.int32), axis=0),
+                    TREE_LEAF - 1,
+                )
+                loh = kid14 == lpick[None]
+                p_l = jnp.sum(
+                    jnp.where(loh, limp, 0.0), axis=0
+                ) / jnp.maximum(ltot, 1e-30)
+                s_sel = jnp.sum(jnp.where(loh, lslot, 0), axis=0)
 
             # --- merge the two interpretations ---
             step_node = ~done & ~at_leaf

@@ -33,20 +33,14 @@ class DeviceLights:
 
     Array fields:
       prob/alias/slot/select_pdf: alias table over L emissive triangles.
-      light_rows [L, 8]: denormalized alias rows — prob, own DENSE light
-        index (bitcast i32), own select_pdf, alias dense index (bitcast),
-        alias select_pdf, pad. One draw = ONE row gather (gathers cost per
-        INDEX on TPU; the alias redirect would otherwise be a second
-        dependent gather). Dense indices (not slot ids) so the follow-up
-        candidate-row gather reads the COMPACT [L, 18] table — a [P, 18]
-        slot-space table at 164k slots measured 73 ms per 2M-lane gather
-        (every row access DMAs a full 4 KB HBM tile) vs ~3 ms from a
-        VMEM-resident compact table.
+        (Production alias draws read the FUSED light_slot_rows table,
+        render/device_scene.py LSR_ALIAS_*; these dense [L] tables serve
+        small scenes, MIS pdf lookups, and the packers.)
       slot_select_pdf/slot_area [P]: per-slot MIS data for BSDF-sampled hits.
       tree_rows: unified light-tree table (dummy [1, 128] when absent).
     """
 
-    def __init__(self, prob, alias, slot, select_pdf, light_rows,
+    def __init__(self, prob, alias, slot, select_pdf,
                  slot_select_pdf, slot_area, num_lights, total_power,
                  tree_rows, micro_rows=None, tree_num_nodes: int = 0,
                  tree_levels: int = 0, has_micro: bool = False):
@@ -54,7 +48,6 @@ class DeviceLights:
         self.alias = alias
         self.slot = slot
         self.select_pdf = select_pdf
-        self.light_rows = light_rows
         self.slot_select_pdf = slot_select_pdf
         self.slot_area = slot_area
         self.num_lights = num_lights
@@ -77,7 +70,7 @@ class DeviceLights:
     def tree_flatten(self):
         return (
             (self.prob, self.alias, self.slot, self.select_pdf,
-             self.light_rows, self.slot_select_pdf, self.slot_area,
+             self.slot_select_pdf, self.slot_area,
              self.num_lights, self.total_power, self.tree_rows,
              self.micro_rows),
             (self.tree_num_nodes, self.tree_levels, self.has_micro),
@@ -85,7 +78,7 @@ class DeviceLights:
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves[:10], micro_rows=leaves[10], tree_num_nodes=aux[0],
+        return cls(*leaves[:9], micro_rows=leaves[9], tree_num_nodes=aux[0],
                    tree_levels=aux[1], has_micro=aux[2])
 
 
@@ -187,7 +180,6 @@ def pack_lights(
             alias=alias,
             slot=slots,
             select_pdf=sel,
-            light_rows=_pack_light_rows(prob, alias, slots, sel),
             slot_select_pdf=slot_select_pdf,
             slot_area=area,
             num_lights=np.int32(len(slots)),
@@ -203,10 +195,6 @@ def pack_lights(
         alias=np.zeros((1,), np.int32),
         slot=np.zeros((1,), np.int32),
         select_pdf=np.zeros((1,), np.float32),
-        light_rows=_pack_light_rows(
-            np.ones((1,), np.float32), np.zeros((1,), np.int32),
-            np.zeros((1,), np.int32), np.zeros((1,), np.float32),
-        ),
         slot_select_pdf=slot_select_pdf,
         slot_area=area,
         num_lights=np.int32(0),
@@ -252,9 +240,10 @@ def sample_light_point(
     resampling weight); pdf_area_alias always uses the light's alias-table
     pdf — the nominal MIS pdf shared with the BSDF-hit side, whichever
     process drew the light. Everything per-light comes from ONE slim
-    candidate-row gather (`shade_rows` here is the COMPACT [L, 18]
-    light_slot_rows table — LSR_* column map, render/device_scene.py;
-    compact so the gather source stays VMEM-resident).
+    candidate-row gather (`shade_rows` here is the COMPACT FUSED [L, 37]
+    (or [L, 69] with micro weights) light_slot_rows table — LSR_* column
+    map, render/device_scene.py; compact so the gather source stays
+    VMEM-resident, fused so an alias draw needs no second gather).
     """
     from ..render.device_scene import (
         LSR_ALIAS_PROB,
@@ -277,12 +266,19 @@ def sample_light_point(
     row = None          # the candidate's 18-col LSR block, when already fetched
     mrow_fused = None   # the candidate's raw micro weights, when already fetched
     light_ix = None
+    # The fused path requires the table shape pack_light_slot_rows builds
+    # for THIS light set (69 cols with micro weights, 37 without): both are
+    # rebuilt under the same dirty flags, so a mismatch means a compact
+    # 18-col table (the very-large-L fallback) and takes the gather path
+    # below instead.
+    fused_cols = (LSR_FUSED_MICRO_COLS if lights.has_micro
+                  else LSR_FUSED_COLS)
     if slot is None:
         l = lights.prob.shape[0]
         r = random_2d(RandomTarget.LIGHT_TREE, pixel_id, sample_id, depth,
                       bn=bn)
         idx = jnp.minimum((r[..., 0] * l).astype(jnp.int32), l - 1)
-        if shade_rows is not None and shade_rows.shape[1] >= LSR_FUSED_COLS:
+        if shade_rows is not None and shade_rows.shape[1] >= fused_cols:
             # big-scene path: ONE fused row gather serves the whole alias
             # candidate — acceptance prob, both possible 18-col blocks, and
             # (when present) both micro-weight blocks ride the same row, so
@@ -296,8 +292,7 @@ def sample_light_point(
                 take_alias, rf[:, LSR_ALIAS_ROW:LSR_ALIAS_ROW + LSR_COLS],
                 rf[:, 0:LSR_COLS])
             pdf_select = row[:, LSR_SELECT_PDF]
-            if (lights.has_micro
-                    and shade_rows.shape[1] >= LSR_FUSED_MICRO_COLS):
+            if lights.has_micro:
                 mrow_fused = jnp.where(
                     take_alias,
                     rf[:, LSR_MICRO_ALIAS:LSR_MICRO_ALIAS + 16],

@@ -42,9 +42,9 @@ def sun_dir_vec(sky) -> Vec3:
 
 
 def sample_env_rows(sky, d: Vec3):
-    """Bilinear lat-long fetch from the paired-row env layout (DeviceSky):
-    TWO row gathers (y0/y1 rows carry the +phi neighbor inline) instead of
-    four — gathers cost per-index on TPU, row width is nearly free.
+    """Bilinear lat-long fetch from the quad-row env layout (see
+    env_to_rows): ONE row gather carries the whole 2x2 footprint — gathers
+    cost per-index on TPU, row width is nearly free.
     Returns (r, g, b) channel arrays."""
     h = sky.env_h.astype(jnp.float32)
     w = sky.env_w.astype(jnp.float32)
@@ -58,14 +58,13 @@ def sample_env_rows(sky, d: Vec3):
     y0 = jnp.clip(fy.astype(jnp.int32), 0, sky.env_h - 2)
     wy = fy - y0.astype(jnp.float32)
     wx = fx - x0f
-    r0 = sky.env_rows[y0 * wi + x0]        # [N, 8]
-    r1 = sky.env_rows[(y0 + 1) * wi + x0]  # [N, 8]
+    r0 = sky.env_rows[y0 * wi + x0]        # [N, 16] — the one gather
     one_wx = 1.0 - wx
     one_wy = 1.0 - wy
 
     def lerp(c):
         top = r0[:, c] * one_wx + r0[:, c + 4] * wx
-        bot = r1[:, c] * one_wx + r1[:, c + 4] * wx
+        bot = r0[:, c + 8] * one_wx + r0[:, c + 12] * wx
         return top * one_wy + bot * wy
 
     return lerp(0), lerp(1), lerp(2)
@@ -206,8 +205,8 @@ def moon_radiance(sky, d: Vec3):
 
 
 def sample_env_spec_rows(sky, d: Vec3):
-    """Bilinear fetch of the 8-band spectral env (paired-row layout, two
-    gathers — the spectral twin of sample_env_rows). Returns [N, 8]."""
+    """Bilinear fetch of the 8-band spectral env (quad-row layout, ONE
+    gather — the spectral twin of sample_env_rows). Returns [N, 8]."""
     h = sky.env_spec_h.astype(jnp.float32)
     w = sky.env_spec_w.astype(jnp.float32)
     wi = sky.env_spec_w
@@ -220,10 +219,9 @@ def sample_env_spec_rows(sky, d: Vec3):
     y0 = jnp.clip(fy.astype(jnp.int32), 0, sky.env_spec_h - 2)
     wy = (fy - y0.astype(jnp.float32))[:, None]
     wx = (fx - x0f)[:, None]
-    r0 = sky.env_spec_rows[y0 * wi + x0]        # [N, 16]
-    r1 = sky.env_spec_rows[(y0 + 1) * wi + x0]
+    r0 = sky.env_spec_rows[y0 * wi + x0]        # [N, 32] — the one gather
     top = r0[:, 0:8] * (1.0 - wx) + r0[:, 8:16] * wx
-    bot = r1[:, 0:8] * (1.0 - wx) + r1[:, 8:16] * wx
+    bot = r0[:, 16:24] * (1.0 - wx) + r0[:, 24:32] * wx
     return top * (1.0 - wy) + bot * wy
 
 

@@ -1,4 +1,4 @@
-"""Pallas fused-body BVH traversal (the round-3 performance kernel).
+"""Pallas fused-body BVH traversal (the round-3/4 performance kernel).
 
 The XLA `_traverse_wide` loop body (ops/traverse.py) was measured at
 ~2.2 ms/iteration (G = 65k packets) of which only ~0.29 ms is the row gather
@@ -20,31 +20,38 @@ each level is good at:
     push/pop — all intermediates live in VREGs/VMEM, state flows through
     input_output_aliases, layout is lanes-major ([*, G], packets on lanes).
 
-Work-skipping on top of the fused body (the lockstep tail was measured at
-~63% waste):
+Round-4 rework — the fused body is DMA-streaming-bound (~2.3 KB of state
+per packet per iteration) and the lockstep tail wastes ~63% of it
+(utilization was measured at 37%), so:
 
-  * every `sort_every` iterations the packets are re-ordered by
-    (done, fetch_leaf): done packets compact to a suffix and the active
-    prefix becomes leaf/node-homogeneous per block;
-  * the kernel guards its three sections (slab, Möller-Trumbore,
-    select/stack) with `@pl.when` on per-block scalar reductions — a
-    homogeneous block runs exactly one interpretation;
-  * a scalar-prefetch block count redirects all fully-done suffix blocks
-    onto one block index, so Pallas elides their DMA entirely (revisited
-    block indices are not re-fetched / re-flushed).
+  * NESTED-LOOP COMPACTION: the XLA while_loop became
+    while(any active): { argsort packets by (done, fetch_leaf);
+                         fori_loop(SORT_EVERY): fused body }
+    Round 3 ran the sort under lax.cond inside a flat loop and LOST
+    20-45% — the cond forced full carry copies every iteration. The
+    nested structure runs the sort unconditionally once per SORT_EVERY
+    iterations: no cond, no copies.
+  * Done packets compact to a suffix; a scalar-prefetch block count
+    (`nblk`) redirects all fully-done suffix blocks onto one block index,
+    so Pallas elides their DMA entirely (revisited block indices are not
+    re-fetched / re-flushed), and their compute is skipped by the
+    per-block @pl.when guards.
+  * State slimming: inverse directions are recomputed in-kernel (48 rows
+    saved), the closest and any-hit variants share one 16-row aux block
+    (leaf_best / found — each variant uses exactly one), and the
+    un-permute key lives in a [G] i32 XLA-side array instead of 16
+    broadcast rows.
 
 State packing (per G packets, PACKET=16 rays each):
-  sti i32 [56 + 2*D, G]:  rows 0:8   ctl = fetch / fetch_leaf / restore /
-                                      cur_node / sp / done / orig_blk / pad
+  sti i32 [40 + 2*D, G]:  rows 0:8   ctl = fetch / fetch_leaf / restore /
+                                      cur_node / sp / done / pad / pad
                           rows 8:24  pend_code
-                          rows 24:40 leaf_best
-                          rows 40:56 found
-                          rows 56:56+D   stack_node   (D = stack depth,
-                          rows 56+D:..+2D stack_mask   padded to mult of 8)
+                          rows 24:40 aux: leaf_best (closest) | found (any-hit)
+                          rows 40:40+D   stack_node   (D = stack depth,
+                          rows 40+D:..+2D stack_mask   padded to mult of 8)
   stf f32 [32, G]:        rows 0:16 pend_dist, rows 16:32 t_best
-  rays f32 [176, G]:      o.xyz / d.xyz / inv.xyz (16 rows each) +
-                          rows 144:160 ray_on mask (0/1) +
-                          rows 160:176 orig packet id (un-permute key)
+  rays f32 [112, G]:      o.xyz / d.xyz (16 rows each) +
+                          rows 96:112 ray_on mask (0/1)
 """
 
 from __future__ import annotations
@@ -70,13 +77,11 @@ INVALID_CHILD = np.int32(0x7FFFFFFF)
 # intermediates at 512 KB each so the working set stays inside VMEM.
 GB = 512
 
-# Re-sort packets by (done, fetch_leaf) every this many iterations.
-# 0 = off: measured on the tree-tier bench, every sorting cadence LOST
-# 20-45% — the lax.cond around the sort forces carry copies every iteration
-# and the column permute costs ~30 us/sort; the per-block @pl.when guards
-# capture most of the homogeneity win without moving data. The machinery
-# stays for future scenes where divergence dominates.
-SORT_EVERY = 0
+# Inner fori length between packet compactions. Each compaction is one
+# argsort + three column permutes (~90 us at G=8192); between compactions
+# done packets cost only elided-DMA revisits. 8 balances sort overhead
+# against post-sort divergence drift (measured round 4).
+SORT_EVERY = int(os.environ.get("LUM_TRAV_SORT_EVERY", "8"))
 
 # Keep the per-iteration row gather in [G, 128] layout and transpose inside
 # the kernel: the gather's row DMAs stay contiguous and the 4 MB XLA
@@ -96,14 +101,15 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
     Section structure (each skippable per block):
       default : copy input state -> output state
       slab    : node interpretation, updates pend_dist/pend_code/cur_node
-      MT      : leaf interpretation, updates t_best/leaf_best (+prune/found)
+      MT      : leaf interpretation, updates t_best + leaf_best (closest)
+                or found/done (any-hit), + pending prune (closest)
       select  : pending-child selection + stack push/pop, updates ctl/stack
     The select section reads what slab/MT wrote, so all sections do masked
     read-modify-write on the OUTPUT refs (seeded by the default copy).
     """
     inf = np.float32(np.inf)
-    s_node0 = 56
-    s_mask0 = 56 + d_pad
+    s_node0 = 40
+    s_mask0 = 40 + d_pad
 
     def kernel(nblk_ref, sti_ref, stf_ref, rays_ref, rowt_ref,
                osti_ref, ostf_ref):
@@ -129,6 +135,13 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
             # section transposes its block in VMEM instead.
             return rowt_ref[:].T if row_major else rowt_ref[:]
 
+        def _ray_live():
+            ray_on = rays_ref[96:112] > 0.0
+            if any_hit:
+                found = sti_ref[24:40] != 0
+                return ray_on & ~found & act
+            return ray_on & act
+
         @pl.when(has_node)
         def _slab_section():
             rowT = _rowT()                      # [128, GB]
@@ -137,13 +150,20 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
             ox = rays_ref[0:16]
             oy = rays_ref[16:32]
             oz = rays_ref[32:48]
-            ivx = rays_ref[96:112]
-            ivy = rays_ref[112:128]
-            ivz = rays_ref[128:144]
-            ray_on = rays_ref[144:160] > 0.0
-            found = sti_ref[40:56] != 0
+
+            def inv(c):
+                # matches ops.traverse._safe_inv: clamp zero components so
+                # the slab test never sees 0 * inf NaNs
+                tiny = np.float32(1e-20)
+                safe = jnp.where(jnp.abs(c) < tiny,
+                                 jnp.where(c < 0.0, -tiny, tiny), c)
+                return 1.0 / safe
+
+            ivx = inv(rays_ref[48:64])
+            ivy = inv(rays_ref[64:80])
+            ivz = inv(rays_ref[80:96])
             t_best = stf_ref[16:32]
-            ray_live = ray_on & ~found & act    # [16, GB]
+            ray_live = _ray_live()              # [16, GB]
 
             lo_x, hi_x = rowT[0:16], rowT[16:32]
             lo_y, hi_y = rowT[32:48], rowT[48:64]
@@ -188,10 +208,8 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
             dx = rays_ref[48:64]
             dy = rays_ref[64:80]
             dz = rays_ref[80:96]
-            ray_on = rays_ref[144:160] > 0.0
-            found = sti_ref[40:56] != 0
             t_best = stf_ref[16:32]
-            ray_live = ray_on & ~found & act
+            ray_live = _ray_live()
 
             v0x, v0y, v0z = rowT[0:14], rowT[14:28], rowT[28:42]
             e1x, e1y, e1z = rowT[42:56], rowT[56:70], rowT[70:84]
@@ -222,17 +240,17 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
             better = t14 < t_best
             t_best = jnp.where(better, t14, t_best)
             ostf_ref[16:32] = t_best
-            osti_ref[24:40] = jnp.where(better, fetch, sti_ref[24:40])
             if any_hit:
-                found2 = found | better
-                osti_ref[40:56] = found2.astype(jnp.int32)
+                found2 = (sti_ref[24:40] != 0) | better
+                osti_ref[24:40] = found2.astype(jnp.int32)
+                ray_on = rays_ref[96:112] > 0.0
                 done2 = done | ~jnp.any(ray_on & ~found2, axis=0,
                                         keepdims=True)
                 osti_ref[5:6] = done2.astype(jnp.int32)
             else:
+                osti_ref[24:40] = jnp.where(better, fetch, sti_ref[24:40])
                 # prune pending vs the packet's live-ray t_best ceiling
-                ray_live2 = ray_live
-                t_pack = jnp.max(jnp.where(ray_live2, t_best, -inf),
+                t_pack = jnp.max(jnp.where(ray_live, t_best, -inf),
                                  axis=0, keepdims=True)      # [1, GB]
                 pend = ostf_ref[0:16]
                 ostf_ref[0:16] = jnp.where(pend > t_pack, inf, pend)
@@ -322,7 +340,7 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
 def _run_body(nblk, sti, stf, rays, rowT, *, any_hit, m_nodes, d_pad,
               t_min, interpret, row_major=False):
     g = rowT.shape[0] if row_major else rowT.shape[1]
-    si = 56 + 2 * d_pad
+    si = 40 + 2 * d_pad
     grid = g // GB
     kernel = _make_body_kernel(any_hit, m_nodes, d_pad, t_min,
                                row_major=row_major)
@@ -342,7 +360,7 @@ def _run_body(nblk, sti, stf, rays, rowT, *, any_hit, m_nodes, d_pad,
         in_specs=[
             pl.BlockSpec((si, GB), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((32, GB), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((176, GB), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((112, GB), imap, memory_space=pltpu.VMEM),
             row_spec,
         ],
         out_specs=[
@@ -375,11 +393,11 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
     """Drop-in replacement for ops.traverse._traverse_wide (PACKET=16 only).
 
     Same state machine and numerics as the XLA path; the body runs as one
-    fused Pallas kernel per while iteration, with periodic packet
-    compaction. `interpret=True` runs the kernel in the Pallas interpreter
-    (CPU correctness tests). `sort_every=0` disables compaction.
-    """
-    from .traverse import _safe_inv, Hit  # local import to avoid a cycle
+    fused Pallas kernel per while iteration, with packet compaction once
+    per `sort_every` iterations (see module docstring). `interpret=True`
+    runs the kernel in the Pallas interpreter (CPU correctness tests).
+    `sort_every=0` disables compaction (flat while loop)."""
+    from .traverse import Hit  # local import to avoid a cycle
 
     rows = (bvh.rows_shadow if (shadow and bvh.rows_shadow is not None)
             else bvh.rows)
@@ -411,82 +429,84 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
 
     o_pg = Vec3(to_pg(origin.x), to_pg(origin.y), to_pg(origin.z))
     d_pg = Vec3(to_pg(direction.x), to_pg(direction.y), to_pg(direction.z))
-    inv_pg = _safe_inv(d_pg)
     ray_on = to_pg(active)
-    orig_id = jax.lax.broadcasted_iota(jnp.float32, (PACKET, g), 1)
 
     rays = jnp.concatenate([
         o_pg.x, o_pg.y, o_pg.z, d_pg.x, d_pg.y, d_pg.z,
-        inv_pg.x, inv_pg.y, inv_pg.z, ray_on.astype(jnp.float32),
-        orig_id,
-    ], axis=0)                                            # [176, G]
+        ray_on.astype(jnp.float32),
+    ], axis=0)                                            # [112, G]
 
-    si = 56 + 2 * d_pad
+    si = 40 + 2 * d_pad
     full_mask = np.int32((1 << BRANCH) - 1)
     done0 = ~jnp.any(ray_on, axis=0)
     sti = jnp.zeros((si, g), jnp.int32)
     sti = sti.at[2].set(full_mask)                        # restore
     sti = sti.at[5].set(done0.astype(jnp.int32))          # done
-    sti = sti.at[24:40].set(-1)                           # leaf_best
+    if not any_hit:
+        sti = sti.at[24:40].set(-1)                       # leaf_best
     t_best0 = to_pg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
     stf = jnp.concatenate([
         jnp.full((16, g), np.inf, jnp.float32), t_best0], axis=0)
-
-    def cond(st):
-        sti = st[0]
-        return jnp.any(sti[5] == 0)
-
-    def body(st):
-        sti, stf, rays, nblk, it = st
-        if sort_every:
-            def do_sort(args):
-                sti, stf, rays = args
-                done_f = sti[5]
-                key = done_f * 2 + sti[1]                 # done, fetch_leaf
-                perm = jnp.argsort(key)
-                sti = _permute_cols(sti, perm)
-                stf = _permute_cols(stf, perm)
-                rays = _permute_cols(rays, perm)
-                n_act = jnp.sum((sti[5] == 0).astype(jnp.int32))
-                nblk2 = ((n_act + GB - 1) // GB).reshape(1)
-                return sti, stf, rays, nblk2
-
-            def no_sort(args):
-                sti, stf, rays = args
-                return sti, stf, rays, nblk
-
-            sti, stf, rays, nblk = jax.lax.cond(
-                it % sort_every == 0, do_sort, no_sort, (sti, stf, rays))
-        fetch = jnp.where(sti[5] == 0, sti[0], 0)
-        # ROW_MAJOR: hand the kernel the gather result as-is ([G, 128],
-        # contiguous per-row DMAs) and let it transpose each block in VMEM;
-        # otherwise transpose at XLA level (one [G,128]→[128,G] relayout
-        # per iteration).
-        rowT = rows[fetch] if ROW_MAJOR else rows[fetch].T
-        sti, stf = _run_body(
-            nblk, sti, stf, rays, rowT, any_hit=any_hit, m_nodes=m_nodes,
-            d_pad=d_pad, t_min=t_min, interpret=interpret,
-            row_major=ROW_MAJOR)
-        return (sti, stf, rays, nblk, it + 1)
-
+    orig_g = jnp.arange(g, dtype=jnp.int32)
     nblk0 = jnp.asarray([nblocks], jnp.int32)
-    sti, stf, rays, _, _ = jax.lax.while_loop(
-        cond, body, (sti, stf, rays, nblk0, jnp.int32(0)))
+
+    run1 = functools.partial(
+        _run_body, any_hit=any_hit, m_nodes=m_nodes, d_pad=d_pad,
+        t_min=t_min, interpret=interpret, row_major=ROW_MAJOR)
+
+    def fetch_rows(sti):
+        fetch = jnp.where(sti[5] == 0, sti[0], 0)
+        return rows[fetch] if ROW_MAJOR else rows[fetch].T
 
     if sort_every:
-        # un-permute: the orig packet id rides rays rows 160:176
-        inv = jnp.argsort(rays[160].astype(jnp.int32))
+        # while(any active): compact once, then SORT_EVERY fused bodies.
+        def cond(st):
+            return jnp.any(st[0][5] == 0)
+
+        def body(st):
+            sti, stf, rays, orig_g = st
+            # stable argsort: active packets first (nodes before leaves so
+            # post-sort blocks stay section-homogeneous), done compact to
+            # the suffix whose blocks nblk elides entirely
+            key = sti[5] * 2 + sti[1]
+            perm = jnp.argsort(key, stable=True)
+            sti = _permute_cols(sti, perm)
+            stf = _permute_cols(stf, perm)
+            rays = _permute_cols(rays, perm)
+            orig_g = orig_g[perm]
+            n_act = jnp.sum((sti[5] == 0).astype(jnp.int32))
+            nblk = jnp.maximum((n_act + GB - 1) // GB, 1).reshape(1)
+
+            def inner(_, s):
+                sti, stf = s
+                return tuple(run1(nblk, sti, stf, rays, fetch_rows(sti)))
+
+            sti, stf = jax.lax.fori_loop(
+                0, sort_every, inner, (sti, stf))
+            return (sti, stf, rays, orig_g)
+
+        sti, stf, rays, orig_g = jax.lax.while_loop(
+            cond, body, (sti, stf, rays, orig_g))
+        inv = jnp.argsort(orig_g)
         sti = _permute_cols(sti, inv)
         stf = _permute_cols(stf, inv)
+    else:
+        def cond(st):
+            return jnp.any(st[0][5] == 0)
+
+        def body(st):
+            sti, stf = st
+            return tuple(run1(nblk0, sti, stf, rays, fetch_rows(sti)))
+
+        sti, stf = jax.lax.while_loop(cond, body, (sti, stf))
+
     t_best = stf[16:32]
-    leaf_best = sti[24:40]
-    found = sti[40:56] != 0
 
     def from_pg(x):  # [PACKET, G] -> [N_in]
         return x.T.reshape(n)[:n_in]
 
     if any_hit:
-        found_out = from_pg(found)
+        found_out = from_pg(sti[24:40] != 0)
         z = jnp.zeros((n_in,), jnp.float32)
         return Hit(
             t=jnp.where(found_out, z, MISS_DIST),
@@ -496,7 +516,7 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
 
     # Post-loop re-intersection of the winning leaf row (same as XLA path).
     from .intersect import ray_triangle
-    leaf_out = from_pg(leaf_best)
+    leaf_out = from_pg(sti[24:40])
     valid = leaf_out >= 0
     t_out = jnp.where(valid, from_pg(t_best), MISS_DIST)
     rowT2 = rows[jnp.where(valid, leaf_out, m_nodes)].T   # [128, N]

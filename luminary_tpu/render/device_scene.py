@@ -95,7 +95,7 @@ class DeviceSky(NamedTuple):
     constant_color: jnp.ndarray  # f32 [3]
     sun_dir: jnp.ndarray  # f32 [3] unit, toward sun
     sun_strength: jnp.ndarray  # f32 scalar
-    env_rows: jnp.ndarray  # f32 [He*We, 8] — see class docstring
+    env_rows: jnp.ndarray  # f32 [He*We, 16] — see env_to_rows
     env_h: jnp.ndarray  # i32 scalar
     env_w: jnp.ndarray  # i32 scalar
     # Environment NEE distribution (reference: sky_hdri.cuh importance +
@@ -114,7 +114,7 @@ class DeviceSky(NamedTuple):
     # ([Hs*Ws, 16]: texel bands + phi-neighbor bands) + the solar-disc
     # spectrum. Dummy [1, 16] when spectral is off / non-DEFAULT skies
     # (the integrator then uplifts the RGB env instead).
-    env_spec_rows: jnp.ndarray  # f32 [Hs*Ws, 16]
+    env_spec_rows: jnp.ndarray  # f32 [Hs*Ws, 32] — see env_to_rows_spec
     env_spec_h: jnp.ndarray  # i32 scalar
     env_spec_w: jnp.ndarray  # i32 scalar
     sun_disc_spec: jnp.ndarray  # f32 [8]
@@ -173,11 +173,12 @@ class DeviceScene(NamedTuple):
     water: "DeviceWater"
     textures: "DeviceTextures"
     clouds: "DeviceClouds"
-    shade_rows: jnp.ndarray  # f32 [P, 48] — see SHADE_* column map below
-    # Slim COMPACT per-light rows for NEE candidate evaluation (LSR_*
-    # columns): RIS gathers one of these per candidate; dense light-index
-    # order keeps the table VMEM-resident (see the LSR_* note below).
-    light_slot_rows: jnp.ndarray  # f32 [L, 18]
+    shade_rows: jnp.ndarray  # f32 [P, 48+] — see SHADE_* column map below
+    # COMPACT per-light rows for NEE candidate evaluation (LSR_* columns),
+    # FUSED with the alias table: RIS gathers one of these per candidate;
+    # dense light-index order keeps the table VMEM-resident (see the LSR_*
+    # note below).
+    light_slot_rows: jnp.ndarray  # f32 [L, 37] ([L, 69] with micro weights)
     particles: "DeviceParticles | None" = None
 
 
@@ -219,11 +220,16 @@ SHADE_MICRO = 56       # 56:72 normalized emission-texture cell weights
 #                        Written only when lights.has_micro.
 SHADE_COLS = 72
 
-# light-sample row columns (light_slot_rows — COMPACT [L, 18], one row per
-# EMISSIVE triangle in dense light-index order, NOT per slot: a slot-space
-# table at 164k slots (84 MB tiled) measured 73 ms per 2M-lane gather
-# because every row access DMAs a full 4 KB HBM tile; the compact table
-# stays VMEM-resident for typical emitter counts (~3 ms).
+# light-sample row columns (light_slot_rows — COMPACT [L, 37|69], one row
+# per EMISSIVE triangle in dense light-index order, NOT per slot: a
+# slot-space table at 164k slots (84 MB tiled) measured 73 ms per 2M-lane
+# gather because every row access DMAs a full 4 KB HBM tile; the compact
+# table stays VMEM-resident for typical emitter counts (~3 ms). VMEM
+# budget: at 37 cols (148 B/row) ~1 MB holds ~7k emitters, the 69-col
+# micro variant ~3.6k; beyond ~50k emitters the table approaches the
+# HBM-tile regime the compaction exists to avoid — if such scenes appear,
+# fall back to packing the plain 18-col table (sample_light_point's
+# `>= fused_cols` guard already routes that shape to the two-gather path).
 LSR_V0 = 0
 LSR_E1 = 3
 LSR_E2 = 6
@@ -470,22 +476,30 @@ def pack_materials(scene: Scene) -> DeviceMaterials:
 
 
 def env_to_rows(env: np.ndarray) -> np.ndarray:
-    """Lat-long env [H, W, 3] → paired rows [H*W, 8] (texel + phi-neighbor),
-    the device fetch layout (see DeviceSky)."""
+    """Lat-long env [H, W, 3] → bilinear-quad rows [H*W, 16]: cols 0:8 the
+    texel + phi-neighbor pair at row y, cols 8:16 the same pair at row y+1
+    (clamped) — the whole bilinear footprint in ONE row gather (gathers
+    cost per INDEX on TPU; see sample_env_rows)."""
     h, w = env.shape[:2]
-    rows = np.zeros((h * w, 8), np.float32)
+    rows = np.zeros((h * w, 16), np.float32)
     rows[:, 0:3] = env.reshape(-1, 3)
     rows[:, 4:7] = np.roll(env, -1, axis=1).reshape(-1, 3)
+    dn = env[np.minimum(np.arange(h) + 1, h - 1)]
+    rows[:, 8:11] = dn.reshape(-1, 3)
+    rows[:, 12:15] = np.roll(dn, -1, axis=1).reshape(-1, 3)
     return rows
 
 
 def env_to_rows_spec(env8: np.ndarray) -> np.ndarray:
-    """8-band spectral env [H, W, 8] → paired rows [H*W, 16] (texel bands +
-    phi-neighbor bands), the spectral-mode fetch layout."""
+    """8-band spectral env [H, W, 8] → bilinear-quad rows [H*W, 32]: bands
+    at (y, x), (y, x+1), (y+1, x), (y+1, x+1) — one gather per fetch."""
     h, w = env8.shape[:2]
-    rows = np.zeros((h * w, 16), np.float32)
+    rows = np.zeros((h * w, 32), np.float32)
     rows[:, 0:8] = env8.reshape(-1, 8)
     rows[:, 8:16] = np.roll(env8, -1, axis=1).reshape(-1, 8)
+    dn = env8[np.minimum(np.arange(h) + 1, h - 1)]
+    rows[:, 16:24] = dn.reshape(-1, 8)
+    rows[:, 24:32] = np.roll(dn, -1, axis=1).reshape(-1, 8)
     return rows
 
 

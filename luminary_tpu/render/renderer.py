@@ -267,7 +267,13 @@ class Renderer:
             self._ss = ss
             self._region = (rx, ry, rw, rh)
             n_pixels = rw * rh
-            chunk = min(self.chunk, _round_up(n_pixels, 256))
+            # Choose the chunk so the padded wavefront is minimal: the lane
+            # count must be a chunk multiple, and naively rounding N up to a
+            # multiple of self.chunk padded 1080p (2.07M pixels) to 3.15M
+            # lanes — 52% wasted work in every non-traversal stage (measured
+            # round 4). Split into ceil(N/chunk) equal chunks instead.
+            n_chunks = max(-(-n_pixels // max(self.chunk, 1)), 1)
+            chunk = _round_up(-(-n_pixels // n_chunks), 256)
             self.config = RenderConfig(
                 width=rw_full,
                 height=rh_full,
@@ -347,7 +353,7 @@ class Renderer:
                     if self.scene.particles.active else -1
                 ),
             )
-            n_pad = _round_up(n_pixels, chunk)
+            n_pad = chunk * n_chunks
             idx = np.arange(n_pad, dtype=np.uint32)
             idx = np.minimum(idx, n_pixels - 1)  # padded lanes re-trace pixel N-1
             self._px, self._py = jax.device_put(

@@ -84,7 +84,7 @@ def test_pack_sky_constant_mode_cheap():
     sky.constant_color = (0.3, 0.4, 0.5)
     scene.set_entity("sky", sky)
     packed = pack_sky(scene)
-    assert packed.env_rows.shape == (4 * 8, 8)
+    assert packed.env_rows.shape == (4 * 8, 16)
     assert np.allclose(np.asarray(packed.sun_disc_radiance), 0.0)
 
 

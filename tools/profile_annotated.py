@@ -61,11 +61,40 @@ def hlo_source_map(dump_dir):
     return src
 
 
+def parse_hlo_text(txt):
+    """op name -> 'source_file:line op_name' from one HLO module text."""
+    src = {}
+    pat = re.compile(r"%?([\w.\-]+) = .*?metadata={([^}]*)}")
+    op_name_pat = re.compile(r'op_name="([^"]*)"')
+    file_pat = re.compile(r'source_file="([^"]*)"')
+    line_pat = re.compile(r"source_line=(\d+)")
+    for line in txt.splitlines():
+        m = pat.search(line)
+        if not m:
+            continue
+        name, meta = m.groups()
+        op = op_name_pat.search(meta)
+        fl = file_pat.search(meta)
+        ln = line_pat.search(meta)
+        parts = []
+        if fl:
+            parts.append("%s:%s" % (os.path.basename(fl.group(1)),
+                                    ln.group(1) if ln else "?"))
+        if op:
+            parts.append(op.group(1)[-90:])
+        if parts and name not in src:
+            src[name] = "  ".join(parts)
+    return src
+
+
 def main():
-    from luminary_tpu.testing import benchmark_scene
+    from luminary_tpu.testing import benchmark_scene, cornell_scene
     from luminary_tpu.render.renderer import Renderer
 
-    scene = benchmark_scene(W, H, max_depth=4)
+    if os.environ.get("LUM_PROFILE_SCENE", "tree") == "cornell":
+        scene = cornell_scene(W, H, max_depth=4)
+    else:
+        scene = benchmark_scene(W, H, max_depth=4)
     t0 = time.time()
     r = Renderer(scene, chunk=1 << 20)
     print(f"pack {time.time() - t0:.1f}s", flush=True)
@@ -102,12 +131,33 @@ def main():
         if part.startswith("--xla_dump_to="):
             dump_dir = part.split("=", 1)[1]
     src = hlo_source_map(dump_dir)
-    print(f"(source map: {len(src)} ops from {dump_dir or 'NO DUMP DIR'})",
-          flush=True)
+    if not src:
+        # Tunneled backends compile remotely (no local dump files); AOT
+        # lower+compile the hot step and parse compiled.as_text() instead.
+        import jax.numpy as jnp
+        from luminary_tpu.render.renderer import _sample_step
 
-    for name, us in tot.most_common(40):
+        txt = _sample_step.lower(
+            r.device_scene, r.device_camera, r.config, r._px, r._py,
+            jnp.uint32(0), r.accum,
+        ).compile().as_text()
+        with open("/tmp/lum_hlo.txt", "w") as f:
+            f.write(txt)
+        src = parse_hlo_text(txt)
+    print(f"(source map: {len(src)} ops)", flush=True)
+
+    for name, us in tot.most_common(60):
         loc = src.get(name, "")
         print(f"{us / 1e3:9.1f}  {name[:34]:34s} {loc[:100]}", flush=True)
+
+    # aggregate by source location (first field of the mapping)
+    by_loc = collections.Counter()
+    for name, us in tot.items():
+        loc = src.get(name, "?")
+        by_loc[loc.split("  ")[0]] += us
+    print("\n--- by source location ---", flush=True)
+    for loc, us in by_loc.most_common(50):
+        print(f"{us / 1e3:9.1f}  {loc[:110]}", flush=True)
 
 
 if __name__ == "__main__":
