@@ -317,6 +317,11 @@ def sample_light_point(
     r1u, r2u = r2[..., 0], r2[..., 1]
     micro_factor = None
     if lights.has_micro:
+        # invariant: the fused branch (light_ix None) always sets mrow_fused
+        # when has_micro — its >= fused_cols guard demands the 69-col table
+        # precisely so the micro blocks ride the same gather. A 37-col table
+        # with has_micro lights takes the small-table path (light_ix set).
+        assert mrow_fused is not None or light_ix is not None
         mrow = (mrow_fused if mrow_fused is not None
                 else lights.micro_rows[jnp.maximum(light_ix, 0)])  # [N, 16]
         mr = random_1d(RandomTarget.MICROTRIANGLE, pixel_id, sample_id,

@@ -41,17 +41,22 @@ per packet per iteration) and the lockstep tail wastes ~63% of it
     (leaf_best / found — each variant uses exactly one), and the
     un-permute key lives in a [G] i32 XLA-side array instead of 16
     broadcast rows.
+  * ONE carried state array: the i32 control/stack rows and the f32
+    distance rows live in a single i32 table (f32 rows bitcast). Each
+    compaction permute (transpose + row gather + transpose) then moves 2
+    arrays instead of 3, and the kernel aliases one in/out pair — the
+    permutes measured ~250 ms/sample at 1080p before the merge.
 
-State packing (per G packets, PACKET=16 rays each):
-  sti i32 [40 + 2*D, G]:  rows 0:8   ctl = fetch / fetch_leaf / restore /
-                                      cur_node / sp / done / pad / pad
-                          rows 8:24  pend_code
-                          rows 24:40 aux: leaf_best (closest) | found (any-hit)
-                          rows 40:40+D   stack_node   (D = stack depth,
-                          rows 40+D:..+2D stack_mask   padded to mult of 8)
-  stf f32 [32, G]:        rows 0:16 pend_dist, rows 16:32 t_best
-  rays f32 [112, G]:      o.xyz / d.xyz (16 rows each) +
-                          rows 96:112 ray_on mask (0/1)
+State packing (per G packets, PACKET=16 rays each), one i32 [SI, G] table:
+  rows 0:8     ctl = fetch / fetch_leaf / restore / cur_node / sp / done /
+                pad / pad
+  rows 8:24    pend_code
+  rows 24:40   aux: leaf_best (closest) | found (any-hit)
+  rows 40:56   pend_dist  (f32 bitcast)
+  rows 56:72   t_best     (f32 bitcast)
+  rows 72:72+D      stack_node   (D = stack depth, padded to mult of 8)
+  rows 72+D:72+2D   stack_mask
+  rays f32 [112, G]: o.xyz / d.xyz (16 rows each) + rows 96:112 ray_on
 """
 
 from __future__ import annotations
@@ -78,7 +83,7 @@ INVALID_CHILD = np.int32(0x7FFFFFFF)
 GB = 512
 
 # Inner fori length between packet compactions. Each compaction is one
-# argsort + three column permutes (~90 us at G=8192); between compactions
+# argsort + two row-matrix permutes (~90 us at G=8192); between compactions
 # done packets cost only elided-DMA revisits. 8 balances sort overhead
 # against post-sort divergence drift (measured round 4).
 SORT_EVERY = int(os.environ.get("LUM_TRAV_SORT_EVERY", "8"))
@@ -89,9 +94,22 @@ SORT_EVERY = int(os.environ.get("LUM_TRAV_SORT_EVERY", "8"))
 # 3250 → 3044 ms/sample (-6%). Env A/B flag kept for re-measurement.
 ROW_MAJOR = os.environ.get("LUM_TRAV_ROWMAJOR", "1") == "1"
 
+# f32-bitcast row offsets inside the merged i32 state table
+_PD0 = 40  # pend_dist rows 40:56
+_TB0 = 56  # t_best rows 56:72
+_ST0 = 72  # stack rows
+
 
 def _pad8(d: int) -> int:
     return (d + 7) // 8 * 8
+
+
+def _f32(rows):
+    return jax.lax.bitcast_convert_type(rows, jnp.float32)
+
+
+def _i32(rows):
+    return jax.lax.bitcast_convert_type(rows, jnp.int32)
 
 
 def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
@@ -105,21 +123,19 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
                 or found/done (any-hit), + pending prune (closest)
       select  : pending-child selection + stack push/pop, updates ctl/stack
     The select section reads what slab/MT wrote, so all sections do masked
-    read-modify-write on the OUTPUT refs (seeded by the default copy).
+    read-modify-write on the OUTPUT ref (seeded by the default copy).
     """
     inf = np.float32(np.inf)
-    s_node0 = 40
-    s_mask0 = 40 + d_pad
+    s_node0 = _ST0
+    s_mask0 = _ST0 + d_pad
 
-    def kernel(nblk_ref, sti_ref, stf_ref, rays_ref, rowt_ref,
-               osti_ref, ostf_ref):
+    def kernel(nblk_ref, st_ref, rays_ref, rowt_ref, ost_ref):
         real_blk = pl.program_id(0) < nblk_ref[0]
 
         # --- default: pass state through ---
-        osti_ref[:] = sti_ref[:]
-        ostf_ref[:] = stf_ref[:]
+        ost_ref[:] = st_ref[:]
 
-        ctl = sti_ref[0:8]                      # [8, GB]
+        ctl = st_ref[0:8]                       # [8, GB]
         done = ctl[5:6] != 0                    # [1, GB]
         fetch_leaf = ctl[1:2] != 0
         act = ~done
@@ -138,15 +154,15 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
         def _ray_live():
             ray_on = rays_ref[96:112] > 0.0
             if any_hit:
-                found = sti_ref[24:40] != 0
+                found = st_ref[24:40] != 0
                 return ray_on & ~found & act
             return ray_on & act
 
         @pl.when(has_node)
         def _slab_section():
             rowT = _rowT()                      # [128, GB]
-            fetch = sti_ref[0:1]
-            restore = sti_ref[2:3]
+            fetch = st_ref[0:1]
+            restore = st_ref[2:3]
             ox = rays_ref[0:16]
             oy = rays_ref[16:32]
             oz = rays_ref[32:48]
@@ -162,7 +178,7 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
             ivx = inv(rays_ref[48:64])
             ivy = inv(rays_ref[64:80])
             ivz = inv(rays_ref[80:96])
-            t_best = stf_ref[16:32]
+            t_best = _f32(st_ref[_TB0:_TB0 + 16])
             ray_live = _ray_live()              # [16, GB]
 
             lo_x, hi_x = rowT[0:16], rowT[16:32]
@@ -193,22 +209,22 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
                                  dist16, inf)
 
             is_node_step = act & ~fetch_leaf                 # [1, GB]
-            ostf_ref[0:16] = jnp.where(is_node_step, new_dist,
-                                       stf_ref[0:16])
-            osti_ref[8:24] = jnp.where(is_node_step, codes, sti_ref[8:24])
-            osti_ref[3:4] = jnp.where(is_node_step, fetch, sti_ref[3:4])
+            ost_ref[_PD0:_PD0 + 16] = jnp.where(
+                is_node_step, _i32(new_dist), st_ref[_PD0:_PD0 + 16])
+            ost_ref[8:24] = jnp.where(is_node_step, codes, st_ref[8:24])
+            ost_ref[3:4] = jnp.where(is_node_step, fetch, st_ref[3:4])
 
         @pl.when(has_leaf)
         def _mt_section():
             rowT = _rowT()
-            fetch = sti_ref[0:1]
+            fetch = st_ref[0:1]
             ox = rays_ref[0:16]
             oy = rays_ref[16:32]
             oz = rays_ref[32:48]
             dx = rays_ref[48:64]
             dy = rays_ref[64:80]
             dz = rays_ref[80:96]
-            t_best = stf_ref[16:32]
+            t_best = _f32(st_ref[_TB0:_TB0 + 16])
             ray_live = _ray_live()
 
             v0x, v0y, v0z = rowT[0:14], rowT[14:28], rowT[28:42]
@@ -239,34 +255,35 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
             t14 = jnp.min(t, axis=0)                         # [16, GB]
             better = t14 < t_best
             t_best = jnp.where(better, t14, t_best)
-            ostf_ref[16:32] = t_best
+            ost_ref[_TB0:_TB0 + 16] = _i32(t_best)
             if any_hit:
-                found2 = (sti_ref[24:40] != 0) | better
-                osti_ref[24:40] = found2.astype(jnp.int32)
+                found2 = (st_ref[24:40] != 0) | better
+                ost_ref[24:40] = found2.astype(jnp.int32)
                 ray_on = rays_ref[96:112] > 0.0
                 done2 = done | ~jnp.any(ray_on & ~found2, axis=0,
                                         keepdims=True)
-                osti_ref[5:6] = done2.astype(jnp.int32)
+                ost_ref[5:6] = done2.astype(jnp.int32)
             else:
-                osti_ref[24:40] = jnp.where(better, fetch, sti_ref[24:40])
+                ost_ref[24:40] = jnp.where(better, fetch, st_ref[24:40])
                 # prune pending vs the packet's live-ray t_best ceiling
                 t_pack = jnp.max(jnp.where(ray_live, t_best, -inf),
                                  axis=0, keepdims=True)      # [1, GB]
-                pend = ostf_ref[0:16]
-                ostf_ref[0:16] = jnp.where(pend > t_pack, inf, pend)
+                pend = _f32(ost_ref[_PD0:_PD0 + 16])
+                ost_ref[_PD0:_PD0 + 16] = _i32(
+                    jnp.where(pend > t_pack, inf, pend))
 
         @pl.when(any_active)
         def _select_section():
-            # reads the post-slab/MT state from the OUTPUT refs
-            fetch = osti_ref[0:1]
-            fetch_leaf2 = osti_ref[1:2] != 0
-            cur_node = osti_ref[3:4]
-            sp = osti_ref[4:5]
-            done2 = osti_ref[5:6] != 0
-            pend_dist = ostf_ref[0:16]
-            pend_code = osti_ref[8:24]
-            stack_node = osti_ref[s_node0:s_node0 + d_pad]
-            stack_mask = osti_ref[s_mask0:s_mask0 + d_pad]
+            # reads the post-slab/MT state from the OUTPUT ref
+            fetch = ost_ref[0:1]
+            fetch_leaf2 = ost_ref[1:2] != 0
+            cur_node = ost_ref[3:4]
+            sp = ost_ref[4:5]
+            done2 = ost_ref[5:6] != 0
+            pend_dist = _f32(ost_ref[_PD0:_PD0 + 16])
+            pend_code = ost_ref[8:24]
+            stack_node = ost_ref[s_node0:s_node0 + d_pad]
+            stack_mask = ost_ref[s_mask0:s_mask0 + d_pad]
             act2 = ~done2 if any_hit else act
 
             sel_dist = jnp.min(pend_dist, axis=0, keepdims=True)  # [1, GB]
@@ -319,15 +336,15 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
             full_mask = jnp.full_like(fetch, (1 << BRANCH) - 1)
             restore = jnp.where(can_pop, top_mask, full_mask)
 
-            osti_ref[0:1] = fetch
-            osti_ref[1:2] = fetch_leaf_i
-            osti_ref[2:3] = restore
-            osti_ref[3:4] = cur_node
-            osti_ref[4:5] = sp
-            osti_ref[5:6] = done3.astype(jnp.int32)
-            osti_ref[s_node0:s_node0 + d_pad] = stack_node
-            osti_ref[s_mask0:s_mask0 + d_pad] = stack_mask
-            ostf_ref[0:16] = pend_dist
+            ost_ref[0:1] = fetch
+            ost_ref[1:2] = fetch_leaf_i
+            ost_ref[2:3] = restore
+            ost_ref[3:4] = cur_node
+            ost_ref[4:5] = sp
+            ost_ref[5:6] = done3.astype(jnp.int32)
+            ost_ref[s_node0:s_node0 + d_pad] = stack_node
+            ost_ref[s_mask0:s_mask0 + d_pad] = stack_mask
+            ost_ref[_PD0:_PD0 + 16] = _i32(pend_dist)
 
     return kernel
 
@@ -337,10 +354,10 @@ def _make_body_kernel(any_hit: bool, m_nodes: int, d_pad: int, t_min: float,
     static_argnames=("any_hit", "m_nodes", "d_pad", "t_min", "interpret",
                      "row_major"),
 )
-def _run_body(nblk, sti, stf, rays, rowT, *, any_hit, m_nodes, d_pad,
+def _run_body(nblk, st, rays, rowT, *, any_hit, m_nodes, d_pad,
               t_min, interpret, row_major=False):
     g = rowT.shape[0] if row_major else rowT.shape[1]
-    si = 40 + 2 * d_pad
+    si = _ST0 + 2 * d_pad
     grid = g // GB
     kernel = _make_body_kernel(any_hit, m_nodes, d_pad, t_min,
                                row_major=row_major)
@@ -359,13 +376,11 @@ def _run_body(nblk, sti, stf, rays, rowT, *, any_hit, m_nodes, d_pad,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((si, GB), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, GB), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((112, GB), imap, memory_space=pltpu.VMEM),
             row_spec,
         ],
         out_specs=[
             pl.BlockSpec((si, GB), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, GB), imap, memory_space=pltpu.VMEM),
         ],
     )
     return pl.pallas_call(
@@ -373,11 +388,10 @@ def _run_body(nblk, sti, stf, rays, rowT, *, any_hit, m_nodes, d_pad,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((si, g), jnp.int32),
-            jax.ShapeDtypeStruct((32, g), jnp.float32),
         ],
-        input_output_aliases={1: 0, 2: 1},
+        input_output_aliases={1: 0},
         interpret=interpret,
-    )(nblk, sti, stf, rays, rowT)
+    )(nblk, st, rays, rowT)[0]
 
 
 def _permute_cols(a, perm):
@@ -436,17 +450,20 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
         ray_on.astype(jnp.float32),
     ], axis=0)                                            # [112, G]
 
-    si = 40 + 2 * d_pad
+    si = _ST0 + 2 * d_pad
     full_mask = np.int32((1 << BRANCH) - 1)
     done0 = ~jnp.any(ray_on, axis=0)
-    sti = jnp.zeros((si, g), jnp.int32)
-    sti = sti.at[2].set(full_mask)                        # restore
-    sti = sti.at[5].set(done0.astype(jnp.int32))          # done
+    st = jnp.zeros((si, g), jnp.int32)
+    st = st.at[2].set(full_mask)                          # restore
+    st = st.at[5].set(done0.astype(jnp.int32))            # done
     if not any_hit:
-        sti = sti.at[24:40].set(-1)                       # leaf_best
+        st = st.at[24:40].set(-1)                         # leaf_best
     t_best0 = to_pg(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
-    stf = jnp.concatenate([
-        jnp.full((16, g), np.inf, jnp.float32), t_best0], axis=0)
+    st = st.at[_PD0:_PD0 + 16].set(
+        jax.lax.bitcast_convert_type(
+            jnp.full((16, g), np.inf, jnp.float32), jnp.int32))
+    st = st.at[_TB0:_TB0 + 16].set(
+        jax.lax.bitcast_convert_type(t_best0, jnp.int32))
     orig_g = jnp.arange(g, dtype=jnp.int32)
     nblk0 = jnp.asarray([nblocks], jnp.int32)
 
@@ -454,59 +471,55 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
         _run_body, any_hit=any_hit, m_nodes=m_nodes, d_pad=d_pad,
         t_min=t_min, interpret=interpret, row_major=ROW_MAJOR)
 
-    def fetch_rows(sti):
-        fetch = jnp.where(sti[5] == 0, sti[0], 0)
+    def fetch_rows(st):
+        fetch = jnp.where(st[5] == 0, st[0], 0)
         return rows[fetch] if ROW_MAJOR else rows[fetch].T
 
     if sort_every:
         # while(any active): compact once, then SORT_EVERY fused bodies.
-        def cond(st):
-            return jnp.any(st[0][5] == 0)
+        def cond(s):
+            return jnp.any(s[0][5] == 0)
 
-        def body(st):
-            sti, stf, rays, orig_g = st
+        def body(s):
+            st, rays, orig_g = s
             # stable argsort: active packets first (nodes before leaves so
             # post-sort blocks stay section-homogeneous), done compact to
             # the suffix whose blocks nblk elides entirely
-            key = sti[5] * 2 + sti[1]
+            key = st[5] * 2 + st[1]
             perm = jnp.argsort(key, stable=True)
-            sti = _permute_cols(sti, perm)
-            stf = _permute_cols(stf, perm)
+            st = _permute_cols(st, perm)
             rays = _permute_cols(rays, perm)
             orig_g = orig_g[perm]
-            n_act = jnp.sum((sti[5] == 0).astype(jnp.int32))
+            n_act = jnp.sum((st[5] == 0).astype(jnp.int32))
             nblk = jnp.maximum((n_act + GB - 1) // GB, 1).reshape(1)
 
-            def inner(_, s):
-                sti, stf = s
-                return tuple(run1(nblk, sti, stf, rays, fetch_rows(sti)))
+            def inner(_, st):
+                return run1(nblk, st, rays, fetch_rows(st))
 
-            sti, stf = jax.lax.fori_loop(
-                0, sort_every, inner, (sti, stf))
-            return (sti, stf, rays, orig_g)
+            st = jax.lax.fori_loop(0, sort_every, inner, st)
+            return (st, rays, orig_g)
 
-        sti, stf, rays, orig_g = jax.lax.while_loop(
-            cond, body, (sti, stf, rays, orig_g))
+        st, rays, orig_g = jax.lax.while_loop(
+            cond, body, (st, rays, orig_g))
         inv = jnp.argsort(orig_g)
-        sti = _permute_cols(sti, inv)
-        stf = _permute_cols(stf, inv)
+        st = _permute_cols(st, inv)
     else:
         def cond(st):
-            return jnp.any(st[0][5] == 0)
+            return jnp.any(st[5] == 0)
 
         def body(st):
-            sti, stf = st
-            return tuple(run1(nblk0, sti, stf, rays, fetch_rows(sti)))
+            return run1(nblk0, st, rays, fetch_rows(st))
 
-        sti, stf = jax.lax.while_loop(cond, body, (sti, stf))
+        st = jax.lax.while_loop(cond, body, st)
 
-    t_best = stf[16:32]
+    t_best = jax.lax.bitcast_convert_type(
+        st[_TB0:_TB0 + 16], jnp.float32)
 
     def from_pg(x):  # [PACKET, G] -> [N_in]
         return x.T.reshape(n)[:n_in]
 
     if any_hit:
-        found_out = from_pg(sti[24:40] != 0)
+        found_out = from_pg(st[24:40] != 0)
         z = jnp.zeros((n_in,), jnp.float32)
         return Hit(
             t=jnp.where(found_out, z, MISS_DIST),
@@ -516,7 +529,7 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
 
     # Post-loop re-intersection of the winning leaf row (same as XLA path).
     from .intersect import ray_triangle
-    leaf_out = from_pg(sti[24:40])
+    leaf_out = from_pg(st[24:40])
     valid = leaf_out >= 0
     t_out = jnp.where(valid, from_pg(t_best), MISS_DIST)
     rowT2 = rows[jnp.where(valid, leaf_out, m_nodes)].T   # [128, N]

@@ -266,6 +266,14 @@ def pack_light_slot_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
     cols 0:18 are the classic LSR block for dense light j (tree-candidate
     gathers read only these); cols 18+ fuse the alias table so one gather
     serves a whole alias-drawn RIS candidate.
+
+    Size note: the compact table's win came from the gather source staying
+    VMEM-resident (~3 ms vs ~73 ms per 2M-lane gather when it spilled to
+    HBM-tile DMAs). The fused rows are 148 B (276 B with micro) — at a
+    ~16 MB VMEM working set that holds to L ≈ 60-100k emitters. Beyond
+    that, sample_light_point's >= LSR_FUSED_COLS shape guard already
+    accepts the plain 18-col table (72 B/row, ~2.2x more headroom) as a
+    fallback; switch here if a giant-L scene measures regressed NEE.
     """
     slots = np.asarray(lights.slot).astype(np.int64)
     l = max(len(slots), 1)

@@ -303,16 +303,19 @@ class Renderer:
                 use_bridges=bool(self.scene.fog.active),
                 bridge_vertices=min(max(int(s.bridge_max_num_vertices), 1), 4),
                 use_physical_camera=bool(self.scene.camera.use_physical_camera),
-                # Env NEE: DEFAULT/HDRI skies only, and not under the cloud
-                # march (clouds land on the miss side only — MIS pairing
-                # against an un-clouded NEE estimate would bias).
+                # Env NEE: HDRI skies only, matching the reference's
+                # ambient gate (direct_lighting.cuh:279 disallows ambient
+                # NEE for SKY_MODE_DEFAULT — the procedural atmosphere is
+                # smooth once the solar disc is excluded, so importance
+                # sampling it buys no variance and costs a third shadow
+                # segment per vertex). Constant-color skies are uniform
+                # (cosine BSDF sampling is already exact), so they skip it
+                # too. Clouds land on the miss side only, so an HDRI under
+                # a cloud march keeps NEE off (MIS pairing against an
+                # un-clouded NEE estimate would bias).
                 env_nee=bool(
                     getattr(s, "ambient_nee", True)
-                    and int(self.scene.sky.mode) != 2
-                    and not (
-                        _cloud_layers(self.scene.cloud)
-                        and int(self.scene.sky.mode) != 1
-                    )
+                    and int(self.scene.sky.mode) == 1
                 ),
                 spectral=bool(getattr(s, "spectral_rendering", False)),
                 blue_noise=bool(getattr(s, "blue_noise", True)),

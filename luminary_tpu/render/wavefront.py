@@ -295,7 +295,9 @@ def render_sample(
     miss_dir = Vec3(zeros, zeros, zeros)
     miss_thr_r, miss_thr_g, miss_thr_b = zeros, zeros, zeros
     miss_sun_weight = zeros
-    miss_env_weight = ones  # MIS weight of the env map vs env NEE
+    # bounce pdf recorded at the miss for env-NEE MIS (-1 = full weight);
+    # resolved to a weight once after the loop (see the deferred-sky tail)
+    miss_env_weight = -ones
     ever_missed = jnp.zeros((n,), bool)
     # MIS coverage flags of the PREVIOUS vertex: a bounce keeps full weight
     # for any light class its origin vertex could not NEE-sample (no
@@ -528,15 +530,13 @@ def render_sample(
         miss_thr_b = jnp.where(missed, thr_b, miss_thr_b)
         miss_sun_weight = jnp.where(missed, w_sun, miss_sun_weight)
         if config.env_nee:
-            # MIS against the ambient strategy (the env-NEE pdf of this
-            # escape direction); the sun disc keeps its own pairing above
-            from ..ops.sky import env_pdf
-
-            w_env = jnp.where(
-                prev_delta | ~prev_env_nee, 1.0,
-                mis_balance(prev_pdf, env_pdf(scene.sky, direction)),
-            )
-            miss_env_weight = jnp.where(missed, w_env, miss_env_weight)
+            # MIS against the ambient strategy: record the bounce pdf at
+            # the miss (-1 = full weight) and evaluate the env-NEE pdf of
+            # the escape direction ONCE after the loop — each lane misses
+            # at most once, so the per-depth env_pdf cell gather here was
+            # 4x the work (measured ~54 ms/sample at 1080p, round 4)
+            pdfb_env = jnp.where(prev_delta | ~prev_env_nee, -1.0, prev_pdf)
+            miss_env_weight = jnp.where(missed, pdfb_env, miss_env_weight)
         ever_missed = ever_missed | missed
         active = hit_lane | vol_lane
 
@@ -1660,8 +1660,16 @@ def render_sample(
     safe_dir = vwhere(ever_missed, miss_dir, Vec3.of(0.0, 1.0, 0.0, like=miss_dir))
     in_sun_disc = dot(safe_dir, sun_v) >= SUN_COS_RADIUS
     disc_w = jnp.where(in_sun_disc, miss_sun_weight, 0.0)
-    # env MIS weight pairs with the ambient NEE strategy (1.0 when off)
-    env_w_m = miss_env_weight if config.env_nee else 1.0
+    # env MIS weight pairs with the ambient NEE strategy (1.0 when off):
+    # ONE env-NEE pdf lookup for all recorded misses (deferred like the sky)
+    if config.env_nee:
+        from ..ops.sky import env_pdf
+
+        env_w_m = jnp.where(
+            miss_env_weight < 0.0, 1.0,
+            mis_balance(miss_env_weight, env_pdf(scene.sky, safe_dir)))
+    else:
+        env_w_m = 1.0
     if config.spectral:
         from ..ops.sky import sky_radiance_spectral
 

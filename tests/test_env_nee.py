@@ -82,26 +82,18 @@ def test_env_nee_unbiased_and_lower_variance():
     assert var_on < var_off / 5.0, (var_on, var_off)
 
 
-def test_env_nee_default_sky_unbiased():
-    """DEFAULT (clear atmosphere) sky: ambient NEE on vs off must agree."""
+def test_env_nee_default_sky_disabled():
+    """DEFAULT (clear atmosphere) sky keeps ambient NEE OFF, matching the
+    reference gate (direct_lighting.cuh:279 disallows ambient lighting for
+    SKY_MODE_DEFAULT): the smooth sun-less atmosphere gains no variance
+    from importance sampling and would cost a third shadow segment."""
     from luminary_tpu.render.renderer import Renderer
 
-    def build(flag):
-        s = _hotspot_scene(flag)
-        sky = s.get_entity("sky")
-        sky.mode = SkyMode.DEFAULT
-        sky.altitude = 0.7
-        s.set_entity("sky", sky)
-        return s
-
-    def mean_of(flag, samples):
-        r = Renderer(build(flag), chunk=1 << 20)
-        r.render_samples(samples)
-        acc = r.accum
-        n = np.asarray(acc.sample_count, np.float64)
-        return float(
-            np.mean(np.asarray(acc.radiance, np.float64) / n[:, None]))
-
-    m_on = mean_of(True, 48)
-    m_off = mean_of(False, 48)
-    assert abs(m_on - m_off) / max(m_off, 1e-9) < 0.05, (m_on, m_off)
+    s = _hotspot_scene(True)
+    sky = s.get_entity("sky")
+    sky.mode = SkyMode.DEFAULT
+    sky.altitude = 0.7
+    s.set_entity("sky", sky)
+    r = Renderer(s, chunk=1 << 20)
+    r.update()
+    assert r.config.env_nee is False
