@@ -80,13 +80,17 @@ INVALID_CHILD = np.int32(0x7FFFFFFF)
 
 # Lane-axis block per pallas grid step. 512 keeps the [16, 16, GB] slab
 # intermediates at 512 KB each so the working set stays inside VMEM.
-GB = 512
+# Env knob for on-chip A/B (1024 halves grid dispatches but coarsens the
+# nblk done-block elision and section homogeneity).
+GB = int(os.environ.get("LUM_TRAV_GB", "512"))
 
-# Inner fori length between packet compactions. Each compaction is one
-# argsort + two row-matrix permutes (~90 us at G=8192); between compactions
-# done packets cost only elided-DMA revisits. 8 balances sort overhead
-# against post-sort divergence drift (measured round 4).
-SORT_EVERY = int(os.environ.get("LUM_TRAV_SORT_EVERY", "8"))
+# Cruise fori length between packet compactions (after the fixed 4, 8
+# warmup rounds). Each compaction is one argsort + two row-matrix permutes
+# (~90 us at G=8192); between compactions done packets cost only
+# elided-DMA revisits. 16 measured +3.5% over 8 on 1M incoherent
+# closest/any-hit walks; the warmup schedule covers the short-walk
+# regression a flat 16 caused (round 4).
+SORT_EVERY = int(os.environ.get("LUM_TRAV_SORT_EVERY", "16"))
 
 # Keep the per-iteration row gather in [G, 128] layout and transpose inside
 # the kernel: the gather's row DMAs stay contiguous and the 4 MB XLA
@@ -476,12 +480,13 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
         return rows[fetch] if ROW_MAJOR else rows[fetch].T
 
     if sort_every:
-        # while(any active): compact once, then SORT_EVERY fused bodies.
-        def cond(s):
-            return jnp.any(s[0][5] == 0)
-
-        def body(s):
-            st, rays, orig_g = s
+        # [compact; fused bodies] rounds: two statically-unrolled warmup
+        # rounds at cadence 4 then 8 before the while loop cruises at
+        # `sort_every`. Short walks (bounded shadow segments finish in
+        # ~4-8 iterations) exit at a warmup boundary instead of paying a
+        # full `sort_every`-length round — a flat cadence of 16 measured
+        # +3.5% on long walks but 1.7x on occl(t<5) (round 4).
+        def compact(st, rays, orig_g):
             # stable argsort: active packets first (nodes before leaves so
             # post-sort blocks stay section-homogeneous), done compact to
             # the suffix whose blocks nblk elides entirely
@@ -492,15 +497,34 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
             orig_g = orig_g[perm]
             n_act = jnp.sum((st[5] == 0).astype(jnp.int32))
             nblk = jnp.maximum((n_act + GB - 1) // GB, 1).reshape(1)
+            return st, rays, orig_g, nblk
 
-            def inner(_, st):
-                return run1(nblk, st, rays, fetch_rows(st))
+        def rounds(k):
+            def body(s):
+                st, rays, orig_g = s
+                st, rays, orig_g, nblk = compact(st, rays, orig_g)
 
-            st = jax.lax.fori_loop(0, sort_every, inner, st)
-            return (st, rays, orig_g)
+                def inner(_, st):
+                    return run1(nblk, st, rays, fetch_rows(st))
 
+                st = jax.lax.fori_loop(0, k, inner, st)
+                return (st, rays, orig_g)
+
+            return body
+
+        def cond(s):
+            return jnp.any(s[0][5] == 0)
+
+        # warmup rounds run unconditionally (a lax.cond would force carry
+        # copies, the round-3 compaction lesson); on already-done state
+        # nblk=1 elides all but one block so a wasted round is ~one
+        # compaction permute
+        carry = (st, rays, orig_g)
+        for k in (4, 8):
+            if k < sort_every:
+                carry = rounds(k)(carry)
         st, rays, orig_g = jax.lax.while_loop(
-            cond, body, (st, rays, orig_g))
+            cond, rounds(sort_every), carry)
         inv = jnp.argsort(orig_g)
         st = _permute_cols(st, inv)
     else:

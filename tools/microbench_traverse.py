@@ -44,7 +44,8 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
     scene = sphere_grid_scene()
-    ds = pack_scene(scene)
+    from pack_cache import cached_pack
+    ds = cached_pack("sphere_grid_19x19", lambda: pack_scene(scene))
     bvh = ds.geo.bvh
     rows = bvh.rows
     print(f"rows {rows.shape} = {rows.nbytes/1e6:.1f} MB, depth {bvh.depth}, "

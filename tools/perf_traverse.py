@@ -103,7 +103,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
     scene = sphere_grid_scene()
     t0 = time.monotonic()
-    ds = pack_scene(scene)
+    from pack_cache import cached_pack
+    ds = cached_pack("sphere_grid_19x19", lambda: pack_scene(scene))
     bvh = ds.geo.bvh
     print(
         f"pack {time.monotonic()-t0:.1f}s | slots {bvh.tri_v0.x.shape[0]} "

@@ -90,6 +90,9 @@ def parse_hlo_text(txt):
 def main():
     from luminary_tpu.testing import benchmark_scene, cornell_scene
     from luminary_tpu.render.renderer import Renderer
+    from luminary_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     if os.environ.get("LUM_PROFILE_SCENE", "tree") == "cornell":
         scene = cornell_scene(W, H, max_depth=4)
