@@ -153,8 +153,8 @@ def pack_lights(
         tree_nodes = tree_levels = 0
         if len(slots) >= LIGHT_TREE_MIN_LIGHTS:
             v0s, e1s, e2s = tri_v0[slots], tri_e1[slots], tri_e2[slots]
-            # leaves store the DENSE light index (see light_rows note) —
-            # the real slot id rides the compact candidate row instead
+            # leaves store the DENSE light index (0..L-1) — the real slot
+            # id rides the compact candidate row (light_slot_rows) instead
             tree = build_light_tree(
                 centroid=(v0s + (e1s + e2s) / 3.0).astype(np.float32),
                 corners=np.stack(
@@ -201,18 +201,6 @@ def pack_lights(
         total_power=np.float32(0.0),
         tree_rows=np.zeros((1, 128), np.float32),
     )
-
-
-def _pack_light_rows(prob, alias, slots, sel) -> np.ndarray:
-    l = prob.shape[0]
-    dense = np.arange(l, dtype=np.int32)
-    rows = np.zeros((l, 8), np.float32)
-    rows[:, 0] = prob
-    rows[:, 1] = dense.view(np.float32)
-    rows[:, 2] = sel
-    rows[:, 3] = alias.astype(np.int32).view(np.float32)
-    rows[:, 4] = sel[alias]
-    return rows
 
 
 def sample_light_point(
