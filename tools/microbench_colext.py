@@ -18,8 +18,6 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import numpy as np
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 21
@@ -82,27 +80,15 @@ def main():
                 + jnp.sum(row[:, 16:32] * sel_host, axis=1)
                 + jnp.sum(row[:, 32:48] * sel_host, axis=1)).sum()
 
-    def steady(f, iters=12):
+    def steady(f, ix=idx, iters=12):
         g = jax.jit(f)
-        jax.block_until_ready(g(idx, jnp.float32(0)))
+        jax.block_until_ready(g(ix, jnp.float32(0)))
         for i in range(14):
-            r = g(idx, jnp.float32(i) * 1e-9)
+            r = g(ix, jnp.float32(i) * 1e-9)
         jax.block_until_ready(r)
         t0 = time.monotonic()
         for i in range(iters):
-            r = g(idx, jnp.float32(100 + i) * 1e-9)
-        jax.block_until_ready(r)
-        return (time.monotonic() - t0) / iters * 1e3
-
-    def steady_a(f, iters=12):
-        g = jax.jit(f)
-        jax.block_until_ready(g(aidx, jnp.float32(0)))
-        for i in range(14):
-            r = g(aidx, jnp.float32(i) * 1e-9)
-        jax.block_until_ready(r)
-        t0 = time.monotonic()
-        for i in range(iters):
-            r = g(aidx, jnp.float32(100 + i) * 1e-9)
+            r = g(ix, jnp.float32(100 + i) * 1e-9)
         jax.block_until_ready(r)
         return (time.monotonic() - t0) / iters * 1e3
 
@@ -110,14 +96,10 @@ def main():
     print(f"A 10-consumer column reads : {steady(pat_a):8.2f} ms", flush=True)
     print(f"B barrier-transpose+slices : {steady(pat_b):8.2f} ms", flush=True)
     print(f"C single-fusion columns    : {steady(pat_c):8.2f} ms", flush=True)
-    print(f"aerial interleaved reshape : {steady_a(aerial_interleaved):8.2f} ms",
+    print(f"aerial interleaved reshape : {steady(aerial_interleaved, aidx):8.2f} ms",
           flush=True)
-    print(f"aerial component-planar    : {steady_a(aerial_planar):8.2f} ms",
+    print(f"aerial component-planar    : {steady(aerial_planar, aidx):8.2f} ms",
           flush=True)
-
-
-if __name__ == "__main__":
-    main()
 
 
 def main2():
@@ -144,10 +126,6 @@ def main2():
         row = table[i] + eps
         return row[:, 0].sum()
 
-    def pat_e_sorted(i, eps):
-        row = table[i] + eps
-        return row[:, 0].sum()
-
     def steady(f, ix, iters=12):
         g = jax.jit(f)
         jax.block_until_ready(g(ix, jnp.float32(0)))
@@ -164,9 +142,10 @@ def main2():
           flush=True)
     print(f"E gather alone             : {steady(pat_e, idx):8.2f} ms",
           flush=True)
-    print(f"E gather alone (sorted idx): {steady(pat_e_sorted, idx_s):8.2f} ms",
+    print(f"E gather alone (sorted idx): {steady(pat_e, idx_s):8.2f} ms",
           flush=True)
 
 
-if __name__ == "__main__" and os.environ.get("PART2"):
-    main2()
+if __name__ == "__main__":
+    # PART2=1 runs only the D/E patterns; default runs only A-C + aerial.
+    main2() if os.environ.get("PART2") else main()

@@ -177,6 +177,21 @@ def candidate_probes():
     sel_np[np.asarray(lights.slot)] = np.asarray(lights.select_pdf)
     lsr[:, LSR_SELECT_PDF] = sel_np
     lsr_j = jnp.asarray(lsr)
+    # [L, 5] denormalized alias rows (prob, slot_j, pdf_j, slot_a, pdf_a):
+    # DeviceLights dropped its light_rows table when production draws moved
+    # to the fused light_slot_rows (device_scene.py LSR_ALIAS_*); the probe
+    # rebuilds the equivalent locally from prob/alias/slot/select_pdf.
+    _prob = np.asarray(lights.prob, np.float32)
+    _alias = np.asarray(lights.alias, np.int32)
+    _slot = np.asarray(lights.slot, np.int32)
+    _spdf = np.asarray(lights.select_pdf, np.float32)
+    _rows = np.zeros((_prob.shape[0], 5), np.float32)
+    _rows[:, 0] = _prob
+    _rows[:, 1] = _slot.view(np.float32)
+    _rows[:, 2] = _spdf
+    _rows[:, 3] = _slot[_alias].view(np.float32)
+    _rows[:, 4] = _spdf[_alias]
+    light_rows = jnp.asarray(_rows)
     lights = jax.tree_util.tree_map(jnp.asarray, lights)
 
     px = jnp.asarray(rng.uniform(0, 50, N).astype(np.float32))
@@ -199,7 +214,7 @@ def candidate_probes():
                     if stage == "draw":
                         acc = acc + idx
                         continue
-                    lrow = lights.light_rows[idx]
+                    lrow = light_rows[idx]
                     take = r[..., 1] >= lrow[:, 0]
                     slot = jax.lax.bitcast_convert_type(
                         jnp.where(take, lrow[:, 3], lrow[:, 1]), jnp.int32)
@@ -261,7 +276,7 @@ def candidate_probes():
                 idx4 = jnp.concatenate([
                     jnp.minimum((r[..., 0] * ll).astype(jnp.int32), ll - 1)
                     for r in rs])                        # [4N]
-                lrow4 = lights.light_rows[idx4]          # one gather
+                lrow4 = light_rows[idx4]                 # one gather
                 take4 = jnp.concatenate(
                     [r[..., 1] for r in rs]) >= lrow4[:, 0]
                 slot4 = jax.lax.bitcast_convert_type(
