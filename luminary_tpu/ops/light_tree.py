@@ -49,6 +49,7 @@ import numpy as np
 from ..bvh.builder import build_bvh
 from ..bvh.wide import _collapse_children
 from .random import RandomTarget, random_1d
+from .rowops import gather_planar
 from .vec import Vec3
 
 INVALID = np.int32(0x7FFFFFFF)
@@ -329,7 +330,10 @@ def sample_light_tree(
                 # every lane starts at the root — broadcast, not gather
                 rowT = jnp.broadcast_to(tree_rows[0][:, None], (128, m))
             else:
-                rowT = tree_rows[node].T  # [128, m] — THE gather
+                # THE gather, handed out planar [128, m] via the Pallas
+                # block transpose (ops/rowops.py — an XLA .T on the padded
+                # row array costs ~10 consumer passes)
+                rowT = gather_planar(tree_rows, node)
             r = random_1d(
                 RandomTarget.LIGHT_TREE_LEVEL, pid, sid, dk * 8 + lvl, bn=bnl
             )

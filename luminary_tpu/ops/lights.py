@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .random import RandomTarget, random_1d, random_2d
+from .rowops import gather_planar, planar
 from .vec import Vec3, gather as vgather
 
 
@@ -274,17 +275,20 @@ def sample_light_point(
             # instead of a second dependent gather (tools/nee_probe.py
             # measured the two dependent gathers as ~all of the
             # ~5 ms/candidate cost).
-            rf = shade_rows[idx]
-            take_alias = (r[..., 1] >= rf[:, LSR_ALIAS_PROB])[:, None]
+            # planar [fused_cols, N] (ops/rowops.py): the alias select and
+            # the ~10 column consumers below then read flat component rows
+            # instead of re-streaming 128-lane-padded [N, C] tiles
+            rf = gather_planar(shade_rows, idx)
+            take_alias = (r[..., 1] >= rf[LSR_ALIAS_PROB])[None, :]
             row = jnp.where(
-                take_alias, rf[:, LSR_ALIAS_ROW:LSR_ALIAS_ROW + LSR_COLS],
-                rf[:, 0:LSR_COLS])
-            pdf_select = row[:, LSR_SELECT_PDF]
+                take_alias, rf[LSR_ALIAS_ROW:LSR_ALIAS_ROW + LSR_COLS],
+                rf[0:LSR_COLS])                      # [18, N] planar
+            pdf_select = row[LSR_SELECT_PDF]
             if lights.has_micro:
                 mrow_fused = jnp.where(
                     take_alias,
-                    rf[:, LSR_MICRO_ALIAS:LSR_MICRO_ALIAS + 16],
-                    rf[:, LSR_MICRO_OWN:LSR_MICRO_OWN + 16])
+                    rf[LSR_MICRO_ALIAS:LSR_MICRO_ALIAS + 16],
+                    rf[LSR_MICRO_OWN:LSR_MICRO_OWN + 16])  # [16, N]
         else:
             # small-table path: XLA lowers these gathers to cheap selects
             take_alias = r[..., 1] >= lights.prob[idx]
@@ -311,16 +315,17 @@ def sample_light_point(
         # with has_micro lights takes the small-table path (light_ix set).
         assert mrow_fused is not None or light_ix is not None
         mrow = (mrow_fused if mrow_fused is not None
-                else lights.micro_rows[jnp.maximum(light_ix, 0)])  # [N, 16]
+                else planar(
+                    lights.micro_rows[jnp.maximum(light_ix, 0)]))  # [16, N]
         mr = random_1d(RandomTarget.MICROTRIANGLE, pixel_id, sample_id,
                        depth, bn=bn)
-        cum = jnp.cumsum(mrow, axis=1)
-        tot = cum[:, -1]
+        cum = jnp.cumsum(mrow, axis=0)
+        tot = cum[-1]
         pick = jnp.minimum(
-            jnp.sum((cum <= (mr * tot)[:, None]).astype(jnp.int32), axis=1),
+            jnp.sum((cum <= (mr * tot)[None, :]).astype(jnp.int32), axis=0),
             15)
-        oh = jnp.arange(16, dtype=jnp.int32)[None, :] == pick[:, None]
-        w_c = jnp.sum(jnp.where(oh, mrow, 0.0), axis=1)
+        oh = jnp.arange(16, dtype=jnp.int32)[:, None] == pick[None, :]
+        w_c = jnp.sum(jnp.where(oh, mrow, 0.0), axis=0)
         ok_m = tot > 0.0
         p_cell = jnp.where(ok_m, w_c / jnp.maximum(tot, 1e-30), 1.0)
         ci = (pick // 4).astype(jnp.float32)
@@ -333,17 +338,17 @@ def sample_light_point(
     b2 = r2u * su
     if shade_rows is not None:
         if row is None:  # tree-candidate path: fetch the block by dense id
-            row = shade_rows[light_ix]
-        slot = jax.lax.bitcast_convert_type(row[:, LSR_SLOT], jnp.int32)
-        v0 = Vec3(row[:, LSR_V0], row[:, LSR_V0 + 1], row[:, LSR_V0 + 2])
-        e1 = Vec3(row[:, LSR_E1], row[:, LSR_E1 + 1], row[:, LSR_E1 + 2])
-        e2 = Vec3(row[:, LSR_E2], row[:, LSR_E2 + 1], row[:, LSR_E2 + 2])
-        n = Vec3(row[:, LSR_FACE_N], row[:, LSR_FACE_N + 1],
-                 row[:, LSR_FACE_N + 2])
-        emission = (row[:, LSR_EMISSION], row[:, LSR_EMISSION + 1],
-                    row[:, LSR_EMISSION + 2])
-        area = row[:, LSR_AREA]
-        alias_select = row[:, LSR_SELECT_PDF]
+            row = gather_planar(shade_rows, light_ix)  # [C, N] planar
+        slot = jax.lax.bitcast_convert_type(row[LSR_SLOT], jnp.int32)
+        v0 = Vec3(row[LSR_V0], row[LSR_V0 + 1], row[LSR_V0 + 2])
+        e1 = Vec3(row[LSR_E1], row[LSR_E1 + 1], row[LSR_E1 + 2])
+        e2 = Vec3(row[LSR_E2], row[LSR_E2 + 1], row[LSR_E2 + 2])
+        n = Vec3(row[LSR_FACE_N], row[LSR_FACE_N + 1],
+                 row[LSR_FACE_N + 2])
+        emission = (row[LSR_EMISSION], row[LSR_EMISSION + 1],
+                    row[LSR_EMISSION + 2])
+        area = row[LSR_AREA]
+        alias_select = row[LSR_SELECT_PDF]
     else:
         # small-table path: XLA lowers these gathers to cheap selects
         slot = lights.slot[light_ix]

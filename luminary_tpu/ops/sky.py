@@ -58,13 +58,15 @@ def sample_env_rows(sky, d: Vec3):
     y0 = jnp.clip(fy.astype(jnp.int32), 0, sky.env_h - 2)
     wy = fy - y0.astype(jnp.float32)
     wx = fx - x0f
-    r0 = sky.env_rows[y0 * wi + x0]        # [N, 16] — the one gather
+    from .rowops import gather_planar
+
+    r0 = gather_planar(sky.env_rows, y0 * wi + x0)  # planar [16, N]
     one_wx = 1.0 - wx
     one_wy = 1.0 - wy
 
     def lerp(c):
-        top = r0[:, c] * one_wx + r0[:, c + 4] * wx
-        bot = r0[:, c + 8] * one_wx + r0[:, c + 12] * wx
+        top = r0[c] * one_wx + r0[c + 4] * wx
+        bot = r0[c + 8] * one_wx + r0[c + 12] * wx
         return top * one_wy + bot * wy
 
     return lerp(0), lerp(1), lerp(2)
@@ -311,24 +313,27 @@ def aerial_fetch(sky, direction: Vec3, dist):
     rel = (az_v - az_s) % (2.0 * jnp.pi)
     si = jnp.clip((rel * (AERIAL_NS / (2.0 * jnp.pi))).astype(jnp.int32),
                   0, AERIAL_NS - 1)
-    row = sky.aerial_rows[mi * AERIAL_NS + si]      # [N, 128]
+    from .rowops import gather_planar
+
+    row = gather_planar(sky.aerial_rows, mi * AERIAL_NS + si)  # [128, N]
     # log-distance lerp
     logr = jnp.log(jnp.clip(dist, AERIAL_D_MIN, AERIAL_D_MAX) / AERIAL_D_MIN)
     t = logr / jnp.log(AERIAL_D_MAX / AERIAL_D_MIN) * (AERIAL_ND - 1)
     k0 = jnp.clip(t.astype(jnp.int32), 0, AERIAL_ND - 2)
-    w = (t - k0.astype(jnp.float32))[:, None]
-    # one-hot column mix (8 knots per vreg row; avoids per-lane gathers)
-    ks = jnp.arange(AERIAL_ND, dtype=jnp.int32)
-    sel0 = (ks[None, :] == k0[:, None]).astype(jnp.float32)
-    sel1 = (ks[None, :] == (k0 + 1)[:, None]).astype(jnp.float32)
-    sel = sel0 * (1.0 - w) + sel1 * w                # [N, ND]
+    w = (t - k0.astype(jnp.float32))[None, :]
+    # one-hot knot mix over planar rows (avoids per-lane gathers; the
+    # Pallas transpose above keeps every read here a flat [N] row)
+    ks = jnp.arange(AERIAL_ND, dtype=jnp.int32)[:, None]
+    sel0 = (ks == k0[None, :]).astype(jnp.float32)
+    sel1 = (ks == (k0 + 1)[None, :]).astype(jnp.float32)
+    sel = sel0 * (1.0 - w) + sel1 * w                # [ND, N]
 
     def curve(base):
-        cur = row[:, base:base + 3 * 16].reshape(-1, 16, 3)
+        # bake layout: col = base + knot*3 + component
         return (
-            jnp.sum(cur[..., 0] * sel, axis=1),
-            jnp.sum(cur[..., 1] * sel, axis=1),
-            jnp.sum(cur[..., 2] * sel, axis=1),
+            jnp.sum(row[base + 0:base + 3 * AERIAL_ND:3] * sel, axis=0),
+            jnp.sum(row[base + 1:base + 3 * AERIAL_ND:3] * sel, axis=0),
+            jnp.sum(row[base + 2:base + 3 * AERIAL_ND:3] * sel, axis=0),
         )
 
     # short segments fade linearly below the first knot

@@ -38,6 +38,7 @@ from ..ops.material import (
     material_sample,
 )
 from ..ops.random import RandomTarget, blue_base, random_1d
+from ..ops.rowops import gather_planar
 from ..ops.sky import (
     SUN_ANGULAR_RADIUS,
     SUN_COS_RADIUS,
@@ -202,15 +203,15 @@ def _shading_normal(geo, slot, direction: Vec3, u, v):
 
 
 def _shading_normal_row(srow, direction: Vec3, u, v):
-    """_shading_normal reading a pre-gathered shade row [N, 48]."""
+    """_shading_normal reading a pre-gathered PLANAR shade row [48, N]."""
     w = 1.0 - u - v
     ns = normalize(Vec3(
-        srow[:, SHADE_N0 + 0] * w + srow[:, SHADE_N1 + 0] * u + srow[:, SHADE_N2 + 0] * v,
-        srow[:, SHADE_N0 + 1] * w + srow[:, SHADE_N1 + 1] * u + srow[:, SHADE_N2 + 1] * v,
-        srow[:, SHADE_N0 + 2] * w + srow[:, SHADE_N1 + 2] * u + srow[:, SHADE_N2 + 2] * v,
+        srow[SHADE_N0 + 0] * w + srow[SHADE_N1 + 0] * u + srow[SHADE_N2 + 0] * v,
+        srow[SHADE_N0 + 1] * w + srow[SHADE_N1 + 1] * u + srow[SHADE_N2 + 1] * v,
+        srow[SHADE_N0 + 2] * w + srow[SHADE_N1 + 2] * u + srow[SHADE_N2 + 2] * v,
     ))
-    ng_raw = Vec3(srow[:, SHADE_FACE_N], srow[:, SHADE_FACE_N + 1],
-                  srow[:, SHADE_FACE_N + 2])
+    ng_raw = Vec3(srow[SHADE_FACE_N], srow[SHADE_FACE_N + 1],
+                  srow[SHADE_FACE_N + 2])
     flip_in = dot(ng_raw, direction)
     s_g = jnp.where(flip_in > 0.0, -1.0, 1.0)
     ng = Vec3(ng_raw.x * s_g, ng_raw.y * s_g, ng_raw.z * s_g)
@@ -558,41 +559,45 @@ def render_sample(
         )
         use_rows = scene.shade_rows.shape[0] > SMALL_TABLE_SLOTS  # static
         if use_rows:
-            srow = scene.shade_rows[slot]  # [N, 48]
+            # planar [48, N]: one Pallas transpose after the gather so the
+            # ~20 consumer fusions below read flat component rows instead
+            # of re-streaming the 128-lane-padded [N, 48] tiles (~5 ms per
+            # consumer pass at 2M lanes — ops/rowops.py)
+            srow = gather_planar(scene.shade_rows, slot)
             mat_id = jax.lax.bitcast_convert_type(
-                srow[:, SHADE_MAT_ID], jnp.int32
+                srow[SHADE_MAT_ID], jnp.int32
             )
             mat_flags = jax.lax.bitcast_convert_type(
-                srow[:, SHADE_FLAGS], jnp.uint32
+                srow[SHADE_FLAGS], jnp.uint32
             )
             instance_id = jax.lax.bitcast_convert_type(
-                srow[:, SHADE_INST_ID], jnp.int32
+                srow[SHADE_INST_ID], jnp.int32
             )
             ns, ng, ng_raw = _shading_normal_row(srow, direction, hit.u, hit.v)
             lane_mat = LaneMaterial(
-                albedo_r=srow[:, SHADE_ALBEDO + 0],
-                albedo_g=srow[:, SHADE_ALBEDO + 1],
-                albedo_b=srow[:, SHADE_ALBEDO + 2],
-                roughness=srow[:, SHADE_ROUGHNESS],
-                metallic=srow[:, SHADE_METALLIC],
-                ior=srow[:, SHADE_IOR],
+                albedo_r=srow[SHADE_ALBEDO + 0],
+                albedo_g=srow[SHADE_ALBEDO + 1],
+                albedo_b=srow[SHADE_ALBEDO + 2],
+                roughness=srow[SHADE_ROUGHNESS],
+                metallic=srow[SHADE_METALLIC],
+                ior=srow[SHADE_IOR],
                 translucent=(mat_flags & MAT_FLAG_TRANSLUCENT) != 0,
-                opacity=srow[:, SHADE_ALBEDO + 3],
+                opacity=srow[SHADE_ALBEDO + 3],
                 thin_walled=(mat_flags & MAT_FLAG_THIN_WALLED) != 0,
             )
-            em_r = srow[:, SHADE_EMISSION + 0]
-            em_g = srow[:, SHADE_EMISSION + 1]
-            em_b = srow[:, SHADE_EMISSION + 2]
-            nee_sel_pdf = srow[:, SHADE_SEL_PDF]
-            nee_area = srow[:, SHADE_AREA]
+            em_r = srow[SHADE_EMISSION + 0]
+            em_g = srow[SHADE_EMISSION + 1]
+            em_b = srow[SHADE_EMISSION + 2]
+            nee_sel_pdf = srow[SHADE_SEL_PDF]
+            nee_area = srow[SHADE_AREA]
             uvs = (
-                Vec3(srow[:, SHADE_UV_U], srow[:, SHADE_UV_U + 1],
-                     srow[:, SHADE_UV_U + 2]),
-                Vec3(srow[:, SHADE_UV_V], srow[:, SHADE_UV_V + 1],
-                     srow[:, SHADE_UV_V + 2]),
+                Vec3(srow[SHADE_UV_U], srow[SHADE_UV_U + 1],
+                     srow[SHADE_UV_U + 2]),
+                Vec3(srow[SHADE_UV_V], srow[SHADE_UV_V + 1],
+                     srow[SHADE_UV_V + 2]),
             )
             tex_id = jax.lax.bitcast_convert_type(
-                srow[:, SHADE_ALBEDO_TEX], jnp.int32
+                srow[SHADE_ALBEDO_TEX], jnp.int32
             )
         else:
             mat_id = geo.material_id[slot]
@@ -690,7 +695,7 @@ def render_sample(
             cos_view = jnp.abs(dot(ng, direction))
             spread = 2.0 * cam.fov / jnp.float32(config.height)
             if use_rows:
-                lod_base = srow[:, SHADE_LOD_BASE]
+                lod_base = srow[SHADE_LOD_BASE]
             else:
                 lod_base = jnp.zeros_like(t_safe)
             lod = lod_base + jnp.log2(
@@ -710,13 +715,13 @@ def render_sample(
             # cuda/material.cuh texture application, wavefront.h:33-40)
             if use_rows:
                 rough_tex = jax.lax.bitcast_convert_type(
-                    srow[:, SHADE_ROUGH_TEX], jnp.int32)
+                    srow[SHADE_ROUGH_TEX], jnp.int32)
                 metal_tex = jax.lax.bitcast_convert_type(
-                    srow[:, SHADE_METAL_TEX], jnp.int32)
+                    srow[SHADE_METAL_TEX], jnp.int32)
                 normal_tex = jax.lax.bitcast_convert_type(
-                    srow[:, SHADE_NORMAL_TEX], jnp.int32)
+                    srow[SHADE_NORMAL_TEX], jnp.int32)
                 lum_tex = jax.lax.bitcast_convert_type(
-                    srow[:, SHADE_LUM_TEX], jnp.int32)
+                    srow[SHADE_LUM_TEX], jnp.int32)
             else:
                 rough_tex = mats.roughness_tex[mat_id]
                 metal_tex = mats.metallic_tex[mat_id]
@@ -761,11 +766,11 @@ def render_sample(
                 du2 = u0.z - u0.x
                 dv2 = v0.z - v0.x
                 e1v = vgather(geo.bvh.tri_e1, slot) if not use_rows else Vec3(
-                    srow[:, SHADE_E1], srow[:, SHADE_E1 + 1],
-                    srow[:, SHADE_E1 + 2])
+                    srow[SHADE_E1], srow[SHADE_E1 + 1],
+                    srow[SHADE_E1 + 2])
                 e2v = vgather(geo.bvh.tri_e2, slot) if not use_rows else Vec3(
-                    srow[:, SHADE_E2], srow[:, SHADE_E2 + 1],
-                    srow[:, SHADE_E2 + 2])
+                    srow[SHADE_E2], srow[SHADE_E2 + 1],
+                    srow[SHADE_E2 + 2])
                 det = du1 * dv2 - du2 * dv1
                 inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
                 tang = normalize(Vec3(
@@ -794,7 +799,7 @@ def render_sample(
         if config.spectral:
             from ..ops.spectral import cauchy_ior
 
-            abbe_lane = (srow[:, SHADE_ABBE] if use_rows
+            abbe_lane = (srow[SHADE_ABBE] if use_rows
                          else mats.abbe[mat_id])
             if config.analytic_ocean:
                 abbe_lane = jnp.where(ocean_lane, 0.0, abbe_lane)
@@ -862,16 +867,16 @@ def render_sample(
             # barycentrics to find the cell.
             from .device_scene import SHADE_MICRO
 
-            mic16 = (srow[:, SHADE_MICRO:SHADE_MICRO + 16] if use_rows
-                     else scene.shade_rows[slot][:,
-                                                 SHADE_MICRO:SHADE_MICRO + 16])
+            mic16 = (srow[SHADE_MICRO:SHADE_MICRO + 16] if use_rows
+                     else scene.shade_rows[slot][
+                         :, SHADE_MICRO:SHADE_MICRO + 16].T)  # [16, N]
             b1h, b2h = hit.u, hit.v
             r1h = jnp.clip((1.0 - b1h) * (1.0 - b1h), 0.0, 0.999999)
             r2h = jnp.clip(b2h / jnp.maximum(1.0 - b1h, 1e-6), 0.0, 0.999999)
             cellh = ((r1h * 4.0).astype(jnp.int32) * 4
                      + (r2h * 4.0).astype(jnp.int32))
-            ohh = jnp.arange(16, dtype=jnp.int32)[None, :] == cellh[:, None]
-            w_cell = jnp.sum(jnp.where(ohh, mic16, 0.0), axis=1)
+            ohh = jnp.arange(16, dtype=jnp.int32)[:, None] == cellh[None, :]
+            w_cell = jnp.sum(jnp.where(ohh, mic16, 0.0), axis=0)
             pdf_nee = pdf_nee * w_cell
         w_emit = jnp.where(prev_delta | ~prev_light_nee, 1.0,
                            mis_balance(prev_pdf, pdf_nee))

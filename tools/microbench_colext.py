@@ -62,6 +62,32 @@ def main():
                 for c in range(0, 30, 3)]
         return sum(outs).sum()
 
+    # F: gather -> PALLAS block transpose to planar [48, N] -> row consumers.
+    # The XLA transpose (pattern B) costs as much as ~10 consumer passes;
+    # if the Pallas pass is ~bandwidth, planar extraction wins at >2
+    # consumers.
+    from jax.experimental import pallas as pl
+
+    TGB = 2048
+
+    def _tkern(x_ref, o_ref):
+        o_ref[...] = x_ref[...].T
+
+    def pallas_T(rowarr):
+        n, c = rowarr.shape
+        return pl.pallas_call(
+            _tkern,
+            grid=(n // TGB,),
+            in_specs=[pl.BlockSpec((TGB, c), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((c, TGB), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((c, n), rowarr.dtype),
+        )(rowarr)
+
+    def pat_f(i, eps):
+        row = table[i] + eps
+        rt = pallas_T(row)
+        return consumers_rows(rt)
+
     # aerial pattern: [N, 128] row, mix 16 knots x 3 components
     arow_t = jnp.asarray(rng.standard_normal((2048, 128), np.float32))
     aidx = jnp.asarray(rng.integers(0, 2048, N).astype(np.int32))
@@ -96,6 +122,7 @@ def main():
     print(f"A 10-consumer column reads : {steady(pat_a):8.2f} ms", flush=True)
     print(f"B barrier-transpose+slices : {steady(pat_b):8.2f} ms", flush=True)
     print(f"C single-fusion columns    : {steady(pat_c):8.2f} ms", flush=True)
+    print(f"F pallas-transpose planar  : {steady(pat_f):8.2f} ms", flush=True)
     print(f"aerial interleaved reshape : {steady(aerial_interleaved, aidx):8.2f} ms",
           flush=True)
     print(f"aerial component-planar    : {steady(aerial_planar, aidx):8.2f} ms",
