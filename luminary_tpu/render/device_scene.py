@@ -173,7 +173,16 @@ class DeviceScene(NamedTuple):
     water: "DeviceWater"
     textures: "DeviceTextures"
     clouds: "DeviceClouds"
-    shade_rows: jnp.ndarray  # f32 [P, 48+] — see SHADE_* column map below
+    # Packed shade tables (SHP_*/SHA_* maps below): 8 quantized slots per
+    # 128-col i32 row keeps each table ≤ ~11 MB at 164k slots — under the
+    # measured ~17 MB gather knee (tools/microbench_tablesize.py: ≤16.8 MB
+    # tables gather at ~4.2 ns/index, larger ones at ~12.4 ns — a 3x on
+    # every per-hit fetch). The TPU shape of the reference's 64-B packed
+    # DeviceTriangle / 32-B DeviceMaterialCompressed (device_structs.h:
+    # 214-281, oct normals + half UVs via device_packing.h).
+    shade_hot: jnp.ndarray  # i32 [ceil(P/8), 128] — every-hit fields
+    shade_aux: jnp.ndarray  # i32 [ceil(P/8), 128] — texture/spectral fields
+    shade_micro: jnp.ndarray  # f32 [P, 16] — micro cell weights (has_micro)
     # COMPACT per-light rows for NEE candidate evaluation (LSR_* columns),
     # FUSED with the alias table: RIS gathers one of these per candidate;
     # dense light-index order keeps the table VMEM-resident (see the LSR_*
@@ -182,43 +191,87 @@ class DeviceScene(NamedTuple):
     particles: "DeviceParticles | None" = None
 
 
-# Shade-row column map: ONE gather per hit fetches everything shading needs.
-# TPU gathers cost ~11 ns PER INDEX regardless of row width, so ~25 separate
-# per-slot gathers (normals, uvs, ids, material fields, light pdf) cost ~25x
-# one 48-wide row fetch. int fields are bitcast into the f32 row.
-SHADE_N0 = 0          # 0:3   shading normal, corner 0
-SHADE_N1 = 3          # 3:6
-SHADE_N2 = 6          # 6:9
-SHADE_FACE_N = 9      # 9:12  geometric normal
-SHADE_UV_U = 12       # 12:15 texture u at corners 0,1,2
-SHADE_UV_V = 15       # 15:18
-SHADE_MAT_ID = 18     # bitcast i32
-SHADE_INST_ID = 19    # bitcast i32
-SHADE_PRIM_ID = 20    # bitcast i32
-SHADE_ALBEDO = 21     # 21:25 rgba
-SHADE_EMISSION = 25   # 25:28 rgb (pre-scaled)
-SHADE_ROUGHNESS = 28
-SHADE_METALLIC = 29
-SHADE_IOR = 30
-SHADE_FLAGS = 31      # bitcast u32
-SHADE_ALBEDO_TEX = 32  # bitcast i32
-SHADE_SEL_PDF = 33    # light selection pdf of this slot (0 = not a light)
-SHADE_AREA = 34       # triangle area
-SHADE_V0 = 35         # 35:38 triangle v0 (light point sampling)
-SHADE_E1 = 38         # 38:41
-SHADE_E2 = 41         # 41:44
-SHADE_ROUGH_TEX = 44   # bitcast i32 (-1 = none)
-SHADE_METAL_TEX = 45   # bitcast i32
-SHADE_NORMAL_TEX = 46  # bitcast i32
-SHADE_LUM_TEX = 47     # bitcast i32
-SHADE_LOD_BASE = 48    # log2(PAGE_RES * sqrt(uv_area / world_area))
-SHADE_ABBE = 49        # dispersion Abbe number (spectral mode; 0 = none)
-SHADE_MICRO = 56       # 56:72 normalized emission-texture cell weights
-#                        (16·w/Σw over the 4x4 sqrt-warp grid): the BSDF-hit
-#                        side's share of the micro point-importance MIS
-#                        nominal pdf (reference: light_microtriangle.cuh).
-#                        Written only when lights.has_micro.
-SHADE_COLS = 72
+# Packed shade tables: ONE gather per hit fetches everything shading needs,
+# and 8 quantized slots share each 128-col i32 row (row = slot >> 3,
+# sub = slot & 7, physical col = logical_col * 8 + sub) so the table stays
+# under the ~17 MB gather knee. Quantization (reference: device_structs.h
+# 32-B materials / 64-B triangles, device_packing.h oct normals + half UVs):
+# normals → octahedral snorm16 pairs, colors/roughness/ior → f16 pairs,
+# ids → u16 pairs. MIS-critical pdf fields (sel_pdf, area) stay exact f32 so
+# the NEE sampler side (LSR rows) and the BSDF-hit side keep bit-identical
+# nominal pdfs.
+SHP_SUB = 8           # slots per packed row
+# --- hot table (gathered at every hit) logical columns ---
+SHP_N0 = 0            # oct snorm16 shading normal, corner 0
+SHP_N1 = 1
+SHP_N2 = 2
+SHP_FACE = 3          # oct snorm16 geometric normal
+SHP_IDS = 4           # mat_id u16 | (instance_id + 1) u16  (0 = invalid)
+SHP_ALB_RG = 5        # albedo r|g f16
+SHP_ALB_BA = 6        # albedo b|a f16
+SHP_EM_RG = 7         # emission r|g f16 (pre-scaled)
+SHP_EM_B_ROUGH = 8    # emission b | roughness f16
+SHP_METAL_IOR = 9     # metallic | ior f16
+SHP_FLAGS = 10        # u32 material flags
+SHP_SEL_PDF = 11      # f32 light selection pdf of this slot (0 = not a light)
+SHP_AREA = 12         # f32 triangle area
+SHP_PRIM = 13         # i32 source primitive id
+SHP_COLS = 16
+# --- aux table (gathered only when textures/spectral are active) ---
+SHA_UV0 = 0           # u0|v0 f16
+SHA_UV1 = 1           # u1|v1
+SHA_UV2 = 2           # u2|v2
+SHA_TEX_AR = 3        # albedo_tex i16 | rough_tex i16 (-1 = none)
+SHA_TEX_MN = 4        # metallic_tex i16 | normal_tex i16
+SHA_TEX_L_ABBE = 5    # luminance_tex i16 | abbe f16
+SHA_LOD = 6           # f32 log2(res_tex * sqrt(uv_area / world_area))
+SHA_E1XY = 7          # e1.x|e1.y f16 (normal-map tangent frame)
+SHA_E1Z2X = 8         # e1.z|e2.x f16
+SHA_E2YZ = 9          # e2.y|e2.z f16
+SHA_COLS = 16
+
+
+# ---- packed-row jnp decoders (consumed by render/wavefront.py) ----
+
+def shp_col(planar_rows, sub, c):
+    """Planar packed rows [128, N] i32 + sub = slot & 7 → logical col c
+    ([N] i32): a 7-deep where-chain over the 8 adjacent physical rows —
+    pure VPU selects over flat rows, no extra gathers."""
+    v = planar_rows[c * SHP_SUB]
+    for s in range(1, SHP_SUB):
+        v = jnp.where(sub == s, planar_rows[c * SHP_SUB + s], v)
+    return v
+
+
+def unpack_f16_pair(bits_i32):
+    """i32 of two f16 halves → (lo, hi) f32 arrays."""
+    b = jax.lax.bitcast_convert_type(bits_i32, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (b & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (b >> 16).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    return lo, hi
+
+
+def unpack_i16_pair(bits_i32):
+    """i32 of two i16 halves → (lo, hi) sign-extended i32 arrays."""
+    lo = (bits_i32 << 16) >> 16
+    hi = bits_i32 >> 16
+    return lo, hi
+
+
+def unpack_oct_snorm16(bits_i32):
+    """Octahedral snorm16 pair → unit direction components (x, y, z)."""
+    u = ((bits_i32 << 16) >> 16).astype(jnp.float32) * (1.0 / 32767.0)
+    v = (bits_i32 >> 16).astype(jnp.float32) * (1.0 / 32767.0)
+    y = 1.0 - jnp.abs(u) - jnp.abs(v)
+    neg = y < 0.0
+    sx = jnp.where(u >= 0.0, 1.0, -1.0)
+    sz = jnp.where(v >= 0.0, 1.0, -1.0)
+    x = jnp.where(neg, (1.0 - jnp.abs(v)) * sx, u)
+    z = jnp.where(neg, (1.0 - jnp.abs(u)) * sz, v)
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-12))
+    return x * inv, y * inv, z * inv
 
 # light-sample row columns (light_slot_rows — COMPACT [L, 37|69], one row
 # per EMISSIVE triangle in dense light-index order, NOT per slot: a
@@ -312,74 +365,96 @@ def pack_light_slot_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
     return rows
 
 
-def pack_shade_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
-                    lights, tex_res=None) -> np.ndarray:
-    """Denormalized per-slot shade rows [P, SHADE_COLS] (numpy; see column
-    map). tex_res: per-texture level-0 page resolution
-    (ops/textures.py page_resolutions) for the mip LOD base — PAGE_RES
-    when absent."""
+def _f16_pair_np(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Two float arrays → one i32 array carrying the f16 halves."""
+    l16 = lo.astype(np.float16).view(np.uint16).astype(np.uint32)
+    h16 = hi.astype(np.float16).view(np.uint16).astype(np.uint32)
+    return (l16 | (h16 << 16)).view(np.int32)
+
+
+def _i16_pair_np(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    l16 = lo.astype(np.int16).view(np.uint16).astype(np.uint32)
+    h16 = hi.astype(np.int16).view(np.uint16).astype(np.uint32)
+    return (l16 | (h16 << 16)).view(np.int32)
+
+
+def _oct_snorm16_np(v3) -> np.ndarray:
+    """Unit-vector Vec3-of-np (or [K,3]) → octahedral snorm16 pair i32."""
+    if hasattr(v3, "x"):
+        n = np.stack([np.asarray(v3.x), np.asarray(v3.y),
+                      np.asarray(v3.z)], axis=-1)
+    else:
+        n = np.asarray(v3)
+    a = np.abs(n).sum(axis=-1, keepdims=True)
+    v = n / np.maximum(a, 1e-12)
+    uv = v[..., [0, 2]].copy()
+    neg = v[..., 1] < 0.0
+    flip = (1.0 - np.abs(uv[..., ::-1])) * np.where(uv >= 0.0, 1.0, -1.0)
+    uv[neg] = flip[neg]
+    q = np.clip(np.round(uv * 32767.0), -32767, 32767).astype(np.int32)
+    return ((q[..., 0] & 0xFFFF) | (q[..., 1] << 16)).astype(np.int32)
+
+
+def _pack8(cols: dict, p: int, n_cols: int) -> np.ndarray:
+    """{logical col: i32 [P]} → packed [ceil(P/8), 128] i32: slot s lands at
+    [s >> 3, logical * 8 + (s & 7)]."""
+    r = (p + SHP_SUB - 1) // SHP_SUB
+    out = np.zeros((r, n_cols * SHP_SUB), np.int32)
+    for c, v in cols.items():
+        tmp = np.zeros(r * SHP_SUB, np.int32)
+        tmp[:p] = v if v.dtype == np.int32 else v.view(np.int32)
+        out[:, c * SHP_SUB:(c + 1) * SHP_SUB] = tmp.reshape(r, SHP_SUB)
+    return out
+
+
+def pack_shade_packed(geo: DeviceSceneGeo, materials: DeviceMaterials,
+                      lights, tex_res=None):
+    """Packed per-slot shade tables (numpy): (hot [R, 128] i32,
+    aux [R, 128] i32, micro f32 [P, 16] | [1, 16]) — SHP_*/SHA_* maps.
+    tex_res: per-texture level-0 page resolution (ops/textures.py
+    page_resolutions) for the mip LOD base — PAGE_RES when absent."""
     p = np.asarray(geo.material_id).shape[0]
-    rows = np.zeros((p, SHADE_COLS), np.float32)
-    if getattr(lights, "has_micro", False):
-        # scatter the dense [L, 16] micro weights to slot space, normalized
-        # so the hit side multiplies SEL_PDF/AREA directly (16·w/Σw)
-        mr = np.asarray(lights.micro_rows)
-        micro_n = np.ones((p, 16), np.float32)
-        micro_n[np.asarray(lights.slot)] = (
-            16.0 * mr / np.maximum(mr.sum(axis=1, keepdims=True), 1e-20))
-        rows[:, SHADE_MICRO:SHADE_MICRO + 16] = micro_n
+    mat = np.asarray(geo.material_id).astype(np.int64)
+    inst = np.asarray(geo.instance_id).astype(np.int64)
 
-    def put3(col, v):
-        rows[:, col + 0] = np.asarray(v.x)
-        rows[:, col + 1] = np.asarray(v.y)
-        rows[:, col + 2] = np.asarray(v.z)
+    def f32(v):
+        return np.asarray(v, np.float32).view(np.int32)
 
-    put3(SHADE_N0, geo.n0)
-    put3(SHADE_N1, geo.n1)
-    put3(SHADE_N2, geo.n2)
-    put3(SHADE_FACE_N, geo.face_normal)
-    put3(SHADE_UV_U, geo.uv_u)
-    put3(SHADE_UV_V, geo.uv_v)
-    put3(SHADE_V0, geo.bvh.tri_v0)
-    put3(SHADE_E1, geo.bvh.tri_e1)
-    put3(SHADE_E2, geo.bvh.tri_e2)
-    mat = np.asarray(geo.material_id)
-    rows[:, SHADE_MAT_ID] = mat.view(np.float32)
-    rows[:, SHADE_INST_ID] = np.asarray(geo.instance_id).view(np.float32)
-    rows[:, SHADE_PRIM_ID] = np.asarray(geo.prim_id).view(np.float32)
-    m = mat.astype(np.int64)
-    rows[:, SHADE_ALBEDO + 0] = np.asarray(materials.albedo_r)[m]
-    rows[:, SHADE_ALBEDO + 1] = np.asarray(materials.albedo_g)[m]
-    rows[:, SHADE_ALBEDO + 2] = np.asarray(materials.albedo_b)[m]
-    rows[:, SHADE_ALBEDO + 3] = np.asarray(materials.albedo_a)[m]
-    rows[:, SHADE_EMISSION + 0] = np.asarray(materials.emission_r)[m]
-    rows[:, SHADE_EMISSION + 1] = np.asarray(materials.emission_g)[m]
-    rows[:, SHADE_EMISSION + 2] = np.asarray(materials.emission_b)[m]
-    rows[:, SHADE_ROUGHNESS] = np.asarray(materials.roughness)[m]
-    rows[:, SHADE_METALLIC] = np.asarray(materials.metallic)[m]
-    rows[:, SHADE_IOR] = np.asarray(materials.ior)[m]
-    rows[:, SHADE_ABBE] = np.asarray(materials.abbe)[m]
-    rows[:, SHADE_FLAGS] = np.asarray(materials.flags)[m].astype(np.uint32).view(np.float32)
-    rows[:, SHADE_ALBEDO_TEX] = np.asarray(materials.albedo_tex)[m].view(np.float32)
-    rows[:, SHADE_SEL_PDF] = np.asarray(lights.slot_select_pdf)
-    rows[:, SHADE_AREA] = np.asarray(lights.slot_area)
-    rows[:, SHADE_ROUGH_TEX] = np.asarray(materials.roughness_tex)[m].view(np.float32)
-    rows[:, SHADE_METAL_TEX] = np.asarray(materials.metallic_tex)[m].view(np.float32)
-    rows[:, SHADE_NORMAL_TEX] = np.asarray(materials.normal_tex)[m].view(np.float32)
-    rows[:, SHADE_LUM_TEX] = np.asarray(materials.luminance_tex)[m].view(np.float32)
+    ids = ((mat & 0xFFFF) | (((inst + 1) & 0xFFFF) << 16)).astype(np.uint32)
+    hot = {
+        SHP_N0: _oct_snorm16_np(geo.n0),
+        SHP_N1: _oct_snorm16_np(geo.n1),
+        SHP_N2: _oct_snorm16_np(geo.n2),
+        SHP_FACE: _oct_snorm16_np(geo.face_normal),
+        SHP_IDS: ids.view(np.int32),
+        SHP_ALB_RG: _f16_pair_np(np.asarray(materials.albedo_r)[mat],
+                                 np.asarray(materials.albedo_g)[mat]),
+        SHP_ALB_BA: _f16_pair_np(np.asarray(materials.albedo_b)[mat],
+                                 np.asarray(materials.albedo_a)[mat]),
+        SHP_EM_RG: _f16_pair_np(np.asarray(materials.emission_r)[mat],
+                                np.asarray(materials.emission_g)[mat]),
+        SHP_EM_B_ROUGH: _f16_pair_np(np.asarray(materials.emission_b)[mat],
+                                     np.asarray(materials.roughness)[mat]),
+        SHP_METAL_IOR: _f16_pair_np(np.asarray(materials.metallic)[mat],
+                                    np.asarray(materials.ior)[mat]),
+        SHP_FLAGS: np.asarray(materials.flags)[mat].astype(
+            np.uint32).view(np.int32),
+        SHP_SEL_PDF: f32(lights.slot_select_pdf),
+        SHP_AREA: f32(lights.slot_area),
+        SHP_PRIM: np.asarray(geo.prim_id).astype(np.int32),
+    }
 
     # mip LOD base: log2(res_tex * sqrt(uv_area / world_area)) per slot,
     # using the slot's albedo texture's OWN page resolution
     from ..ops.textures import PAGE_RES
 
+    at = np.asarray(materials.albedo_tex)[mat]
     if tex_res is not None and len(tex_res):
-        at = np.asarray(materials.albedo_tex)[m]
         res_slot = np.where(
             at >= 0, np.asarray(tex_res)[np.maximum(at, 0)], PAGE_RES
         ).astype(np.float64)
     else:
         res_slot = np.float64(PAGE_RES)
-
     e1 = np.stack([np.asarray(geo.bvh.tri_e1.x), np.asarray(geo.bvh.tri_e1.y),
                    np.asarray(geo.bvh.tri_e1.z)], -1)
     e2 = np.stack([np.asarray(geo.bvh.tri_e2.x), np.asarray(geo.bvh.tri_e2.y),
@@ -394,13 +469,44 @@ def pack_shade_rows(geo: DeviceSceneGeo, materials: DeviceMaterials,
     du1, dv1 = uu[:, 1] - uu[:, 0], vv[:, 1] - vv[:, 0]
     du2, dv2 = uu[:, 2] - uu[:, 0], vv[:, 2] - vv[:, 0]
     uv_area2 = np.abs(du1 * dv2 - du2 * dv1)
-    rows[:, SHADE_LOD_BASE] = np.where(
+    lod_base = np.where(
         uv_area2 > 1e-20,
         np.log2(res_slot * np.sqrt(uv_area2 / world_area2) + 1e-20),
         0.0,
     ).astype(np.float32)
 
-    return rows
+    aux = {
+        SHA_UV0: _f16_pair_np(uu[:, 0], vv[:, 0]),
+        SHA_UV1: _f16_pair_np(uu[:, 1], vv[:, 1]),
+        SHA_UV2: _f16_pair_np(uu[:, 2], vv[:, 2]),
+        SHA_TEX_AR: _i16_pair_np(at, np.asarray(materials.roughness_tex)[mat]),
+        SHA_TEX_MN: _i16_pair_np(np.asarray(materials.metallic_tex)[mat],
+                                 np.asarray(materials.normal_tex)[mat]),
+        SHA_TEX_L_ABBE: (
+            (np.asarray(materials.luminance_tex)[mat].astype(np.int16)
+             .view(np.uint16).astype(np.uint32))
+            | (np.asarray(materials.abbe)[mat].astype(np.float16)
+               .view(np.uint16).astype(np.uint32) << 16)
+        ).view(np.int32),
+        SHA_LOD: lod_base.view(np.int32),
+        SHA_E1XY: _f16_pair_np(e1[:, 0], e1[:, 1]),
+        SHA_E1Z2X: _f16_pair_np(e1[:, 2], e2[:, 0]),
+        SHA_E2YZ: _f16_pair_np(e2[:, 1], e2[:, 2]),
+    }
+
+    if getattr(lights, "has_micro", False):
+        # dense [L, 16] micro weights → slot space, normalized so the hit
+        # side multiplies SEL_PDF/AREA directly (16·w/Σw). Kept f32 in its
+        # own table: the sampler side uses the same f32 weights (LSR micro
+        # cols), and the MIS nominal pdfs must match across strategies.
+        mr = np.asarray(lights.micro_rows)
+        micro = np.ones((p, 16), np.float32)
+        micro[np.asarray(lights.slot)] = (
+            16.0 * mr / np.maximum(mr.sum(axis=1, keepdims=True), 1e-20))
+    else:
+        micro = np.zeros((1, 16), np.float32)
+
+    return (_pack8(hot, p, SHP_COLS), _pack8(aux, p, SHA_COLS), micro)
 
 
 def sun_direction(azimuth: float, altitude: float) -> np.ndarray:
@@ -1185,6 +1291,9 @@ def pack_scene(scene: Scene) -> DeviceScene:
     geo = pack_geometry(scene)
     materials = pack_materials(scene)
     lights = pack_lights_for(geo, materials, scene=scene)
+    shade_hot, shade_aux, shade_micro = pack_shade_packed(
+        geo, materials, lights,
+        tex_res=page_resolutions(scene.textures))
     ds = DeviceScene(
         geo=geo,
         materials=materials,
@@ -1194,9 +1303,9 @@ def pack_scene(scene: Scene) -> DeviceScene:
         water=pack_water(scene.ocean),
         textures=pack_textures(scene.textures),
         clouds=pack_clouds(scene.cloud),
-        shade_rows=pack_shade_rows(
-            geo, materials, lights,
-            tex_res=page_resolutions(scene.textures)),
+        shade_hot=shade_hot,
+        shade_aux=shade_aux,
+        shade_micro=shade_micro,
         light_slot_rows=pack_light_slot_rows(geo, materials, lights),
     )
     from ..utils.fastput import fast_device_put

@@ -459,16 +459,18 @@ class Renderer:
             DirtyFlags.MESHES | DirtyFlags.INSTANCES | DirtyFlags.MATERIALS
             | DirtyFlags.LIGHT_TREE
         ):
-            from .device_scene import pack_light_slot_rows, pack_shade_rows
+            from .device_scene import pack_light_slot_rows, pack_shade_packed
 
             from ..ops.textures import page_resolutions
 
-            shade_rows = pack_shade_rows(
+            shade_hot, shade_aux, shade_micro = pack_shade_packed(
                 geo, materials, lights,
                 tex_res=page_resolutions(self.scene.textures))
             light_slot_rows = pack_light_slot_rows(geo, materials, lights)
         else:
-            shade_rows = self.device_scene.shade_rows
+            shade_hot = self.device_scene.shade_hot
+            shade_aux = self.device_scene.shade_aux
+            shade_micro = self.device_scene.shade_micro
             light_slot_rows = self.device_scene.light_slot_rows
         self.device_scene = fast_device_put(
             DeviceScene(
@@ -477,7 +479,9 @@ class Renderer:
                 water=pack_water(self.scene.ocean),
                 textures=textures,
                 clouds=pack_clouds(self.scene.cloud),
-                shade_rows=shade_rows,
+                shade_hot=shade_hot,
+                shade_aux=shade_aux,
+                shade_micro=shade_micro,
                 light_slot_rows=light_slot_rows,
                 particles=dev_particles,
             )

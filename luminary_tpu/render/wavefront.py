@@ -64,32 +64,35 @@ from .device_scene import (
     MAT_FLAG_EMISSIVE,
     MAT_FLAG_THIN_WALLED,
     MAT_FLAG_TRANSLUCENT,
-    SHADE_ABBE,
-    SHADE_ALBEDO,
-    SHADE_ALBEDO_TEX,
-    SHADE_AREA,
-    SHADE_E1,
-    SHADE_E2,
-    SHADE_EMISSION,
-    SHADE_FACE_N,
-    SHADE_FLAGS,
-    SHADE_INST_ID,
-    SHADE_IOR,
-    SHADE_LOD_BASE,
-    SHADE_LUM_TEX,
-    SHADE_MAT_ID,
-    SHADE_METAL_TEX,
-    SHADE_METALLIC,
-    SHADE_N0,
-    SHADE_N1,
-    SHADE_N2,
-    SHADE_NORMAL_TEX,
-    SHADE_ROUGH_TEX,
-    SHADE_ROUGHNESS,
-    SHADE_SEL_PDF,
-    SHADE_UV_U,
-    SHADE_UV_V,
+    SHA_E1XY,
+    SHA_E1Z2X,
+    SHA_E2YZ,
+    SHA_LOD,
+    SHA_TEX_AR,
+    SHA_TEX_L_ABBE,
+    SHA_TEX_MN,
+    SHA_UV0,
+    SHA_UV1,
+    SHA_UV2,
+    SHP_ALB_BA,
+    SHP_ALB_RG,
+    SHP_AREA,
+    SHP_EM_B_ROUGH,
+    SHP_EM_RG,
+    SHP_FACE,
+    SHP_FLAGS,
+    SHP_IDS,
+    SHP_METAL_IOR,
+    SHP_N0,
+    SHP_N1,
+    SHP_N2,
+    SHP_SEL_PDF,
+    SHP_SUB,
     DeviceScene,
+    shp_col,
+    unpack_f16_pair,
+    unpack_i16_pair,
+    unpack_oct_snorm16,
 )
 
 
@@ -202,16 +205,20 @@ def _shading_normal(geo, slot, direction: Vec3, u, v):
     return ns, ng, ng_raw
 
 
-def _shading_normal_row(srow, direction: Vec3, u, v):
-    """_shading_normal reading a pre-gathered PLANAR shade row [48, N]."""
+def _shading_normal_packed(srow, sub, direction: Vec3, u, v):
+    """_shading_normal reading planar PACKED shade rows [128, N] i32
+    (SHP_* map: oct-snorm16 corner + face normals)."""
     w = 1.0 - u - v
+    n0x, n0y, n0z = unpack_oct_snorm16(shp_col(srow, sub, SHP_N0))
+    n1x, n1y, n1z = unpack_oct_snorm16(shp_col(srow, sub, SHP_N1))
+    n2x, n2y, n2z = unpack_oct_snorm16(shp_col(srow, sub, SHP_N2))
     ns = normalize(Vec3(
-        srow[SHADE_N0 + 0] * w + srow[SHADE_N1 + 0] * u + srow[SHADE_N2 + 0] * v,
-        srow[SHADE_N0 + 1] * w + srow[SHADE_N1 + 1] * u + srow[SHADE_N2 + 1] * v,
-        srow[SHADE_N0 + 2] * w + srow[SHADE_N1 + 2] * u + srow[SHADE_N2 + 2] * v,
+        n0x * w + n1x * u + n2x * v,
+        n0y * w + n1y * u + n2y * v,
+        n0z * w + n1z * u + n2z * v,
     ))
-    ng_raw = Vec3(srow[SHADE_FACE_N], srow[SHADE_FACE_N + 1],
-                  srow[SHADE_FACE_N + 2])
+    fx, fy, fz = unpack_oct_snorm16(shp_col(srow, sub, SHP_FACE))
+    ng_raw = Vec3(fx, fy, fz)
     flip_in = dot(ng_raw, direction)
     s_g = jnp.where(flip_in > 0.0, -1.0, 1.0)
     ng = Vec3(ng_raw.x * s_g, ng_raw.y * s_g, ng_raw.z * s_g)
@@ -557,48 +564,59 @@ def render_sample(
             origin.y + direction.y * t_col,
             origin.z + direction.z * t_col,
         )
-        use_rows = scene.shade_rows.shape[0] > SMALL_TABLE_SLOTS  # static
+        use_rows = (
+            scene.geo.material_id.shape[0] > SMALL_TABLE_SLOTS)  # static
+        need_aux = (config.use_textures or config.use_aux_textures
+                    or config.spectral)
+        arow = None
         if use_rows:
-            # planar [48, N]: one Pallas transpose after the gather so the
-            # ~20 consumer fusions below read flat component rows instead
-            # of re-streaming the 128-lane-padded [N, 48] tiles (~5 ms per
-            # consumer pass at 2M lanes — ops/rowops.py)
-            srow = gather_planar(scene.shade_rows, slot)
-            mat_id = jax.lax.bitcast_convert_type(
-                srow[SHADE_MAT_ID], jnp.int32
-            )
+            # ONE packed-row gather + planar transpose: 8 quantized slots
+            # share each 128-col row so the table stays under the ~17 MB
+            # gather knee (device_scene.py SHP_* map); consumers decode
+            # from flat planar component rows (ops/rowops.py)
+            sub = slot & (SHP_SUB - 1)
+            srow = gather_planar(scene.shade_hot, slot >> 3)  # [128, N] i32
+            if need_aux:
+                arow = gather_planar(scene.shade_aux, slot >> 3)
+            ids = shp_col(srow, sub, SHP_IDS)
+            mat_id = ids & 0xFFFF
+            instance_id = ((ids >> 16) & 0xFFFF) - 1
             mat_flags = jax.lax.bitcast_convert_type(
-                srow[SHADE_FLAGS], jnp.uint32
+                shp_col(srow, sub, SHP_FLAGS), jnp.uint32
             )
-            instance_id = jax.lax.bitcast_convert_type(
-                srow[SHADE_INST_ID], jnp.int32
-            )
-            ns, ng, ng_raw = _shading_normal_row(srow, direction, hit.u, hit.v)
+            ns, ng, ng_raw = _shading_normal_packed(
+                srow, sub, direction, hit.u, hit.v)
+            alb_r, alb_g = unpack_f16_pair(shp_col(srow, sub, SHP_ALB_RG))
+            alb_b, alb_a = unpack_f16_pair(shp_col(srow, sub, SHP_ALB_BA))
+            em_r, em_g = unpack_f16_pair(shp_col(srow, sub, SHP_EM_RG))
+            em_b, rough = unpack_f16_pair(
+                shp_col(srow, sub, SHP_EM_B_ROUGH))
+            metal, ior = unpack_f16_pair(shp_col(srow, sub, SHP_METAL_IOR))
             lane_mat = LaneMaterial(
-                albedo_r=srow[SHADE_ALBEDO + 0],
-                albedo_g=srow[SHADE_ALBEDO + 1],
-                albedo_b=srow[SHADE_ALBEDO + 2],
-                roughness=srow[SHADE_ROUGHNESS],
-                metallic=srow[SHADE_METALLIC],
-                ior=srow[SHADE_IOR],
+                albedo_r=alb_r,
+                albedo_g=alb_g,
+                albedo_b=alb_b,
+                roughness=rough,
+                metallic=metal,
+                ior=ior,
                 translucent=(mat_flags & MAT_FLAG_TRANSLUCENT) != 0,
-                opacity=srow[SHADE_ALBEDO + 3],
+                opacity=alb_a,
                 thin_walled=(mat_flags & MAT_FLAG_THIN_WALLED) != 0,
             )
-            em_r = srow[SHADE_EMISSION + 0]
-            em_g = srow[SHADE_EMISSION + 1]
-            em_b = srow[SHADE_EMISSION + 2]
-            nee_sel_pdf = srow[SHADE_SEL_PDF]
-            nee_area = srow[SHADE_AREA]
-            uvs = (
-                Vec3(srow[SHADE_UV_U], srow[SHADE_UV_U + 1],
-                     srow[SHADE_UV_U + 2]),
-                Vec3(srow[SHADE_UV_V], srow[SHADE_UV_V + 1],
-                     srow[SHADE_UV_V + 2]),
-            )
-            tex_id = jax.lax.bitcast_convert_type(
-                srow[SHADE_ALBEDO_TEX], jnp.int32
-            )
+            nee_sel_pdf = jax.lax.bitcast_convert_type(
+                shp_col(srow, sub, SHP_SEL_PDF), jnp.float32)
+            nee_area = jax.lax.bitcast_convert_type(
+                shp_col(srow, sub, SHP_AREA), jnp.float32)
+            if need_aux:
+                u0_, v0_ = unpack_f16_pair(shp_col(arow, sub, SHA_UV0))
+                u1_, v1_ = unpack_f16_pair(shp_col(arow, sub, SHA_UV1))
+                u2_, v2_ = unpack_f16_pair(shp_col(arow, sub, SHA_UV2))
+                uvs = (Vec3(u0_, u1_, u2_), Vec3(v0_, v1_, v2_))
+                tex_id, _rough_tex = unpack_i16_pair(
+                    shp_col(arow, sub, SHA_TEX_AR))
+            else:
+                uvs = (Vec3(zeros, zeros, zeros), Vec3(zeros, zeros, zeros))
+                tex_id = jnp.full_like(mat_id, -1)
         else:
             mat_id = geo.material_id[slot]
             mat_flags = mats.flags[mat_id]
@@ -695,7 +713,8 @@ def render_sample(
             cos_view = jnp.abs(dot(ng, direction))
             spread = 2.0 * cam.fov / jnp.float32(config.height)
             if use_rows:
-                lod_base = srow[SHADE_LOD_BASE]
+                lod_base = jax.lax.bitcast_convert_type(
+                    shp_col(arow, sub, SHA_LOD), jnp.float32)
             else:
                 lod_base = jnp.zeros_like(t_safe)
             lod = lod_base + jnp.log2(
@@ -714,14 +733,11 @@ def render_sample(
             # roughness / metallic / luminance / normal maps (reference:
             # cuda/material.cuh texture application, wavefront.h:33-40)
             if use_rows:
-                rough_tex = jax.lax.bitcast_convert_type(
-                    srow[SHADE_ROUGH_TEX], jnp.int32)
-                metal_tex = jax.lax.bitcast_convert_type(
-                    srow[SHADE_METAL_TEX], jnp.int32)
-                normal_tex = jax.lax.bitcast_convert_type(
-                    srow[SHADE_NORMAL_TEX], jnp.int32)
-                lum_tex = jax.lax.bitcast_convert_type(
-                    srow[SHADE_LUM_TEX], jnp.int32)
+                rough_tex = _rough_tex
+                metal_tex, normal_tex = unpack_i16_pair(
+                    shp_col(arow, sub, SHA_TEX_MN))
+                lum_tex, _ = unpack_i16_pair(
+                    shp_col(arow, sub, SHA_TEX_L_ABBE))
             else:
                 rough_tex = mats.roughness_tex[mat_id]
                 metal_tex = mats.metallic_tex[mat_id]
@@ -765,12 +781,18 @@ def render_sample(
                 dv1 = v0.y - v0.x
                 du2 = u0.z - u0.x
                 dv2 = v0.z - v0.x
-                e1v = vgather(geo.bvh.tri_e1, slot) if not use_rows else Vec3(
-                    srow[SHADE_E1], srow[SHADE_E1 + 1],
-                    srow[SHADE_E1 + 2])
-                e2v = vgather(geo.bvh.tri_e2, slot) if not use_rows else Vec3(
-                    srow[SHADE_E2], srow[SHADE_E2 + 1],
-                    srow[SHADE_E2 + 2])
+                if use_rows:
+                    e1x_, e1y_ = unpack_f16_pair(
+                        shp_col(arow, sub, SHA_E1XY))
+                    e1z_, e2x_ = unpack_f16_pair(
+                        shp_col(arow, sub, SHA_E1Z2X))
+                    e2y_, e2z_ = unpack_f16_pair(
+                        shp_col(arow, sub, SHA_E2YZ))
+                    e1v = Vec3(e1x_, e1y_, e1z_)
+                    e2v = Vec3(e2x_, e2y_, e2z_)
+                else:
+                    e1v = vgather(geo.bvh.tri_e1, slot)
+                    e2v = vgather(geo.bvh.tri_e2, slot)
                 det = du1 * dv2 - du2 * dv1
                 inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
                 tang = normalize(Vec3(
@@ -799,8 +821,11 @@ def render_sample(
         if config.spectral:
             from ..ops.spectral import cauchy_ior
 
-            abbe_lane = (srow[SHADE_ABBE] if use_rows
-                         else mats.abbe[mat_id])
+            if use_rows:
+                _, abbe_lane = unpack_f16_pair(
+                    shp_col(arow, sub, SHA_TEX_L_ABBE))
+            else:
+                abbe_lane = mats.abbe[mat_id]
             if config.analytic_ocean:
                 abbe_lane = jnp.where(ocean_lane, 0.0, abbe_lane)
             if config.use_particles:
@@ -865,11 +890,7 @@ def render_sample(
             # identical factor — ops/lights.py; reference:
             # light_microtriangle.cuh). Invert the sqrt warp at the hit
             # barycentrics to find the cell.
-            from .device_scene import SHADE_MICRO
-
-            mic16 = (srow[SHADE_MICRO:SHADE_MICRO + 16] if use_rows
-                     else scene.shade_rows[slot][
-                         :, SHADE_MICRO:SHADE_MICRO + 16].T)  # [16, N]
+            mic16 = gather_planar(scene.shade_micro, slot)  # [16, N]
             b1h, b2h = hit.u, hit.v
             r1h = jnp.clip((1.0 - b1h) * (1.0 - b1h), 0.0, 0.999999)
             r2h = jnp.clip(b2h / jnp.maximum(1.0 - b1h, 1e-6), 0.0, 0.999999)
@@ -1135,15 +1156,15 @@ def render_sample(
             # identical to the BSDF-hit Le (estimator consistency)
             wb0 = 1.0 - sel_b1 - sel_b2
             if use_rows:
-                wrow = scene.shade_rows[sel_slot]
-                wlum = jax.lax.bitcast_convert_type(
-                    wrow[:, SHADE_LUM_TEX], jnp.int32)
-                wuu = (wrow[:, SHADE_UV_U] * wb0
-                       + wrow[:, SHADE_UV_U + 1] * sel_b1
-                       + wrow[:, SHADE_UV_U + 2] * sel_b2)
-                wvv = (wrow[:, SHADE_UV_V] * wb0
-                       + wrow[:, SHADE_UV_V + 1] * sel_b1
-                       + wrow[:, SHADE_UV_V + 2] * sel_b2)
+                wsub = sel_slot & (SHP_SUB - 1)
+                wrow = gather_planar(scene.shade_aux, sel_slot >> 3)
+                wlum, _ = unpack_i16_pair(
+                    shp_col(wrow, wsub, SHA_TEX_L_ABBE))
+                wu0, wv0 = unpack_f16_pair(shp_col(wrow, wsub, SHA_UV0))
+                wu1, wv1 = unpack_f16_pair(shp_col(wrow, wsub, SHA_UV1))
+                wu2, wv2 = unpack_f16_pair(shp_col(wrow, wsub, SHA_UV2))
+                wuu = wu0 * wb0 + wu1 * sel_b1 + wu2 * sel_b2
+                wvv = wv0 * wb0 + wv1 * sel_b1 + wv2 * sel_b2
             else:
                 wlum = mats.luminance_tex[geo.material_id[sel_slot]]
                 wu3 = vgather(geo.uv_u, sel_slot)
