@@ -241,12 +241,14 @@ def energy_compensation_gain(cos_o: jnp.ndarray, roughness: jnp.ndarray) -> jnp.
     i0 = jnp.clip(mu_i.astype(jnp.int32), 0, _LUT_RES - 2)
     j0 = jnp.clip(r_i.astype(jnp.int32), 0, _LUT_RES - 2)
     fi, fj = mu_i - i0, r_i - j0
-    q = quad[i0 * _LUT_RES + j0]  # [N, 4] — the one gather
+    from .rowops import gather_planar
+
+    q = gather_planar(quad, i0 * _LUT_RES + j0)  # planar [4, N] — one gather
     e = (
-        q[:, 0] * (1 - fi) * (1 - fj)
-        + q[:, 1] * fi * (1 - fj)
-        + q[:, 2] * (1 - fi) * fj
-        + q[:, 3] * fi * fj
+        q[0] * (1 - fi) * (1 - fj)
+        + q[1] * fi * (1 - fj)
+        + q[2] * (1 - fi) * fj
+        + q[3] * fi * fj
     )
     return (1.0 - e) / e
 

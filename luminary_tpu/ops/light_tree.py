@@ -274,13 +274,14 @@ def sample_light_tree(
     lanes). Big wavefronts run in lax.map chunks to bound the transposed
     row buffer ([128, chunk]).
 
-    `force` = "xla" | "pallas" selects the level-body implementation.
-    The default is the XLA body: unlike the traversal while-loop, the
-    unrolled descent is already gather-LATENCY-bound (measured round 3:
-    5.4 ms/level at 1M lanes of which 4.9 ms is the row gather +
-    transpose; the fused Pallas body in ops/light_tree_pallas.py came
-    out 0.75x because its augmented 176-col gather costs more than the
-    math it fuses — see tools/nee_probe.py).
+    `force` = "xla" | "pallas" selects the level-body implementation; the
+    default picks the fused Pallas body (ops/light_tree_pallas.py) on TPU
+    backends. Round 3 measured that kernel 0.75x because its augmented
+    176-col gather + XLA transpose cost more than the fused math saved;
+    round 5's split (gather_planar 128-col rows + XLA-side f16 decode)
+    removed both overheads and the fused body now wins — the XLA body's
+    ~10 slice/reduce fusions per level each re-stream the [16, m]
+    intermediates.
     """
     from .traverse import _use_pallas
 
@@ -288,19 +289,23 @@ def sample_light_tree(
     pixel_id = jnp.broadcast_to(jnp.asarray(pixel_id, jnp.uint32), (n,))
     sample_id = jnp.broadcast_to(jnp.asarray(sample_id, jnp.uint32), (n,))
 
-    use_pallas = force == "pallas"
+    use_pallas = (force == "pallas"
+                  or (force is None and _use_pallas()))
     if use_pallas:
         from .light_tree_pallas import descend_pallas
 
-        interpret = force == "pallas" and not _use_pallas()
+        interpret = not _use_pallas()
+        nbn = len(bn) if bn is not None else 0
 
         def run(args):
-            px, py, pz, pid, sid = args
+            px, py, pz, pid, sid, *bnc = args
             return descend_pallas(
                 tree_rows, num_nodes, levels, Vec3(px, py, pz),
-                pid, sid, dk, interpret=interpret)
+                pid, sid, dk, interpret=interpret,
+                bn=tuple(bnc) if nbn else None)
 
-        args = (pos.x, pos.y, pos.z, pixel_id, sample_id)
+        args = (pos.x, pos.y, pos.z, pixel_id, sample_id) + (
+            tuple(bn) if bn is not None else ())
         if n <= chunk:
             return run(args)
         pad = (-n) % chunk

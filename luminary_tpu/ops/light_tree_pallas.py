@@ -11,21 +11,22 @@ fuses the entire body — both node and leaf interpretation, cone/facing
 importance, stochastic child selection — with the descent state flowing
 through input_output_aliases.
 
-Mosaic cannot bitcast-decode the packed f16 octahedral axes either
-(16-bit conversions are unreliable), so the gather reads an AUGMENTED
-[R, 176] table with the cone axes / leaf normals pre-decoded to f32
-(built once per render call from the packed [R, 128] rows — R is a few
-thousand, the decode is negligible):
-
-  cols 0:128   the original unified node/leaf row (ops/light_tree.py)
-  cols 128:176 node rows: cone axis x[16] y[16] z[16]
-               leaf rows: normal x at 128:142, y at 144:158, z at 160:174
+Round-3 ran this as an AUGMENTED [R, 176] gather (axes pre-decoded into
+the table because Mosaic cannot bitcast-decode the packed f16 octahedral
+axes) followed by an XLA `.T` — and measured 0.75x: the two-tile rows and
+the XLA transpose (a full relayout, ~10 consumer passes worth —
+tools/microbench_colext.py) cost more than the fused math saved. Round 5
+splits it: the gather rides `gather_planar` (128-col rows, one-pass Pallas
+transpose) and the f16 axes/normals are decoded at XLA level into a
+separate [48, m] planar input — a few cheap row ops.
 
 State (per lane, lanes-major [8, m]):
   sti i32: rows 0 node, 1 slot, 2 at_leaf, 3 done
   stf f32: row 0 pdf
 Context (read-only [R_ctx, m]): rows 0:3 shading point xyz,
   row 3+lvl the level's uniform random.
+Ext (read-only [48, m]): decoded cone axes (node rows: x 0:16, y 16:32,
+  z 32:48) or leaf normals (leaf rows: x 0:14, y 16:30, z 32:46).
 """
 
 from __future__ import annotations
@@ -44,7 +45,7 @@ import os as _os
 
 BRANCH = 16
 TREE_LEAF = 14
-AUG_COLS = 176
+EXT_ROWS = 48
 # Lane-axis block per grid step. Descent lanes are INDIVIDUAL shading
 # points (not 16-ray packets like the traversal), so the grid is 16x
 # longer per wavefront — a larger block amortizes the per-block dispatch
@@ -55,19 +56,22 @@ _INVALID = np.int32(0x7FFFFFFF)
 _CONE_EPS = np.float32(0.01)  # keep in sync with light_tree.CONE_EPS
 
 
-def augment_tree_rows(rows: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
-    """[R, 128] packed rows -> [R, 176] with decoded axes (jnp, tiny)."""
+def decode_ext_rows(rowT: jnp.ndarray, fetch: jnp.ndarray,
+                    num_nodes: int) -> jnp.ndarray:
+    """Planar gathered rows [128, m] + per-lane fetch index -> the decoded
+    [48, m] axes/normals block (jnp — Mosaic cannot do 16-bit bitcasts)."""
     from .light_tree import _unpack_oct_f16
 
-    r = rows.shape[0]
-    ax, ay, az = _unpack_oct_f16(rows[:, 96:112])  # node cone axes [R, 16]
-    lx, ly, lz = _unpack_oct_f16(rows[:, 70:84])   # leaf normals  [R, 14]
-    pad2 = jnp.zeros((r, 2), jnp.float32)
-    node_aug = jnp.concatenate([ax, ay, az], axis=1)
-    leaf_aug = jnp.concatenate([lx, pad2, ly, pad2, lz, pad2], axis=1)
-    is_node = (jnp.arange(r) < num_nodes)[:, None]
-    return jnp.concatenate(
-        [rows, jnp.where(is_node, node_aug, leaf_aug)], axis=1)
+    m = rowT.shape[1]
+    ax, ay, az = _unpack_oct_f16(rowT[96:112])  # node cone axes [16, m]
+    lx, ly, lz = _unpack_oct_f16(rowT[70:84])   # leaf normals  [14, m]
+    pad2 = jnp.zeros((2, m), jnp.float32)
+    is_node = (fetch < num_nodes)[None, :]
+    return jnp.concatenate([
+        jnp.where(is_node, ax, jnp.concatenate([lx, pad2], axis=0)),
+        jnp.where(is_node, ay, jnp.concatenate([ly, pad2], axis=0)),
+        jnp.where(is_node, az, jnp.concatenate([lz, pad2], axis=0)),
+    ], axis=0)
 
 
 def _cumsum_rows(x, span):
@@ -84,7 +88,8 @@ def _cumsum_rows(x, span):
 def _make_level_kernel(num_nodes: int, lvl: int):
     inf = np.float32(np.inf)
 
-    def kernel(ctx_ref, sti_ref, stf_ref, augT_ref, osti_ref, ostf_ref):
+    def kernel(ctx_ref, sti_ref, stf_ref, rowT_ref, ext_ref, osti_ref,
+               ostf_ref):
         osti_ref[:] = sti_ref[:]
         ostf_ref[:] = stf_ref[:]
 
@@ -103,7 +108,7 @@ def _make_level_kernel(num_nodes: int, lvl: int):
 
         @pl.when(any_node)
         def _node_section():
-            aug = augT_ref
+            aug = rowT_ref
             dx = aug[0:16] - px           # [16, GB]
             dy = aug[16:32] - py
             dz = aug[32:48] - pz
@@ -113,9 +118,9 @@ def _make_level_kernel(num_nodes: int, lvl: int):
             d2 = dx * dx + dy * dy + dz * dz
             imp = pw / jnp.maximum(d2, jnp.maximum(rad * rad, 1e-8))
             # orientation-cone factor (see light_tree.py for the math)
-            ax = aug[128:144]
-            ay = aug[144:160]
-            az = aug[160:176]
+            ax = ext_ref[0:16]
+            ay = ext_ref[16:32]
+            az = ext_ref[32:48]
             inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
             cos_t = -(ax * dx + ay * dy + az * dz) * inv_d
             cos_t = jnp.clip(cos_t, -1.0, 1.0)
@@ -155,16 +160,16 @@ def _make_level_kernel(num_nodes: int, lvl: int):
 
         @pl.when(any_leaf)
         def _leaf_section():
-            aug = augT_ref
+            aug = rowT_ref
             lslot = jax.lax.bitcast_convert_type(aug[0:14], jnp.int32)
             lpw = aug[14:28]
             ldx = aug[28:42] - px
             ldy = aug[42:56] - py
             ldz = aug[56:70] - pz
             ld2 = ldx * ldx + ldy * ldy + ldz * ldz
-            lnx = aug[128:142]
-            lny = aug[144:158]
-            lnz = aug[160:174]
+            lnx = ext_ref[0:14]
+            lny = ext_ref[16:30]
+            lnz = ext_ref[32:46]
             l_inv_d = jax.lax.rsqrt(jnp.maximum(ld2, 1e-12))
             l_cos = -(lnx * ldx + lny * ldy + lnz * ldz) * l_inv_d
             l_face = jnp.maximum(l_cos, _CONE_EPS)
@@ -194,13 +199,18 @@ def _make_level_kernel(num_nodes: int, lvl: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_nodes", "lvl", "r_ctx", "interpret"),
+    static_argnames=("num_nodes", "lvl", "r_ctx", "interpret",
+                     "root_bcast"),
 )
-def _run_level(ctx, sti, stf, augT, *, num_nodes, lvl, r_ctx, interpret):
-    m = augT.shape[1]
+def _run_level(ctx, sti, stf, rowT, ext, *, num_nodes, lvl, r_ctx, interpret,
+               root_bcast=False):
+    m = sti.shape[1]
     grid = m // GB
     kernel = _make_level_kernel(num_nodes, lvl)
     imap = lambda i: (0, i)
+    # level 0: every lane reads the root — rowT/ext are ONE [.., GB] block
+    # every grid step maps to (no per-lane gather, no m-wide broadcast)
+    imap_row = (lambda i: (0, 0)) if root_bcast else imap
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -208,7 +218,8 @@ def _run_level(ctx, sti, stf, augT, *, num_nodes, lvl, r_ctx, interpret):
             pl.BlockSpec((r_ctx, GB), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, GB), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, GB), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((AUG_COLS, GB), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, GB), imap_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((EXT_ROWS, GB), imap_row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, GB), imap, memory_space=pltpu.VMEM),
@@ -220,21 +231,23 @@ def _run_level(ctx, sti, stf, augT, *, num_nodes, lvl, r_ctx, interpret):
         ],
         input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
-    )(ctx, sti, stf, augT)
+    )(ctx, sti, stf, rowT, ext)
 
 
 def descend_pallas(tree_rows, num_nodes: int, levels: int, pos: Vec3,
-                   pixel_id, sample_id, dk: int, interpret: bool = False):
+                   pixel_id, sample_id, dk: int, interpret: bool = False,
+                   bn=None):
     """Fused-body equivalent of one sample_light_tree descent chunk.
 
     Same state machine and numerics as the XLA path (identical slot picks
-    given identical randoms). Returns (slot i32 [n], pdf f32 [n],
+    given identical randoms — bn passes the blue-noise channels through so
+    the random streams match exactly). Returns (slot i32 [n], pdf f32 [n],
     valid bool [n])."""
     from .random import RandomTarget, random_1d
+    from .rowops import gather_planar
 
     n = pos.x.shape[0]
     pad = (-n) % GB
-    aug = augment_tree_rows(tree_rows, num_nodes)
 
     def padv(x, fill=0):
         return (jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
@@ -243,11 +256,13 @@ def descend_pallas(tree_rows, num_nodes: int, levels: int, pos: Vec3,
     px, py, pz = padv(pos.x), padv(pos.y), padv(pos.z)
     pid = padv(jnp.broadcast_to(jnp.asarray(pixel_id, jnp.uint32), (n,)))
     sid = padv(jnp.broadcast_to(jnp.asarray(sample_id, jnp.uint32), (n,)))
+    bnp = tuple(padv(b) for b in bn) if bn is not None else None
     m = n + pad
 
     n_lvl = levels + 1
     r_ctx = (3 + n_lvl + 7) // 8 * 8
-    rnds = [random_1d(RandomTarget.LIGHT_TREE_LEVEL, pid, sid, dk * 8 + lvl)
+    rnds = [random_1d(RandomTarget.LIGHT_TREE_LEVEL, pid, sid, dk * 8 + lvl,
+                      bn=bnp)
             for lvl in range(n_lvl)]
     ctx = jnp.stack(
         [px, py, pz] + rnds
@@ -259,11 +274,19 @@ def descend_pallas(tree_rows, num_nodes: int, levels: int, pos: Vec3,
     stf = stf.at[0].set(1.0)  # pdf
 
     for lvl in range(n_lvl):
-        fetch = jnp.where(sti[3] == 0, sti[0], 0)
-        augT = aug[fetch].T  # [176, m] — THE gather
+        if lvl == 0:
+            # every lane starts at the root: one GB-wide root block
+            # instead of an m-lane dup-index gather
+            rowT = jnp.broadcast_to(tree_rows[0][:, None], (128, GB))
+            ext = decode_ext_rows(rowT, jnp.zeros((GB,), jnp.int32),
+                                  num_nodes)
+        else:
+            fetch = jnp.where(sti[3] == 0, sti[0], 0)
+            rowT = gather_planar(tree_rows, fetch)  # [128, m] — THE gather
+            ext = decode_ext_rows(rowT, fetch, num_nodes)
         sti, stf = _run_level(
-            ctx, sti, stf, augT, num_nodes=num_nodes, lvl=lvl,
-            r_ctx=r_ctx, interpret=interpret)
+            ctx, sti, stf, rowT, ext, num_nodes=num_nodes, lvl=lvl,
+            r_ctx=r_ctx, interpret=interpret, root_bcast=(lvl == 0))
 
     slot = sti[1][:n]
     pdf = stf[0][:n]

@@ -38,7 +38,7 @@ from ..ops.material import (
     material_sample,
 )
 from ..ops.random import RandomTarget, blue_base, random_1d
-from ..ops.rowops import gather_planar
+from ..ops.rowops import gather_packed_planar, gather_planar
 from ..ops.sky import (
     SUN_ANGULAR_RADIUS,
     SUN_COS_RADIUS,
@@ -86,10 +86,10 @@ from .device_scene import (
     SHP_N0,
     SHP_N1,
     SHP_N2,
+    SHA_COLS,
+    SHP_COLS,
     SHP_SEL_PDF,
-    SHP_SUB,
     DeviceScene,
-    shp_col,
     unpack_f16_pair,
     unpack_i16_pair,
     unpack_oct_snorm16,
@@ -205,19 +205,19 @@ def _shading_normal(geo, slot, direction: Vec3, u, v):
     return ns, ng, ng_raw
 
 
-def _shading_normal_packed(srow, sub, direction: Vec3, u, v):
-    """_shading_normal reading planar PACKED shade rows [128, N] i32
-    (SHP_* map: oct-snorm16 corner + face normals)."""
+def _shading_normal_packed(srow, direction: Vec3, u, v):
+    """_shading_normal reading SELECTED packed shade rows [SHP_COLS, N]
+    i32 (SHP_* map: oct-snorm16 corner + face normals)."""
     w = 1.0 - u - v
-    n0x, n0y, n0z = unpack_oct_snorm16(shp_col(srow, sub, SHP_N0))
-    n1x, n1y, n1z = unpack_oct_snorm16(shp_col(srow, sub, SHP_N1))
-    n2x, n2y, n2z = unpack_oct_snorm16(shp_col(srow, sub, SHP_N2))
+    n0x, n0y, n0z = unpack_oct_snorm16(srow[SHP_N0])
+    n1x, n1y, n1z = unpack_oct_snorm16(srow[SHP_N1])
+    n2x, n2y, n2z = unpack_oct_snorm16(srow[SHP_N2])
     ns = normalize(Vec3(
         n0x * w + n1x * u + n2x * v,
         n0y * w + n1y * u + n2y * v,
         n0z * w + n1z * u + n2z * v,
     ))
-    fx, fy, fz = unpack_oct_snorm16(shp_col(srow, sub, SHP_FACE))
+    fx, fy, fz = unpack_oct_snorm16(srow[SHP_FACE])
     ng_raw = Vec3(fx, fy, fz)
     flip_in = dot(ng_raw, direction)
     s_g = jnp.where(flip_in > 0.0, -1.0, 1.0)
@@ -570,28 +570,29 @@ def render_sample(
                     or config.spectral)
         arow = None
         if use_rows:
-            # ONE packed-row gather + planar transpose: 8 quantized slots
-            # share each 128-col row so the table stays under the ~17 MB
-            # gather knee (device_scene.py SHP_* map); consumers decode
-            # from flat planar component rows (ops/rowops.py)
-            sub = slot & (SHP_SUB - 1)
-            srow = gather_planar(scene.shade_hot, slot >> 3)  # [128, N] i32
+            # ONE packed-row gather + a fused transpose+select Pallas
+            # pass: 8 quantized slots share each 128-col row so the table
+            # stays under the ~17 MB gather knee (device_scene.py SHP_*
+            # map); the 8->1 sub-slot select happens in VREGs
+            # (ops/rowops.gather_packed_planar) and consumers decode flat
+            # [SHP_COLS, N] logical rows
+            srow = gather_packed_planar(scene.shade_hot, slot, SHP_COLS)
             if need_aux:
-                arow = gather_planar(scene.shade_aux, slot >> 3)
-            ids = shp_col(srow, sub, SHP_IDS)
+                arow = gather_packed_planar(scene.shade_aux, slot, SHA_COLS)
+            ids = srow[SHP_IDS]
             mat_id = ids & 0xFFFF
             instance_id = ((ids >> 16) & 0xFFFF) - 1
             mat_flags = jax.lax.bitcast_convert_type(
-                shp_col(srow, sub, SHP_FLAGS), jnp.uint32
+                srow[SHP_FLAGS], jnp.uint32
             )
             ns, ng, ng_raw = _shading_normal_packed(
-                srow, sub, direction, hit.u, hit.v)
-            alb_r, alb_g = unpack_f16_pair(shp_col(srow, sub, SHP_ALB_RG))
-            alb_b, alb_a = unpack_f16_pair(shp_col(srow, sub, SHP_ALB_BA))
-            em_r, em_g = unpack_f16_pair(shp_col(srow, sub, SHP_EM_RG))
+                srow, direction, hit.u, hit.v)
+            alb_r, alb_g = unpack_f16_pair(srow[SHP_ALB_RG])
+            alb_b, alb_a = unpack_f16_pair(srow[SHP_ALB_BA])
+            em_r, em_g = unpack_f16_pair(srow[SHP_EM_RG])
             em_b, rough = unpack_f16_pair(
-                shp_col(srow, sub, SHP_EM_B_ROUGH))
-            metal, ior = unpack_f16_pair(shp_col(srow, sub, SHP_METAL_IOR))
+                srow[SHP_EM_B_ROUGH])
+            metal, ior = unpack_f16_pair(srow[SHP_METAL_IOR])
             lane_mat = LaneMaterial(
                 albedo_r=alb_r,
                 albedo_g=alb_g,
@@ -604,16 +605,16 @@ def render_sample(
                 thin_walled=(mat_flags & MAT_FLAG_THIN_WALLED) != 0,
             )
             nee_sel_pdf = jax.lax.bitcast_convert_type(
-                shp_col(srow, sub, SHP_SEL_PDF), jnp.float32)
+                srow[SHP_SEL_PDF], jnp.float32)
             nee_area = jax.lax.bitcast_convert_type(
-                shp_col(srow, sub, SHP_AREA), jnp.float32)
+                srow[SHP_AREA], jnp.float32)
             if need_aux:
-                u0_, v0_ = unpack_f16_pair(shp_col(arow, sub, SHA_UV0))
-                u1_, v1_ = unpack_f16_pair(shp_col(arow, sub, SHA_UV1))
-                u2_, v2_ = unpack_f16_pair(shp_col(arow, sub, SHA_UV2))
+                u0_, v0_ = unpack_f16_pair(arow[SHA_UV0])
+                u1_, v1_ = unpack_f16_pair(arow[SHA_UV1])
+                u2_, v2_ = unpack_f16_pair(arow[SHA_UV2])
                 uvs = (Vec3(u0_, u1_, u2_), Vec3(v0_, v1_, v2_))
                 tex_id, _rough_tex = unpack_i16_pair(
-                    shp_col(arow, sub, SHA_TEX_AR))
+                    arow[SHA_TEX_AR])
             else:
                 uvs = (Vec3(zeros, zeros, zeros), Vec3(zeros, zeros, zeros))
                 tex_id = jnp.full_like(mat_id, -1)
@@ -714,7 +715,7 @@ def render_sample(
             spread = 2.0 * cam.fov / jnp.float32(config.height)
             if use_rows:
                 lod_base = jax.lax.bitcast_convert_type(
-                    shp_col(arow, sub, SHA_LOD), jnp.float32)
+                    arow[SHA_LOD], jnp.float32)
             else:
                 lod_base = jnp.zeros_like(t_safe)
             lod = lod_base + jnp.log2(
@@ -735,9 +736,9 @@ def render_sample(
             if use_rows:
                 rough_tex = _rough_tex
                 metal_tex, normal_tex = unpack_i16_pair(
-                    shp_col(arow, sub, SHA_TEX_MN))
+                    arow[SHA_TEX_MN])
                 lum_tex, _ = unpack_i16_pair(
-                    shp_col(arow, sub, SHA_TEX_L_ABBE))
+                    arow[SHA_TEX_L_ABBE])
             else:
                 rough_tex = mats.roughness_tex[mat_id]
                 metal_tex = mats.metallic_tex[mat_id]
@@ -783,11 +784,11 @@ def render_sample(
                 dv2 = v0.z - v0.x
                 if use_rows:
                     e1x_, e1y_ = unpack_f16_pair(
-                        shp_col(arow, sub, SHA_E1XY))
+                        arow[SHA_E1XY])
                     e1z_, e2x_ = unpack_f16_pair(
-                        shp_col(arow, sub, SHA_E1Z2X))
+                        arow[SHA_E1Z2X])
                     e2y_, e2z_ = unpack_f16_pair(
-                        shp_col(arow, sub, SHA_E2YZ))
+                        arow[SHA_E2YZ])
                     e1v = Vec3(e1x_, e1y_, e1z_)
                     e2v = Vec3(e2x_, e2y_, e2z_)
                 else:
@@ -823,7 +824,7 @@ def render_sample(
 
             if use_rows:
                 _, abbe_lane = unpack_f16_pair(
-                    shp_col(arow, sub, SHA_TEX_L_ABBE))
+                    arow[SHA_TEX_L_ABBE])
             else:
                 abbe_lane = mats.abbe[mat_id]
             if config.analytic_ocean:
@@ -1156,13 +1157,12 @@ def render_sample(
             # identical to the BSDF-hit Le (estimator consistency)
             wb0 = 1.0 - sel_b1 - sel_b2
             if use_rows:
-                wsub = sel_slot & (SHP_SUB - 1)
-                wrow = gather_planar(scene.shade_aux, sel_slot >> 3)
-                wlum, _ = unpack_i16_pair(
-                    shp_col(wrow, wsub, SHA_TEX_L_ABBE))
-                wu0, wv0 = unpack_f16_pair(shp_col(wrow, wsub, SHA_UV0))
-                wu1, wv1 = unpack_f16_pair(shp_col(wrow, wsub, SHA_UV1))
-                wu2, wv2 = unpack_f16_pair(shp_col(wrow, wsub, SHA_UV2))
+                wrow = gather_packed_planar(
+                    scene.shade_aux, sel_slot, SHA_COLS)
+                wlum, _ = unpack_i16_pair(wrow[SHA_TEX_L_ABBE])
+                wu0, wv0 = unpack_f16_pair(wrow[SHA_UV0])
+                wu1, wv1 = unpack_f16_pair(wrow[SHA_UV1])
+                wu2, wv2 = unpack_f16_pair(wrow[SHA_UV2])
                 wuu = wu0 * wb0 + wu1 * sel_b1 + wu2 * sel_b2
                 wvv = wv0 * wb0 + wv1 * sel_b1 + wv2 * sel_b2
             else:
