@@ -523,8 +523,31 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
         for k in (4, 8):
             if k < sort_every:
                 carry = rounds(k)(carry)
-        st, rays, orig_g = jax.lax.while_loop(
-            cond, rounds(sort_every), carry)
+
+        # Two-phase tail shrink: the while runs to the SLOWEST packet of
+        # the chunk, and the XLA-level row gather pays per index for every
+        # packet — done ones included (nblk only elides the Pallas
+        # compute). Once the active set fits a quarter of the chunk,
+        # compact and continue on the statically-sliced prefix: the long
+        # lockstep tail (up to ~2x the median walk) then pays quarter-width
+        # gathers, permutes and dispatches. Round-5 profile: the full-width
+        # fetch gather was ~213 ms/sample at ~37-60% packet utilization.
+        qg = (g // 4) // GB * GB
+        if GB <= qg < g:
+            def cond_gt_quarter(s):
+                return jnp.sum((s[0][5] == 0).astype(jnp.int32)) > qg
+
+            carry = jax.lax.while_loop(
+                cond_gt_quarter, rounds(sort_every), carry)
+            st, rays, orig_g = carry
+            st, rays, orig_g, _ = compact(st, rays, orig_g)
+            tail = (st[:, :qg], rays[:, :qg], orig_g[:qg])
+            tail = jax.lax.while_loop(cond, rounds(sort_every), tail)
+            st = jnp.concatenate([tail[0], st[:, qg:]], axis=1)
+            orig_g = jnp.concatenate([tail[2], orig_g[qg:]])
+        else:
+            st, rays, orig_g = jax.lax.while_loop(
+                cond, rounds(sort_every), carry)
         inv = jnp.argsort(orig_g)
         st = _permute_cols(st, inv)
     else:
