@@ -489,6 +489,16 @@ class Host:
     def current_sample_time(self) -> float:
         return self.renderer.current_sample_time
 
+    def save_checkpoint(self, path: str):
+        """Serialize render progress so an offline render can resume after
+        a restart (no reference analog — its progressive state dies with
+        the process; see Renderer.save_checkpoint)."""
+        self.renderer.save_checkpoint(path)
+
+    def load_checkpoint(self, path: str):
+        """Resume from save_checkpoint output (fingerprint-validated)."""
+        self.renderer.load_checkpoint(path)
+
     def profile_render(self, samples: int = 1):
         """Per-stage device-time breakdown of a render sample — the public
         face of the reference's per-kernel timing printout

@@ -524,30 +524,38 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
             if k < sort_every:
                 carry = rounds(k)(carry)
 
-        # Two-phase tail shrink: the while runs to the SLOWEST packet of
+        # Multi-phase tail shrink: the while runs to the SLOWEST packet of
         # the chunk, and the XLA-level row gather pays per index for every
         # packet — done ones included (nblk only elides the Pallas
-        # compute). Once the active set fits a quarter of the chunk,
-        # compact and continue on the statically-sliced prefix: the long
-        # lockstep tail (up to ~2x the median walk) then pays quarter-width
-        # gathers, permutes and dispatches. Round-5 profile: the full-width
-        # fetch gather was ~213 ms/sample at ~37-60% packet utilization.
-        qg = (g // 4) // GB * GB
-        if GB <= qg < g:
-            def cond_gt_quarter(s):
+        # compute). Each time the active set fits a quarter of the current
+        # width, compact and continue on the statically-sliced prefix: the
+        # long lockstep tail (up to ~2x the median walk) then pays
+        # shrinking-width gathers, permutes and dispatches. The sliced-off
+        # suffixes are all done at each switch (actives sort to the
+        # front), so their frozen state concatenates straight back.
+        # Round-5 profile: the full-width fetch gather was ~213 ms/sample
+        # at ~37-60% packet utilization; two phases measured -138 ms.
+        sizes = []
+        cur = (g // 4) // GB * GB
+        while GB <= cur < (sizes[-1] if sizes else g):
+            sizes.append(cur)
+            cur = (cur // 4) // GB * GB
+        st, rays, orig_g = carry
+        done_suffixes = []
+        for qg in sizes:
+            def cond_gt(s, qg=qg):
                 return jnp.sum((s[0][5] == 0).astype(jnp.int32)) > qg
 
-            carry = jax.lax.while_loop(
-                cond_gt_quarter, rounds(sort_every), carry)
-            st, rays, orig_g = carry
-            st, rays, orig_g, _ = compact(st, rays, orig_g)
-            tail = (st[:, :qg], rays[:, :qg], orig_g[:qg])
-            tail = jax.lax.while_loop(cond, rounds(sort_every), tail)
-            st = jnp.concatenate([tail[0], st[:, qg:]], axis=1)
-            orig_g = jnp.concatenate([tail[2], orig_g[qg:]])
-        else:
             st, rays, orig_g = jax.lax.while_loop(
-                cond, rounds(sort_every), carry)
+                cond_gt, rounds(sort_every), (st, rays, orig_g))
+            st, rays, orig_g, _ = compact(st, rays, orig_g)
+            done_suffixes.append((st[:, qg:], orig_g[qg:]))
+            st, rays, orig_g = st[:, :qg], rays[:, :qg], orig_g[:qg]
+        st, rays, orig_g = jax.lax.while_loop(
+            cond, rounds(sort_every), (st, rays, orig_g))
+        for s_, o_ in reversed(done_suffixes):
+            st = jnp.concatenate([st, s_], axis=1)
+            orig_g = jnp.concatenate([orig_g, o_])
         inv = jnp.argsort(orig_g)
         st = _permute_cols(st, inv)
     else:

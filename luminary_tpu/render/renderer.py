@@ -501,6 +501,49 @@ class Renderer:
             sample_count=jnp.zeros((n_pad,), jnp.int32),
         )
 
+    # -- checkpoint / resume -------------------------------------------------
+    # The reference has NO checkpointing: progressive state lives only in
+    # GPU accumulators and dies with the process (SURVEY §5). Long offline
+    # TPU renders want resumability, so the moment accumulators + per-pixel
+    # sample counts serialize to one npz; sample ids derive from
+    # sample_count, so restoring the accumulators also restores the QMC
+    # stream position — a resumed render is bit-identical to an unbroken
+    # one.
+
+    def _checkpoint_fingerprint(self) -> np.ndarray:
+        c = self.config
+        rx, ry, rw, rh = self._region
+        return np.asarray(
+            [c.width, c.height, c.max_depth, self._ss, rx, ry, rw, rh,
+             int(self._px.shape[0])], np.int64)
+
+    def save_checkpoint(self, path: str):
+        """Serialize render progress (accumulators + config fingerprint)."""
+        np.savez_compressed(
+            path,
+            radiance=np.asarray(self.accum.radiance),
+            lum_sq=np.asarray(self.accum.lum_sq),
+            sample_count=np.asarray(self.accum.sample_count),
+            fingerprint=self._checkpoint_fingerprint(),
+        )
+
+    def load_checkpoint(self, path: str):
+        """Resume from save_checkpoint output. Raises ValueError when the
+        checkpoint's resolution/region/depth fingerprint does not match the
+        current configuration (the accumulators would be meaningless)."""
+        with np.load(path) as z:
+            fp = z["fingerprint"]
+            want = self._checkpoint_fingerprint()
+            if fp.shape != want.shape or not (fp == want).all():
+                raise ValueError(
+                    "checkpoint fingerprint mismatch: saved "
+                    f"{fp.tolist()} vs current {want.tolist()}")
+            self.accum = AccumState(
+                radiance=jnp.asarray(z["radiance"]),
+                lum_sq=jnp.asarray(z["lum_sq"]),
+                sample_count=jnp.asarray(z["sample_count"]),
+            )
+
     # -- device elasticity (reference: device_manager.c:529-572 hot device
     # enable/disable with main re-election; failure detection analog of
     # DEVICE_STATE_UNAVAILABLE, device.h:83) ---------------------------------
