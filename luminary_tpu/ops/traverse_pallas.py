@@ -87,10 +87,11 @@ GB = int(os.environ.get("LUM_TRAV_GB", "512"))
 # Cruise fori length between packet compactions (after the fixed 4, 8
 # warmup rounds). Each compaction is one argsort + two row-matrix permutes
 # (~90 us at G=8192); between compactions done packets cost only
-# elided-DMA revisits. 16 measured +3.5% over 8 on 1M incoherent
-# closest/any-hit walks; the warmup schedule covers the short-walk
-# regression a flat 16 caused (round 4).
-SORT_EVERY = int(os.environ.get("LUM_TRAV_SORT_EVERY", "16"))
+# elided-DMA revisits. Round 4 measured 16 as +3.5% over 8; with the
+# round-5 multi-phase width shrink the balance flipped (compaction now
+# also feeds the phase switches): 8 measured 1132 vs 1156 ms/sample on
+# the tree-tier 1080p bench.
+SORT_EVERY = int(os.environ.get("LUM_TRAV_SORT_EVERY", "8"))
 
 # Keep the per-iteration row gather in [G, 128] layout and transpose inside
 # the kernel: the gather's row DMAs stay contiguous and the 4 MB XLA
@@ -535,11 +536,12 @@ def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
         # front), so their frozen state concatenates straight back.
         # Round-5 profile: the full-width fetch gather was ~213 ms/sample
         # at ~37-60% packet utilization; two phases measured -138 ms.
+        shrink = int(os.environ.get("LUM_TRAV_SHRINK", "4"))
         sizes = []
-        cur = (g // 4) // GB * GB
+        cur = (g // shrink) // GB * GB
         while GB <= cur < (sizes[-1] if sizes else g):
             sizes.append(cur)
-            cur = (cur // 4) // GB * GB
+            cur = (cur // shrink) // GB * GB
         st, rays, orig_g = carry
         done_suffixes = []
         for qg in sizes:
