@@ -8,6 +8,8 @@ import os
 import sys
 import time
 
+CHUNK = int(os.environ.get("LUM_QB_CHUNK", str(1 << 20)))
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 W = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
@@ -24,7 +26,7 @@ def main():
     enable_persistent_cache()
     scene = benchmark_scene(W, H, max_depth=4)
     t0 = time.time()
-    r = Renderer(scene, chunk=1 << 20)
+    r = Renderer(scene, chunk=CHUNK)
     print(f"pack {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
     r.render_samples(WARM)
