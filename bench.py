@@ -27,7 +27,8 @@ def run_scene(name, scene, chunk, warmup, samples):
 
     t0 = time.monotonic()
     r = Renderer(scene, chunk=chunk)
-    log(f"bench[{name}]: pack done in {time.monotonic()-t0:.1f}s")
+    pack_s = time.monotonic() - t0
+    log(f"bench[{name}]: pack done in {pack_s:.1f}s")
 
     t0 = time.monotonic()
     # The remote executor's first ~12 invocations of a fresh executable run
@@ -43,6 +44,7 @@ def run_scene(name, scene, chunk, warmup, samples):
     rays_per_sample = r._last_rays_per_sample
     mrays = rays_per_sample * samples / dt / 1e6
     spp_per_s = samples / dt
+    run_scene.last_pack_s = pack_s
     return mrays, spp_per_s
 
 
@@ -66,11 +68,13 @@ def main():
     # its full RIS/tree sampling in its benchmark mode).
     tw, th = (128, 72) if smoke else (1920, 1080)
     t_warm, t_samp = (1, 2) if smoke else (13, 24)
+    pack_times = {}
     tree_mrays, tree_spp = run_scene(
         "tree-1080p",
         benchmark_scene(tw, th, max_depth=depth),
         chunk, t_warm, t_samp,
     )
+    pack_times["tree"] = round(run_scene.last_pack_s, 1)
 
     # Equal-estimator throughput: same scene with 1-candidate NEE and no
     # light tree — isolates raw path/trace throughput from sampling quality
@@ -111,6 +115,7 @@ def main():
             "tree_ris1_spp_per_s": round(ris1_spp, 3),
             "cornell_mrays": round(cornell_mrays, 3),
             "cornell_spp_per_s_512": round(cornell_spp, 3),
+            "tree_pack_s": pack_times.get("tree"),
             "ray_accounting": "closest rays/depth + 2 NEE shadow rays/vertex"
                               " (RIS candidates are not counted as rays)",
         },
