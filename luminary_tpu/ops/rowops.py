@@ -68,6 +68,28 @@ def gather_planar(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return planar(table[idx])
 
 
+def unplanar(rows: jnp.ndarray) -> jnp.ndarray:
+    """[C, N] -> [N, C]: the inverse block transpose (same one-pass Pallas
+    kernel, blocks cut along the N axis)."""
+    from jax.experimental import pallas as pl
+
+    c, n = rows.shape
+    if not _use_pallas():
+        return rows.T
+    for gb in _BLOCKS:
+        if n % gb == 0:
+            break
+    else:
+        return rows.T
+    return pl.pallas_call(
+        _transpose_kernel,
+        grid=(n // gb,),
+        in_specs=[pl.BlockSpec((c, gb), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((gb, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c), rows.dtype),
+    )(rows)
+
+
 def _make_select_kernel(n_cols: int, sub_stride: int):
     def kernel(x_ref, sub_ref, o_ref):
         xt = x_ref[...].T                     # [128, GB]

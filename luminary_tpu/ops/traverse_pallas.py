@@ -401,8 +401,12 @@ def _run_body(nblk, st, rays, rowT, *, any_hit, m_nodes, d_pad,
 
 def _permute_cols(a, perm):
     """Permute the LANE axis of [R, G] via transpose + row gather (XLA
-    column gathers are strided and slow; this stays bandwidth-bound)."""
-    return a.T[perm].T
+    column gathers are strided and slow). Both transposes ride the
+    one-pass Pallas block kernels — the XLA relayout costs ~10 passes
+    (tools/microbench_colext.py pattern B)."""
+    from .rowops import planar, unplanar
+
+    return planar(unplanar(a)[perm])
 
 
 def traverse_wide_pallas(bvh, origin: Vec3, direction: Vec3, t_max,
