@@ -120,7 +120,8 @@ def gather_packed_planar(table: jnp.ndarray, slot: jnp.ndarray,
     idx = slot >> 3 if sub_stride == 8 else slot // sub_stride
     sub = slot & (sub_stride - 1) if sub_stride == 8 else slot % sub_stride
     rows = table[idx]                          # [N, n_cols*sub] gather
-    if not _use_pallas():
+
+    def _xla_select():
         xt = rows.T
         out = []
         for c in range(n_cols):
@@ -129,18 +130,14 @@ def gather_packed_planar(table: jnp.ndarray, slot: jnp.ndarray,
                 v = jnp.where(sub == s, xt[c * sub_stride + s], v)
             out.append(v)
         return jnp.stack(out, axis=0)
+
+    if not _use_pallas():
+        return _xla_select()
     for gb in _BLOCKS:
         if n % gb == 0:
             break
     else:
-        xt = rows.T
-        out = []
-        for c in range(n_cols):
-            v = xt[c * sub_stride]
-            for s in range(1, sub_stride):
-                v = jnp.where(sub == s, xt[c * sub_stride + s], v)
-            out.append(v)
-        return jnp.stack(out, axis=0)
+        return _xla_select()
     c_all = table.shape[1]
     return pl.pallas_call(
         _make_select_kernel(n_cols, sub_stride),
